@@ -1,0 +1,26 @@
+"""dbt_scd2_utils_spark — a PySpark-native SCD engine.
+
+Brand-new engine with the query/data-processing capabilities of the dbt
+package ``dbt_scd2_utils`` (reference at /root/reference), re-expressed
+Spark-first: every reference CTE is a named DataFrame transformation, the
+planner is plain Python, and physical execution is Catalyst's.
+"""
+
+from .plans.config import DEFAULTS, ScdConfig, ScdConfigError, resolve_config
+from .operators.scd2 import (
+    build_scd2_merge_source,
+    scd2_incremental,
+    scd2_initial_load,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULTS",
+    "ScdConfig",
+    "ScdConfigError",
+    "resolve_config",
+    "scd2_initial_load",
+    "scd2_incremental",
+    "build_scd2_merge_source",
+]

@@ -1,0 +1,36 @@
+"""SparkSession helpers.
+
+The engine's temporal semantics assume a fixed UTC session timezone (the
+reference's ``timestamp_tz`` → Spark ``TimestampType`` mapping, SURVEY.md
+§1.2): always route session creation/preparation through here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dbt_scd2_utils_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return spark
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Make an externally-provided session safe for the engine: UTC session
+    timezone (instant-comparison parity with the reference's timestamp_tz)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,57 @@
+"""Parquet table loading for the driver testdata (and general scans).
+
+Maps the reference's S1/S2 scans (``builtin_overrides/source.sql:34``,
+dbt seed loading) onto ``spark.read.parquet``.  One wrinkle handled here:
+the driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS), which
+Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  We flip the
+``spark.sql.legacy.parquet.nanosAsLong`` escape hatch and rebuild a proper
+TimestampType column (microsecond truncation — the data is second-granular).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as timestamp[ns] in the parquet footer."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if str(typ) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; nanosecond timestamps come back as proper
+    TimestampType (values truncated ns → µs, matching DuckDB's read)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

