@@ -12,6 +12,15 @@ from .operators.scd2 import (
     scd2_incremental,
     scd2_initial_load,
 )
+from .operators.scd01 import (
+    scd0_incremental,
+    scd0_initial_load,
+    scd1_incremental,
+    scd1_initial_load,
+)
+from .operators.temporal_join import scd2_join
+from .sources.incremental import high_water_mark, incremental_source
+from .sources.tables import load_table, load_tables
 
 __version__ = "0.1.0"
 
@@ -23,4 +32,13 @@ __all__ = [
     "scd2_initial_load",
     "scd2_incremental",
     "build_scd2_merge_source",
+    "scd0_initial_load",
+    "scd0_incremental",
+    "scd1_initial_load",
+    "scd1_incremental",
+    "scd2_join",
+    "incremental_source",
+    "high_water_mark",
+    "load_table",
+    "load_tables",
 ]

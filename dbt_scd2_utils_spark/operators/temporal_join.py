@@ -1,0 +1,110 @@
+"""Temporal (as-of interval) join over N SCD2 tables on a shared spine.
+
+Re-expression of ``macros/joins/scd2_join.sql:21-66``:
+
+1. ``distinct_updates`` — union-DISTINCT of each relation's
+   ``(join_keys, _valid_from)`` instants (only valid_from is needed: every
+   valid_to equals some valid_from or the open-end default — lines 27-32).
+2. ``temporal_spine`` — re-derive ``_is_current/_valid_from/_valid_to`` over
+   the instants with the same audit-column windows (lines 35-42).
+3. N left joins with interval containment
+   ``spine.key = r.key AND spine.vf >= r.vf AND spine.vt <= r.vt``
+   (lines 58-63) — Catalyst plans sort-merge/shuffled-hash on the equi keys
+   with the range predicates as join-time filters.
+4. Zero-width spine segments dropped (``spine.vf < spine.vt``, line 65).
+
+Faithful caveat carried over (SURVEY.md §3.2): two relations sharing a
+non-key business column name collide; we disambiguate by suffixing the
+*later* relation's duplicate with its position (the reference would emit
+ambiguous SQL — our behavior is strictly more permissive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.audit import is_current_expr, valid_from_expr, valid_to_expr
+
+AUDIT_NAMES = {"_VALID_FROM", "_VALID_TO", "_IS_CURRENT", "_UPDATED_AT", "_CHANGE_TYPE"}
+
+
+def scd2_join(
+    relations: Sequence[DataFrame],
+    join_keys: Sequence[str],
+    default_valid_to: str = "2999-12-31 23:59:59",
+    valid_from_column: str = "_valid_from",
+    valid_to_column: str = "_valid_to",
+) -> DataFrame:
+    """Join SCD2 tables on a temporal spine; returns one row per
+    (key, spine window) with each relation's attributes as of that window."""
+    if not relations:
+        raise ValueError("scd2_join requires at least one relation")
+    keys = list(join_keys)
+
+    # 1. distinct_updates: union (distinct) of valid_from instants.
+    instants = reduce(
+        DataFrame.unionByName,
+        [
+            r.select(
+                *[F.col(k) for k in keys],
+                F.col(valid_from_column).cast("timestamp").alias("_updated_at"),
+            )
+            for r in relations
+        ],
+    ).distinct()
+
+    # 2. temporal_spine: re-derive the windows over the instants.
+    spine = instants.select(
+        *keys,
+        is_current_expr(keys, "_updated_at").alias("_is_current"),
+        valid_from_expr(keys, "_updated_at").alias("_valid_from"),
+        valid_to_expr(keys, "_updated_at", default_valid_to).alias("_valid_to"),
+    )
+
+    # 3. N interval-containment left joins.
+    out = spine.alias("spine")
+    seen_cols = {c.upper() for c in keys}
+    payload_cols: list[str] = []
+    for i, rel in enumerate(relations):
+        alias = f"r{i}"
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"spine.{k}") == F.col(f"{alias}.{k}"))
+        cond = (
+            cond
+            & (F.col("spine._valid_from") >= F.col(f"{alias}.{valid_from_column}"))
+            & (F.col("spine._valid_to") <= F.col(f"{alias}.{valid_to_column}"))
+        )
+        # Project away join keys + audit columns (scd2_join.sql:44-55).
+        rel_payload = [
+            c
+            for c in rel.columns
+            if c.upper() not in {k.upper() for k in keys}
+            and c.upper() not in AUDIT_NAMES
+            and c.upper() != valid_from_column.upper()
+            and c.upper() != valid_to_column.upper()
+        ]
+        renames = {}
+        for c in rel_payload:
+            name = c if c.upper() not in seen_cols else f"{c}_{i}"
+            seen_cols.add(name.upper())
+            renames[c] = name
+        out = out.join(rel.alias(alias), cond, "left")
+        payload_cols += [
+            F.col(f"{alias}.{c}").alias(n) for c, n in renames.items()
+        ]
+
+    result = out.select(
+        *[F.col(f"spine.{k}") for k in keys],
+        *payload_cols,
+        F.col("spine._is_current").alias("_is_current"),
+        F.col("spine._valid_from").alias("_valid_from"),
+        F.col("spine._valid_to").alias("_valid_to"),
+    )
+
+    # 4. Drop zero/negative-width spine windows.
+    return result.filter(F.col("_valid_from") < F.col("_valid_to"))
