@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall times.
+
+Each query is forced end-to-end with a noop-format write (count() would let
+Catalyst prune the computed columns away)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_scd2_utils_spark import entry as entry_mod  # noqa: E402
+from dbt_scd2_utils_spark.session import get_spark  # noqa: E402
+
+# Headline set: exercises scans, hashing, window chains, semi-join pruning,
+# the merge, the temporal join, and the invariant self-joins.
+BENCH_QUERIES = [
+    "scd2_initial_load",
+    "scd2_incremental_merge",
+    "scd2_incremental_no_collapse",
+    "scd1_initial_load",
+    "scd0_initial_load",
+    "scd2_temporal_join",
+    "incremental_source_watermark",
+    "invariant_one_current_per_key",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # Warm the JVM + parquet footers once (excluded from timings).
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scd_engine_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,9 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # Integer `div` (not `/`): epoch-nanos exceed double's 53-bit mantissa,
+        # so float division would corrupt the low microseconds.  Truncation
+        # toward zero matches DuckDB's ns→µs read of the same files.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
