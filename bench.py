@@ -29,6 +29,14 @@ BENCH_QUERIES = [
     "scd2_temporal_join",
     "incremental_source_watermark",
     "invariant_one_current_per_key",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "multimodal_decode",
 ]
 
 

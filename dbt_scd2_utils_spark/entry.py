@@ -20,7 +20,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.dedup import (
+    exact_dedup,
+    exact_dedup_sql,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_sql,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_sql,
+    simhash,
+    simhash_sql,
+)
 from .operators.invariants import no_validity_overlaps, one_current_per_key
+from .operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    decode_media_sql,
+)
+from .operators.similarity import (
+    as_double,
+    brute_force_topk,
+    brute_force_topk_sql,
+    embedding_cosine_dedup,
+    embedding_cosine_dedup_sql,
+    lsh_ann_topk,
+    lsh_ann_topk_sql,
+)
+from .operators.text import (
+    fingerprint,
+    fingerprint_sql,
+    language_id,
+    language_id_sql,
+    text_stats,
+    text_stats_sql,
+    token_count,
+    token_count_sql,
+)
 from .operators.scd01 import (
     scd0_incremental,
     scd0_initial_load,
@@ -235,6 +269,135 @@ def q_invariant_no_validity_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # --------------------------------------------------------------------------
+# Data-pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+# Deterministic synthetic near/exact duplicates so dedup operators have real
+# work on the (duplicate-free) synthetic corpus; the SQL twin derives the
+# identical corpus.
+DOC_CORPUS_SQL = """
+select doc_id, text from documents
+union all
+select doc_id + 1000000 as doc_id,
+       array_to_string(
+         list_slice(string_split_regex(trim(text), '\\s+'), 1,
+                    greatest((len(string_split_regex(trim(text), '\\s+')) * 4) // 5, 1)),
+         ' ') as text
+from documents where doc_id % 10 = 0
+union all
+select doc_id + 2000000 as doc_id, text from documents where doc_id % 7 = 0
+"""
+
+
+def doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                words,
+                F.lit(1),
+                F.greatest(F.expr("(size(split(trim(text), '\\\\s+')) * 4) div 5"), F.lit(1)),
+            ),
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")
+    )
+    return docs.unionByName(trunc).unionByName(exact)
+
+
+EMB_CORPUS_SQL = """
+select vec_id, cast(embedding as double[]) as v from embeddings
+union all
+select vec_id + 10000 as vec_id,
+       list_concat([cast(embedding as double[])[1] + cast(0.5 as double)],
+                   cast(embedding as double[])[2:64]) as v
+from embeddings where vec_id % 5 = 0
+"""
+
+
+def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    pert = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("v")[0] + F.lit(0.5)), F.slice(F.col("v"), 2, 63)
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return exact_dedup(doc_corpus(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return minhash_lsh_pairs(doc_corpus(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return ngram_jaccard_pairs(doc_corpus(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return embedding_cosine_dedup(
+        emb_corpus(spark, sf_dir), threshold=0.9, id_col="vec_id", vec_col="v"
+    )
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -253,6 +416,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_source_watermark": q_incremental_source_watermark,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -317,6 +492,30 @@ def oracle_sql() -> dict[str, str]:
               on a.user_id = b.user_id and a._valid_from != b._valid_from
             where a._valid_from < b._valid_to and b._valid_from < a._valid_to
         """,
+        "text_stats": text_stats_sql("select * from documents"),
+        "token_count": token_count_sql("select * from documents"),
+        "language_id": language_id_sql("select * from documents"),
+        "doc_fingerprint": fingerprint_sql("select * from documents"),
+        "dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),
+        "dedup_minhash_lsh": minhash_lsh_pairs_sql(DOC_CORPUS_SQL),
+        "dedup_ngram_jaccard": ngram_jaccard_pairs_sql(
+            DOC_CORPUS_SQL, threshold=0.5
+        ),
+        "dedup_simhash": simhash_sql("select * from documents"),
+        "dedup_embedding_cosine": embedding_cosine_dedup_sql(
+            EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"
+        ),
+        "ann_bruteforce_topk": brute_force_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            k=5,
+        ),
+        "ann_lsh_topk": lsh_ann_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            k=5,
+        ),
+        "multimodal_decode": decode_media_sql("select * from documents"),
     }
 
 

@@ -1,0 +1,347 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference surface (BASELINE.json north-star): exact dedup,
+MinHash+LSH banding, SimHash, and n-gram Jaccard verification — each with a
+DuckDB oracle twin (``*_sql``).
+
+Cross-engine determinism design: every hash is md5 over explicit strings
+(identical hex in any engine); "random" permutations are md5-keyed
+(``min(md5(i || '-' || shingle))`` is a valid min-wise family with md5 as
+the permutation), so MinHash signatures are bit-identical across engines.
+All pipelines stay in built-in functions — shingling via
+``split``/``sequence``/``slice``/``transform``, SimHash bit math via
+``conv``/``shiftright`` — so the hot path is whole-stage-codegen JVM code,
+no Python.  Scale shape: LSH banding turns the O(n²) pair space into
+per-bucket self-joins keyed by (band, signature) — one shuffle on the band
+key; exact verification touches candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one survivor (min id) per distinct content,
+    with the duplicate count.  One shuffle on the content hash."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "dup_count", F.count(F.lit(1)).over(Window.partitionBy("content_hash"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def exact_dedup_sql(source_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+select min({id_col}) as {id_col}, md5({text_col}) as content_hash,
+       count(*) as dup_count
+from ({source_sql})
+group by md5({text_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles via sequence/slice/transform
+    (pure builtins).  Documents shorter than n words yield one whole-text
+    shingle so they still participate."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(F.trim(c), TOKEN_SPLIT)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def word_shingles_sql(text_col: str, n: int = 3) -> str:
+    words = f"string_split_regex(trim({text_col}), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len({words}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({words}, i + 1, i + {n}), ' ')))"
+    )
+
+
+def _perm_hash(i: int):
+    # NB: must return a ONE-argument lambda — Spark treats a two-parameter
+    # transform lambda as (element, index) and would shadow the captured i.
+    prefix = f"{i}-"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingles: Column, k: int = 12) -> Column:
+    """k md5-keyed min-hashes (lexicographic min of md5 hex — engine-stable).
+
+    Column-expression form; prefer :func:`minhash_signatures` (explode +
+    aggregate) on large corpora — higher-order-function transforms run
+    interpreted, outside whole-stage codegen."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _perm_hash(i))) for i in range(k)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+) -> DataFrame:
+    """Scalable MinHash: explode shingles → k codegen'd md5 columns → map-side
+    partial min aggregation keyed by document.  One shuffle of (id, k mins)
+    partials; identical hash values to :func:`minhash_signature`."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    )
+    hashed = exploded.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}-"), F.col("s"))).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
+    )
+
+
+def minhash_signature_sql(shingles_sql: str, k: int = 12) -> str:
+    mins = ",\n    ".join(
+        f"list_min(list_transform({shingles_sql}, s -> md5(concat('{i}-', s))))"
+        for i in range(k)
+    )
+    return f"[{mins}]"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH banding.
+
+    signature (k hashes) → `bands` bands of k/bands rows → bucket join on
+    (band index, band signature) → candidate pairs (a < b), deduped.
+    Shuffle is on the band-signature key; no O(n²) comparisons.
+    """
+    rows = k // bands
+    # Signature table materialized once (persist = barrier): the banding and
+    # both self-join sides reference it, and without the barrier Catalyst's
+    # CollapseProject would inline the whole signature computation into every
+    # reference (observed 30× slowdown).  At cluster scale this is the
+    # signature table you'd persist anyway.
+    with_sig = minhash_signatures(df, id_col, text_col, shingle_n, k).persist()
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+            "inner",
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_pairs_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> str:
+    rows = k // bands
+    sig_sql = minhash_signature_sql(word_shingles_sql(text_col, shingle_n), k)
+    band_selects = "\n  union all\n".join(
+        f"  select id, {b} as band, "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        + " as band_sig from sigs"
+        for b in range(bands)
+    )
+    return f"""
+with sigs as (
+  select {id_col} as id, {sig_sql} as sig
+  from ({source_sql})
+),
+banded as (
+{band_selects}
+)
+select distinct a.id as id_a, b.id as id_b
+from banded a join banded b
+  on a.band = b.band and a.band_sig = b.band_sig and a.id < b.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification of candidates, or full small-n dedup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    With ``candidates`` (e.g. from minhash_lsh_pairs) only those pairs are
+    verified — the 100-TB path: exact work ∝ candidates, not n².  Without,
+    verifies all LSH candidates generated internally."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, id_col, text_col, shingle_n)
+    # Persisted: consumed by both sides of the candidate join (and the
+    # shingling is itself expensive to recompute).
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("sh"),
+    ).persist()
+    joined = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    k: int = 12,
+    bands: int = 4,
+) -> str:
+    cand = minhash_lsh_pairs_sql(source_sql, id_col, text_col, shingle_n, k, bands)
+    return f"""
+with cand as ({cand}),
+sh as (
+  select {id_col} as id, {word_shingles_sql(text_col, shingle_n)} as sh
+  from ({source_sql})
+)
+select c.id_a, c.id_b,
+  round(cast(len(list_intersect(a.sh, b.sh)) as double) /
+        greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) as jaccard
+from cand c
+join sh a on a.id = c.id_a
+join sh b on b.id = c.id_b
+where round(cast(len(list_intersect(a.sh, b.sh)) as double) /
+        greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over word tokens (md5-derived token hashes → per-bit
+    ±1 vote sums → sign bits).  Explode + one aggregation by document —
+    shuffle keyed on id, all bit math JVM-side."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    votes = toks.select(
+        "id",
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    agg = votes.groupBy("id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)]
+    )
+    hash_expr = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        hash_expr = bit if hash_expr is None else hash_expr + bit
+    return agg.select(
+        F.col("id").alias(id_col), hash_expr.cast("long").alias("simhash")
+    )
+
+
+def simhash_sql(source_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    h = "cast(concat('0x', substring(md5(tok), 1, 8)) as bigint)"
+    votes = ",\n    ".join(
+        f"sum(case when (({h}) >> {b}) & 1 = 1 then 1 else -1 end) as s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"case when s{b} > 0 then cast({2**b} as bigint) else 0 end"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+with toks as (
+  select {id_col} as id, unnest(string_split_regex(trim({text_col}), '\\s+')) as tok
+  from ({source_sql})
+),
+agg as (
+  select id,
+    {votes}
+  from toks
+  group by id
+)
+select id as {id_col}, cast({recompose} as bigint) as simhash
+from agg
+"""

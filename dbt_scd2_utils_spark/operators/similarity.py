@@ -1,0 +1,287 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface: brute-force cosine top-k as the correctness
+baseline, and a hyperplane-LSH bucketed variant as the 100-TB scale path.
+
+Determinism design (so DuckDB oracles hash-match exactly):
+* embeddings are widened float→double BEFORE any arithmetic (exact), then
+  dot products accumulate sequentially left-to-right in double in both
+  engines → bitwise-identical scores;
+* "random" hyperplanes are md5-derived constants computed once in the
+  Python planner and inlined as literals into BOTH the Spark plan and the
+  oracle SQL;
+* rankings tie-break on neighbor id after rounding scores to 6 decimals.
+
+Scale shape: queries are broadcast (small side), the corpus streams through
+one broadcast nested-loop/cross join for brute force; LSH replaces that with
+an equi-join on bucket signature (one shuffle, work ∝ bucket sizes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (aggregate over zip_with)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` (small) is broadcast; the corpus streams through a single
+    broadcast join — no shuffle of the big side; the per-query ranking
+    shuffles only (query, candidate, score) triples."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def brute_force_topk_sql(
+    source_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+with q as (
+  select {id_col} as query_id, cast({vec_col} as double[]) as qv
+  from ({queries_sql})
+),
+c as (
+  select {id_col} as neighbor_id, cast({vec_col} as double[]) as cv
+  from ({source_sql})
+),
+scored as (
+  select query_id, neighbor_id,
+    round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+      as cosine_sim
+  from c join q on query_id != neighbor_id
+)
+select query_id, rank, neighbor_id, cosine_sim
+from (
+  select *, row_number() over (
+      partition by query_id order by cosine_sim desc, neighbor_id asc
+  ) as rank
+  from scored
+)
+where rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dims: int, planes: int, seed: str = "ann") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — computed once in
+    the planner, inlined as literals in both engines."""
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"{seed}-{p}-{d}".encode()).hexdigest()
+            row.append(round(int(h[:8], 16) / float(2**31) - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket signature: one bit per hyperplane."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(c) for c in plane])
+        bits.append(F.when(_dot(vec, lit) >= 0, F.lit(2**i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    parts = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"cast({c} as double)" for c in plane) + "]"
+        parts.append(
+            f"case when list_dot_product({vec_sql}, {arr}) >= 0 then {2**i} else 0 end"
+        )
+    return "cast(" + " + ".join(parts) + " as int)"
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact ranking within the query's LSH bucket only.
+
+    The corpus is bucketed once (a narrow projection) and the join is an
+    equi-join on the bucket signature — work ∝ bucket size, not corpus size.
+    """
+    hp = hyperplanes(dims, planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        lsh_bucket(as_double(vec_col), hp).alias("bucket"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        lsh_bucket(as_double(vec_col), hp).alias("bucket"),
+    )
+    scored = c.join(
+        F.broadcast(q), (q.bucket == c.bucket) & (F.col("query_id") != F.col("neighbor_id"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def lsh_ann_topk_sql(
+    source_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dims: int = 64,
+) -> str:
+    hp = hyperplanes(dims, planes)
+    bucket = lsh_bucket_sql("cast(%s as double[])" % vec_col, hp)
+    return f"""
+with q as (
+  select {id_col} as query_id, cast({vec_col} as double[]) as qv,
+         {bucket} as bucket
+  from ({queries_sql})
+),
+c as (
+  select {id_col} as neighbor_id, cast({vec_col} as double[]) as cv,
+         {bucket} as bucket
+  from ({source_sql})
+),
+scored as (
+  select query_id, neighbor_id,
+    round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+      as cosine_sim
+  from c join q on q.bucket = c.bucket and query_id != neighbor_id
+)
+select query_id, rank, neighbor_id, cosine_sim
+from (
+  select *, row_number() over (
+      partition by query_id order by cosine_sim desc, neighbor_id asc
+  ) as rank
+  from scored
+)
+where rank <= {k}
+"""
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucketed candidate generation +
+    exact cosine verification ≥ threshold (id_a < id_b)."""
+    hp = hyperplanes(dims, planes)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        lsh_bucket(as_double(vec_col), hp).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_cosine_dedup_sql(
+    source_sql: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dims: int = 64,
+) -> str:
+    hp = hyperplanes(dims, planes)
+    bucket = lsh_bucket_sql(f"cast({vec_col} as double[])", hp)
+    return f"""
+with v as (
+  select {id_col} as id, cast({vec_col} as double[]) as v, {bucket} as bucket
+  from ({source_sql})
+)
+select a.id as id_a, b.id as id_b,
+  round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+    as cosine_sim
+from v a join v b on a.bucket = b.bucket and a.id < b.id
+where round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {threshold}
+"""

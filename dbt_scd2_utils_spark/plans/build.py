@@ -1,0 +1,112 @@
+"""Build orchestration: the engine's equivalent of the dbt materialization.
+
+Mirrors the reference lifecycle (``materialization_scd.sql:19-38`` +
+``scd_plan.sql:24-287``, SURVEY.md §3.1):
+
+1. resolve + validate config (``ScdConfig`` — same errors/warnings);
+2. evaluate the model DataFrame once (``df.cache()`` ≡ the CTAS temp table,
+   ``create_temp_table_as.sql:6-12``) and introspect ``df.schema``
+   (≡ ``adapter.get_columns_in_relation``, no extra round trip in Spark);
+3. decide initial vs incremental: ``full_refresh or target missing``
+   (``scd_plan.sql:104``, ``is_incremental.sql:18-28``);
+4. branch by scd_type 0/1/2 to the operator;
+5. write atomically (tmp dir + rename — the vanilla-merge durability story,
+   SURVEY.md §7.3 item 5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.scd01 import (
+    scd0_incremental,
+    scd0_initial_load,
+    scd1_incremental,
+    scd1_initial_load,
+)
+from ..operators.scd2 import scd2_incremental, scd2_initial_load
+from .config import ScdConfig
+
+
+class ScdTable:
+    """An SCD-materialized table over a parquet directory.
+
+    At cluster scale the same orchestration targets a catalog table
+    (``saveAsTable``) or Delta; the parquet-directory sink keeps round-1
+    dependency-free while preserving atomicity (tmp write + rename swap).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, cfg: ScdConfig):
+        self.spark = spark
+        self.path = path
+        self.cfg = cfg.validate()
+
+    # -- state ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- lifecycle ------------------------------------------------------
+
+    def build(self, model_df: DataFrame, full_refresh: bool = False) -> DataFrame:
+        """Run one materialization cycle; returns the post-build table."""
+        cfg = self.cfg
+        # S5: single evaluation of the model ("temp table") — the plan
+        # references the batch multiple times (new_records, dedup, redundant
+        # check), exactly why the reference materializes it once.
+        model_df = model_df.cache()
+        cfg.validate_against_schema(model_df.columns)
+
+        initial = full_refresh or not self.exists()
+        if cfg.scd_type == 2:
+            if initial:
+                result = scd2_initial_load(model_df, cfg)
+            else:
+                result = scd2_incremental(self.read(), model_df, cfg)
+        elif cfg.scd_type == 1:
+            if initial:
+                result = scd1_initial_load(model_df, cfg)
+            else:
+                result = scd1_incremental(self.read(), model_df, cfg)
+        else:
+            if initial:
+                result = scd0_initial_load(model_df, cfg)
+            else:
+                result = scd0_incremental(self.read(), model_df, cfg)
+
+        self._atomic_write(result)
+        model_df.unpersist()  # S8: drop the temp relation
+        return self.read()
+
+    def _atomic_write(self, df: DataFrame) -> None:
+        tmp = self.path + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = self.path + "__old"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        # Invalidate cached file listings for readers of the swapped path.
+        self.spark.catalog.refreshByPath(self.path)
+
+
+def scd_build(
+    spark: SparkSession,
+    model_df: DataFrame,
+    path: str,
+    cfg: ScdConfig | None = None,
+    full_refresh: bool = False,
+    **config_kwargs,
+) -> DataFrame:
+    """One-shot functional entry point (≡ one ``dbt run`` of an scd model)."""
+    if cfg is None:
+        from .config import resolve_config
+
+        cfg = resolve_config(**config_kwargs)
+    return ScdTable(spark, path, cfg).build(model_df, full_refresh=full_refresh)

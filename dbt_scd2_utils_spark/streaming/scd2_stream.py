@@ -1,0 +1,80 @@
+"""Structured Streaming surface: SCD micro-batch sinks via foreachBatch.
+
+The reference is batch/micro-batch only (SURVEY.md §2.9): each dbt run
+processes one batch, and "late data" is reconciled logically.  The exact
+Spark equivalent is ``foreachBatch`` — each micro-batch flows through the
+SAME ``scd2_incremental`` plan the batch path uses, so streaming and batch
+semantics are identical by construction (no separate state-store logic to
+keep in sync).
+
+The sink keeps the target as parquet with an atomic directory swap
+(write to ``_tmp`` → rename), mirroring the vanilla-merge durability story
+(SURVEY.md §7.3 item 5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.scd2 import scd2_incremental, scd2_initial_load
+from ..plans.config import ScdConfig
+
+
+class Scd2ParquetSink:
+    """Micro-batch SCD2 sink over a parquet directory target."""
+
+    def __init__(self, spark: SparkSession, path: str, cfg: ScdConfig):
+        self.spark = spark
+        self.path = path
+        self.cfg = cfg
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        """Initial load on first batch, incremental merge afterwards, with
+        an atomic tmp-dir swap so readers never see a half-written table."""
+        if batch.isEmpty():
+            return
+        if not self.exists():
+            result = scd2_initial_load(batch, self.cfg)
+        else:
+            result = scd2_incremental(self.read(), batch, self.cfg)
+        tmp = self.path + "__tmp"
+        result.write.mode("overwrite").parquet(tmp)
+        old = self.path + "__old"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self.apply_batch(batch)
+
+
+def scd2_write_stream(
+    stream: DataFrame,
+    path: str,
+    cfg: ScdConfig,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Attach an SCD2 foreachBatch sink to a streaming DataFrame.
+
+    ``available_now=True`` drains everything currently available then stops
+    (the batch-parity mode); pass False for a continuous micro-batch query.
+    """
+    sink = Scd2ParquetSink(stream.sparkSession, path, cfg)
+    writer = stream.writeStream.foreachBatch(sink.foreach_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -36,6 +36,8 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     def cell(v):
         if v is None:
             return "∅"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
