@@ -19,6 +19,7 @@ from .operators.scd01 import (
     scd1_initial_load,
 )
 from .operators.temporal_join import scd2_join
+from .plans.build import ScdTable, scd_build
 from .sources.incremental import high_water_mark, incremental_source
 from .sources.tables import load_table, load_tables
 
@@ -37,6 +38,8 @@ __all__ = [
     "scd1_initial_load",
     "scd1_incremental",
     "scd2_join",
+    "ScdTable",
+    "scd_build",
     "incremental_source",
     "high_water_mark",
     "load_table",

@@ -180,7 +180,9 @@ def q_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:178, is the correctness gate here)."""
     prepare(spark)
     b1, b2 = _split(change_feed(spark, sf_dir))
-    return scd2_incremental(scd2_initial_load(b1, SCD2_CFG), b2, SCD2_CFG)
+    # persist = stand-in for the stored target table a real run reads
+    target = scd2_initial_load(b1, SCD2_CFG).persist()
+    return scd2_incremental(target, b2, SCD2_CFG)
 
 
 def q_scd2_incremental_no_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +191,63 @@ def q_scd2_incremental_no_collapse(spark: SparkSession, sf_dir: str) -> DataFram
     prepare(spark)
     cfg = SCD2_CFG.with_overrides(collapse_redundant_versions=False)
     b1, b2 = _split(change_feed(spark, sf_dir))
-    return scd2_incremental(scd2_initial_load(b1, cfg), b2, cfg)
+    target = scd2_initial_load(b1, cfg).persist()
+    return scd2_incremental(target, b2, cfg)
+
+
+def q_scd2_incremental_update_all_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 temporal pruning path: update_all_previous_records=false only
+    pulls target versions a new event could affect (n.u <= p.valid_to) and
+    never rewrites _change_type (scd_plan.sql:156-187)."""
+    prepare(spark)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cfg = SCD2_CFG.with_overrides(
+            update_all_previous_records=False, collapse_redundant_versions=False
+        )
+        b1, b2 = _split(change_feed(spark, sf_dir))
+        target = scd2_initial_load(b1, cfg).persist()
+        return scd2_incremental(target, b2, cfg)
+
+
+COMPOSITE_FEED_SQL = """
+select l_orderkey, l_partkey, nullif(l_returnflag, 'N') as flag_key,
+       l_quantity, l_extendedprice, l_shipdate as _updated_at
+from lineitem
+"""
+
+COMPOSITE_SPEC = OracleSpec(
+    keys=("l_partkey", "flag_key"),
+    business_cols=(
+        "l_orderkey", "l_partkey", "flag_key", "l_quantity",
+        "l_extendedprice", "_updated_at",
+    ),
+    updated_at="_updated_at",
+    check_cols=("l_orderkey", "l_quantity", "l_extendedprice"),
+    default_valid_to=VALID_TO,
+)
+
+
+def q_scd2_composite_null_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite business key with NULL-bearing component (null-safe hash
+    path, the null_key regression) + deterministic dedup of same-(key,ts)
+    rows with differing content, on the lineitem table."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    feed = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("nullif(l_returnflag, 'N')").alias("flag_key"),
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_shipdate").alias("_updated_at"),
+    )
+    cfg = ScdConfig(
+        unique_key=("l_partkey", "flag_key"), default_valid_to=VALID_TO
+    )
+    return scd2_initial_load(feed, cfg)
 
 
 def q_scd1_initial_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_current_snapshot": q_scd2_current_snapshot,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
+        "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
+        "scd2_composite_null_key": q_scd2_composite_null_key,
         "scd1_initial_load": q_scd1_initial_load,
         "scd1_incremental_merge": q_scd1_incremental_merge,
         "scd0_initial_load": q_scd0_initial_load,
@@ -452,6 +512,12 @@ def oracle_sql() -> dict[str, str]:
         "scd2_incremental_merge": scd2_built,
         "scd2_incremental_no_collapse": scd2_incremental_no_collapse_sql(
             _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC
+        ),
+        "scd2_incremental_update_all_false": scd2_incremental_no_collapse_sql(
+            _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC, update_all=False
+        ),
+        "scd2_composite_null_key": scd2_initial_load_sql(
+            COMPOSITE_FEED_SQL, COMPOSITE_SPEC
         ),
         "scd1_initial_load": scd1_initial_load_sql(FEED01_SQL, SCD01_SPEC),
         "scd1_incremental_merge": scd1_incremental_sql(

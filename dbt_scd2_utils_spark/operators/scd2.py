@@ -213,7 +213,13 @@ def build_scd2_merge_source(
         PRIORITY_COL, F.lit(17)
     )
 
-    prev = previous_records(target, new_records, cfg, check_cols)
+    # S5 single-evaluation: prev is the ONLY subtree that scans the (huge)
+    # target, and it is referenced three times (union, redundant-version
+    # anti-join, inserts anti-join).  Persisting its (small: affected
+    # versions only) output keeps the target scan count at one for the whole
+    # merge-source derivation — the reference gets the same effect from its
+    # materialized temp table (scd_plan.sql:81-83).
+    prev = previous_records(target, new_records, cfg, check_cols).persist()
 
     select_cols = (
         business_cols + [SOURCE_COL, PRIORITY_COL, KEY_COL, HASH_COL]
@@ -304,6 +310,9 @@ def scd2_incremental(
     (non-Delta) path; `scd_build` can shard it with bucketed partitioning.
     """
     source, prev, business_cols = build_scd2_merge_source(target, batch, cfg)
+    # The merge source (delta-sized) feeds both the broadcast join and the
+    # inserts anti-join — persist so its window chain runs once.
+    source = source.persist()
     audit_cols = cfg.audit_columns
     all_cols = business_cols + audit_cols
 

@@ -150,13 +150,17 @@ def scd2_current_snapshot_sql(source_sql: str, s: OracleSpec) -> str:
 
 
 def scd2_incremental_no_collapse_sql(
-    b1_sql: str, b2_sql: str, s: OracleSpec
+    b1_sql: str, b2_sql: str, s: OracleSpec, update_all: bool = True
 ) -> str:
     """Twin of the staged pipeline: target = initial_load(b1), then one
     incremental merge of b2 with collapse_redundant_versions=false
     (≡ get_incremental_scd2_sql.sql keep-previous branch + MERGE without the
-    delete clause).  update_all_previous_records=true, so matched rows update
-    _is_current/_valid_to/_change_type."""
+    delete clause).
+
+    ``update_all=False`` adds the J2 temporal pruning predicate
+    (``n.updated_at <= p.valid_to``) to the previous-record EXISTS and drops
+    ``_change_type`` from the matched-update column set
+    (scd_plan.sql:156-187)."""
     sk_scd2 = surrogate_key_sql(s.scd2_key_cols)
     sk_bkey = surrogate_key_sql(list(s.keys))
     sk_check = surrogate_key_sql(list(s.check_cols))
@@ -164,7 +168,16 @@ def scd2_incremental_no_collapse_sql(
     p_bkey = surrogate_key_sql([f"p.{c}" for c in s.keys])
     p_check = surrogate_key_sql([f"p.{c}" for c in s.check_cols])
     t_scd2 = surrogate_key_sql([f"t.{c}" for c in s.scd2_key_cols])
-    update_cols = {"_is_current", "_valid_to", "_change_type"}
+    update_cols = (
+        {"_is_current", "_valid_to", "_change_type"}
+        if update_all
+        else {"_is_current", "_valid_to"}
+    )
+    prune = (
+        ""
+        if update_all
+        else f"\n    and n.{s.updated_at} <= p._valid_to"
+    )
     all_cols = list(s.business_cols) + [
         "_is_current", "_valid_from", "_valid_to", "_change_type"
     ]
@@ -194,7 +207,7 @@ previous_record as (
   from tgt as p
   where exists (
     select 1 from new_records as n
-    where {p_bkey} = n._scd2_business_key
+    where {p_bkey} = n._scd2_business_key{prune}
   )
 ),
 all_records as (
