@@ -197,6 +197,21 @@ def scd2_invariant_suite(
     return suite
 
 
+def store_failures(
+    suite: dict[str, DataFrame], base_path: str
+) -> dict[str, int]:
+    """Persist each test's violating rows (S9 ``store_failures: true`` —
+    integration_tests/dbt_project.yml:38-40); returns violation counts.
+    Only failing tests write a ``<base_path>/<test_name>`` directory."""
+    counts: dict[str, int] = {}
+    for name, violations in suite.items():
+        n = violations.count()
+        counts[name] = n
+        if n:
+            violations.write.mode("overwrite").parquet(f"{base_path}/{name}")
+    return counts
+
+
 def assert_invariants(df: DataFrame, cfg: ScdConfig) -> None:
     """Raise AssertionError listing every violated invariant (test helper)."""
     failures = {}
