@@ -20,6 +20,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.scd01 import (
     scd0_incremental,
@@ -31,18 +32,35 @@ from ..operators.scd2 import scd2_incremental, scd2_initial_load
 from .config import ScdConfig
 
 
+BUCKET_COL = "_scd_bucket"
+
+
 class ScdTable:
     """An SCD-materialized table over a parquet directory.
 
     At cluster scale the same orchestration targets a catalog table
     (``saveAsTable``) or Delta; the parquet-directory sink keeps round-1
     dependency-free while preserving atomicity (tmp write + rename swap).
+
+    ``partition_buckets=N`` is the 100-TB write path: the table is
+    partitioned by a stable hash bucket of the business key, and an
+    incremental run merges + rewrites ONLY the bucket partitions the batch's
+    keys touch (dynamic partition overwrite) — write amplification drops
+    from O(table) to O(affected buckets), and the unaffected partitions are
+    never read either (partition pruning on the bucket filter).
     """
 
-    def __init__(self, spark: SparkSession, path: str, cfg: ScdConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        cfg: ScdConfig,
+        partition_buckets: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.cfg = cfg.validate()
+        self.partition_buckets = partition_buckets
 
     # -- state ----------------------------------------------------------
 
@@ -50,7 +68,18 @@ class ScdTable:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(self.path)
+        return df.drop(BUCKET_COL) if self.partition_buckets else df
+
+    def _bucket_expr(self, df: DataFrame):
+        # Stable across runs and engines enough for partitioning: md5 of the
+        # null-safe business key, low 15 hex chars → bucket id.
+        from ..functions.hashing import surrogate_key
+
+        return (
+            F.conv(F.substring(surrogate_key(list(self.cfg.unique_key)), 1, 15), 16, 10)
+            .cast("long") % self.partition_buckets
+        ).cast("int")
 
     # -- lifecycle ------------------------------------------------------
 
@@ -64,6 +93,11 @@ class ScdTable:
         cfg.validate_against_schema(model_df.columns)
 
         initial = full_refresh or not self.exists()
+        if self.partition_buckets and not initial and cfg.scd_type == 2:
+            result = self._build_bucketed_incremental(model_df)
+            model_df.unpersist()
+            return self.read()
+
         if cfg.scd_type == 2:
             if initial:
                 result = scd2_initial_load(model_df, cfg)
@@ -84,9 +118,40 @@ class ScdTable:
         model_df.unpersist()  # S8: drop the temp relation
         return self.read()
 
+    def _build_bucketed_incremental(self, batch: DataFrame) -> None:
+        """Merge only the bucket partitions the batch touches, rewrite only
+        those partitions (dynamic partition overwrite)."""
+        affected = [
+            r[0]
+            for r in batch.select(self._bucket_expr(batch).alias("b")).distinct().collect()
+        ]
+        target_slice = (
+            self.spark.read.parquet(self.path)
+            .filter(F.col(BUCKET_COL).isin(affected))  # partition pruning
+            .drop(BUCKET_COL)
+        )
+        merged = scd2_incremental(target_slice, batch, self.cfg)
+        # Materialize BEFORE overwriting: the write targets the same path the
+        # merge plan reads from; without this barrier a task retry after
+        # partition commit could read already-deleted files.
+        merged = merged.persist()
+        merged.count()
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )
+        self.spark.catalog.refreshByPath(self.path)
+
     def _atomic_write(self, df: DataFrame) -> None:
         tmp = self.path + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if self.partition_buckets:
+            df = df.withColumn(BUCKET_COL, self._bucket_expr(df))
+            writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
+        writer.parquet(tmp)
         old = self.path + "__old"
         if os.path.exists(self.path):
             os.rename(self.path, old)
