@@ -80,6 +80,29 @@ def _dedup_order(
     return order or [F.lit(1).asc()]
 
 
+def _dedup_first_per_version(
+    df: DataFrame, cfg: ScdConfig, business_cols: Sequence[str], with_priority: bool
+) -> DataFrame:
+    """One row per (business key, updated_at): the first row of each
+    updated_at-group under the deterministic tiebreak order, computed inside
+    the key-partitioned window (shares the audit chain's single shuffle).
+
+    Equivalent to ``row_number() over (partition by _scd2_key order by
+    <priority, values>) = 1`` (W6) because ``_scd2_key`` ≡ (key, updated_at).
+    """
+    u = F.col(cfg.updated_at_column)
+    w = Window.partitionBy(*cfg.unique_key).orderBy(
+        u.asc_nulls_last(),
+        *_dedup_order(df, cfg, business_cols, with_priority=with_priority),
+    )
+    prev_u = F.lag(u).over(w)
+    return (
+        df.withColumn("_is_dup", prev_u.eqNullSafe(u))
+        .filter(~F.col("_is_dup"))
+        .drop("_is_dup")
+    )
+
+
 def _with_hashes(
     df: DataFrame, cfg: ScdConfig, check_cols: Sequence[str], business_key: bool
 ) -> DataFrame:
@@ -131,14 +154,14 @@ def scd2_initial_load(df: DataFrame, cfg: ScdConfig) -> DataFrame:
         df.select(*business_cols), cfg, check_cols, business_key=False
     )
 
-    # pick_a_key_any_key (deterministic deviation documented above)
-    rn = F.row_number().over(
-        Window.partitionBy(KEY_COL).orderBy(
-            *_dedup_order(source_data, cfg, business_cols, with_priority=False)
-        )
-    )
-    deduped = (
-        source_data.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    # pick_a_key_any_key (deterministic deviation documented above).
+    # Partitioned by the BUSINESS key (not _scd2_key) so this dedup shares
+    # one shuffle with the whole downstream window chain: within the key
+    # partition, rows sort by (updated_at, tiebreak) and the first row of
+    # each updated_at-group survives — identical survivor to a per-_scd2_key
+    # row_number, one Exchange less.
+    deduped = _dedup_first_per_version(
+        source_data, cfg, business_cols, with_priority=False
     )
 
     # compare_versions + changes_only
@@ -228,13 +251,11 @@ def build_scd2_merge_source(
         prev.select(*select_cols)
     )
 
-    # pick_a_key_any_key — previous wins (priority 0 < 17), then values.
-    rn = F.row_number().over(
-        Window.partitionBy(KEY_COL).orderBy(
-            *_dedup_order(all_records, cfg, business_cols, with_priority=True)
-        )
+    # pick_a_key_any_key — previous wins (priority 0 < 17), then values;
+    # key-partitioned so it shares the window chain's shuffle.
+    deduped = _dedup_first_per_version(
+        all_records, cfg, business_cols, with_priority=True
     )
-    deduped = all_records.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
 
     # compare_versions: lag hash + conditional_change_event run ids.
     w = key_window(cfg.unique_key, u)
