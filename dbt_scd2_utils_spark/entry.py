@@ -314,6 +314,43 @@ def q_incremental_source_watermark(spark: SparkSession, sf_dir: str) -> DataFram
     return events.filter(F.col("ts") > F.lit(hwm))
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON attribute extraction from the events props column (scalar-function
+    surface beyond the reference's — SURVEY.md §2.8 notes the reference has
+    none; a real pipeline needs it)."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    )
+
+
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily rollup per event type (batch twin of the streaming
+    windowed-agg surface).  The value sum goes through DECIMAL so it is
+    accumulation-order independent (double sums differ across engines)."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
 def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
@@ -474,6 +511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd0_incremental_merge": q_scd0_incremental_merge,
         "scd2_temporal_join": q_scd2_temporal_join,
         "incremental_source_watermark": q_incremental_source_watermark,
+        "events_json_extract": q_events_json_extract,
+        "events_daily_rollup": q_events_daily_rollup,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
@@ -541,6 +580,22 @@ def oracle_sql() -> dict[str, str]:
                 select coalesce(max(ts), timestamp '1900-01-01 00:00:00')
                 from events where ts <= timestamp '{SPLIT}'
             )
+        """,
+        "events_json_extract": """
+            select event_id, user_id, event_type,
+                   cast(json_extract_string(props, '$.k') as bigint) as prop_k
+            from events
+        """,
+        "events_daily_rollup": """
+            select cast(date_trunc('day', ts) as timestamp) as day,
+                   event_type,
+                   count(*) as n_events,
+                   count(distinct user_id) as n_users,
+                   cast(sum(cast(value as decimal(18,2))) as double) as sum_value,
+                   min(value) as min_value,
+                   max(value) as max_value
+            from events
+            group by 1, 2
         """,
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
