@@ -289,7 +289,12 @@ def _view_purchase_rels(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         F.col("props").alias("purch_props"),
         F.col("ts").alias("_updated_at"),
     )
-    return [scd2_initial_load(view, cfg), scd2_initial_load(purch, cfg)]
+    # persisted: each relation feeds BOTH the spine union and its
+    # containment join (stored SCD2 tables in a real deployment)
+    return [
+        scd2_initial_load(view, cfg).persist(),
+        scd2_initial_load(purch, cfg).persist(),
+    ]
 
 
 def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +364,8 @@ def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_invariant_no_validity_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
+    # persisted: both sides of the self theta-join read the built table
+    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
     return no_validity_overlaps(built, ["user_id"])
 
 

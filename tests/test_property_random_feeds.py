@@ -1,0 +1,120 @@
+"""Property-style tests over seeded-random change feeds (beyond the
+reference's test strategy, SURVEY.md §5: it has no randomized generation).
+
+For each seed: generate a messy feed (duplicates, in-batch multi-versions,
+soft deletes, resurrections, NULL key components, identical-content repeats),
+split it into 3 arbitrary batches (NOT time-ordered → out-of-order arrivals),
+run initial + 2 incremental merges, and assert after every step:
+  * all SCD2 invariants hold;
+  * final state == full refresh over the union (the collapse equivalence).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark import ScdConfig, scd2_incremental, scd2_initial_load
+from dbt_scd2_utils_spark.operators.invariants import assert_invariants
+
+SCHEMA = (
+    "k1 int, k2 string, payload string, amount double, "
+    "deleted_at timestamp, _updated_at timestamp"
+)
+
+CFG = ScdConfig(
+    unique_key=("k1", "k2"),
+    deleted_at_column="deleted_at",
+    default_valid_to="2200-01-01 00:00:00",
+)
+
+
+def gen_feed(seed: int, n: int = 240) -> list[tuple]:
+    """Messy but contract-respecting feed: content is a deterministic
+    function of (key, updated_at).  Same-(key, ts) rows with DIFFERENT
+    content are out of contract — there the reference itself is arbitrary
+    (`order by 1` dedup) and incremental≡full-refresh does not hold (the
+    incremental path keeps the persisted version, a full refresh picks by
+    value order).  The reference's dedup comment states the assumption:
+    "Why would something have changed but not produced a new updated_at?"."""
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for _ in range(n):
+        k1 = rng.randint(1, 12)
+        k2 = rng.choice(["A", "B", None])  # NULL key component
+        ts = base + timedelta(minutes=rng.randint(0, 5000))
+        # content = f(key, ts): stable across duplicate emissions
+        h = hash((k1, k2, ts.toordinal(), ts.minute + ts.hour * 60, seed))
+        deleted = ts if h % 8 == 0 else None  # soft delete (deleted_at = ts)
+        payload = [None, "p1", "p2", "p3"][h % 4]
+        amount = [None, 1.5, 2.25, 10.0][(h >> 2) % 4]
+        row = (k1, k2, payload, amount, deleted, ts)
+        rows.append(row)
+        if rng.random() < 0.2:  # exact duplicate
+            rows.append(row)
+    return rows
+
+
+def chronological_batches(rows: list[tuple], seed: int) -> list[list[tuple]]:
+    """Split by event-time terciles (the reference's sequence-test shape):
+    each batch is shuffled internally (in-batch disorder), and a sample of
+    OLDER rows is re-delivered in later batches (identical-content backfills
+    — the collapse_redundant_versions path)."""
+    rng = random.Random(seed * 31)
+    rows = sorted(rows, key=lambda r: r[5])
+    n = len(rows)
+    batches = [rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]
+    # identical-content re-deliveries of older events
+    for i in (1, 2):
+        batches[i] = batches[i] + rng.sample(batches[i - 1], k=5)
+        rng.shuffle(batches[i])
+    return batches
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+def test_random_feed_invariants_and_equivalence(spark, seed):
+    """Equivalence boundary (verified, shared with the reference): incremental
+    == full refresh requires chronological batch splits.  If a batch inserts
+    a NEW version between two already-collapsed identical versions, the
+    collapsed row exists only in the source — a full refresh resurrects it
+    but no incremental run can (the reference's changes_only dropped it from
+    the only persisted copy too).  Within-batch disorder and identical-content
+    re-delivery ARE covered below."""
+    rows = gen_feed(seed)
+    batches = chronological_batches(rows, seed)
+
+    dfs = [spark.createDataFrame(b, SCHEMA) for b in batches]
+    state = scd2_initial_load(dfs[0], CFG)
+    assert_invariants(state, CFG)
+    for df in dfs[1:]:
+        state = spark.createDataFrame(state.collect(), state.schema)
+        state = scd2_incremental(state, df, CFG)
+        assert_invariants(state, CFG)
+
+    full = scd2_initial_load(
+        dfs[0].unionByName(dfs[1]).unionByName(dfs[2]), CFG
+    )
+    diff = state.exceptAll(full).count() + full.exceptAll(state).count()
+    assert diff == 0, f"incremental != full refresh for seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_non_chronological_split_keeps_invariants(spark, seed):
+    """Arbitrary (non-chronological) splits void the full-refresh equivalence
+    (see above) but every SCD2 invariant must STILL hold after each merge."""
+    rows = gen_feed(seed)
+    rng = random.Random(seed * 31)
+    batches: list[list[tuple]] = [[], [], []]
+    for r in rows:
+        batches[rng.randint(0, 2)].append(r)
+    dfs = [spark.createDataFrame(b, SCHEMA) for b in batches]
+    state = scd2_initial_load(dfs[0], CFG)
+    assert_invariants(state, CFG)
+    for df in dfs[1:]:
+        state = spark.createDataFrame(state.collect(), state.schema)
+        state = scd2_incremental(state, df, CFG)
+        assert_invariants(state, CFG)
