@@ -26,9 +26,12 @@ BENCH_QUERIES = [
     "scd2_incremental_no_collapse",
     "scd1_initial_load",
     "scd0_initial_load",
+    "scd2_composite_null_key",
     "scd2_temporal_join",
     "incremental_source_watermark",
     "invariant_one_current_per_key",
+    "events_daily_rollup",
+    "events_json_extract",
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -31,6 +31,15 @@ def get_spark(app_name: str = "dbt_scd2_utils_spark", cpus: int | None = None) -
 
 def prepare(spark: SparkSession) -> SparkSession:
     """Make an externally-provided session safe for the engine: UTC session
-    timezone (instant-comparison parity with the reference's timestamp_tz)."""
+    timezone (instant-comparison parity with the reference's timestamp_tz),
+    AQE on, and a local-scale shuffle partition count (the external default
+    of 200 just adds scheduling overhead at test scale — on a real cluster
+    the caller sizes this to data volume)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark
