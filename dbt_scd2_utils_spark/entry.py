@@ -42,6 +42,8 @@ from .operators.similarity import (
     brute_force_topk_sql,
     embedding_cosine_dedup,
     embedding_cosine_dedup_sql,
+    ivf_ann_topk,
+    ivf_ann_topk_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
 )
@@ -492,6 +494,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
@@ -532,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -638,6 +647,11 @@ def oracle_sql() -> dict[str, str]:
             k=5,
         ),
         "ann_lsh_topk": lsh_ann_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            k=5,
+        ),
+        "ann_ivf_topk": ivf_ann_topk_sql(
             "select * from embeddings",
             "select * from embeddings where vec_id < 8",
             k=5,

@@ -230,6 +230,132 @@ where rank <= {k}
 """
 
 
+def ivf_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: tuple[int, ...] = tuple(range(0, 480, 30)),
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into inverted lists by nearest
+    centroid; a query exact-ranks only its ``nprobe`` closest cells.
+
+    Centroids are corpus vectors with fixed ids (deterministic, no k-means
+    dependency — swap in trained centroids at deployment without changing
+    the plan shape).  Scale shape: assignment is a broadcast join against
+    the small centroid set; the probe join is an equi-join on cell id —
+    work ∝ probed cell sizes, not corpus size.
+    """
+    cents = df.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cv")
+    )
+
+    def assign(side: DataFrame, id_alias: str, out_vec: str, n: int) -> DataFrame:
+        """n nearest centroids per vector (cosine, id tiebreak)."""
+        scored = side.join(F.broadcast(cents)).select(
+            F.col(id_alias),
+            F.col(out_vec),
+            "cent_id",
+            F.round(cosine(F.col(out_vec), F.col("cv")), 6).alias("csim"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("csim", "crank")
+        )
+
+    corpus = assign(
+        df.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("nv")),
+        "neighbor_id", "nv", 1,
+    )
+    probes = assign(
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")),
+        "query_id", "qv", nprobe,
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (corpus["cent_id"] == probes["cent_id"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def ivf_ann_topk_sql(
+    source_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: tuple[int, ...] = tuple(range(0, 480, 30)),
+    nprobe: int = 2,
+) -> str:
+    ids = ", ".join(str(i) for i in centroid_ids)
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+with cents as (
+  select {id_col} as cent_id, cast({vec_col} as double[]) as cv
+  from ({source_sql}) where {id_col} in ({ids})
+),
+corpus as (
+  select neighbor_id, nv, cent_id from (
+    select c.{id_col} as neighbor_id, cast(c.{vec_col} as double[]) as nv,
+           ce.cent_id,
+           row_number() over (
+             partition by c.{id_col}
+             order by {cos.format(a=f"cast(c.{vec_col} as double[])", b="ce.cv")} desc,
+                      ce.cent_id asc
+           ) as crank
+    from ({source_sql}) c cross join cents ce
+  ) where crank <= 1
+),
+probes as (
+  select query_id, qv, cent_id from (
+    select q.{id_col} as query_id, cast(q.{vec_col} as double[]) as qv,
+           ce.cent_id,
+           row_number() over (
+             partition by q.{id_col}
+             order by {cos.format(a=f"cast(q.{vec_col} as double[])", b="ce.cv")} desc,
+                      ce.cent_id asc
+           ) as crank
+    from ({queries_sql}) q cross join cents ce
+  ) where crank <= {nprobe}
+),
+scored as (
+  select distinct p.query_id, c.neighbor_id,
+    {cos.format(a="p.qv", b="c.nv")} as cosine_sim
+  from corpus c join probes p
+    on c.cent_id = p.cent_id and p.query_id != c.neighbor_id
+)
+select query_id, rank, neighbor_id, cosine_sim
+from (
+  select *, row_number() over (
+      partition by query_id order by cosine_sim desc, neighbor_id asc
+  ) as rank
+  from scored
+)
+where rank <= {k}
+"""
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     threshold: float = 0.95,
