@@ -18,7 +18,7 @@ key; exact verification touches candidate pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import TOKEN_SPLIT
@@ -32,16 +32,20 @@ def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Hash-groupBy exact dedup: one survivor (min id) per distinct content,
-    with the duplicate count.  One shuffle on the content hash."""
+    with the duplicate count.
+
+    groupBy (not a window): partial aggregation combines map-side, so a
+    pathologically duplicated document (millions of copies of one text at
+    corpus scale) reduces before the shuffle instead of collapsing into one
+    hot window partition."""
     h = F.md5(F.col(text_col))
-    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
     return (
         df.select(F.col(id_col), h.alias("content_hash"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "dup_count", F.count(F.lit(1)).over(Window.partitionBy("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
         )
-        .filter(F.col("rn") == 1)
         .select(id_col, "content_hash", "dup_count")
     )
 
