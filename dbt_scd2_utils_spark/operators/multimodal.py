@@ -101,21 +101,47 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=DECODED_SCHEMA)
 
 
-def decode_media_sql(source_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+def decode_media_scalars(media: DataFrame) -> DataFrame:
+    """Driver-facing projection of :func:`decode_media`: the feature vector
+    flattened to ``feat_0..feat_3`` double columns.  Value-hash harnesses
+    (pandas ``sort_values`` canonicalizers) cannot hash list cells, so the
+    correctness-gated query emits scalars; library users keep the
+    array-typed :func:`decode_media`."""
+    out = decode_media(media)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "width",
+        "height",
+        *[F.col("features")[i].alias(f"feat_{i}") for i in range(4)],
+    )
+
+
+def decode_media_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scalars: bool = False,
+) -> str:
     """Oracle twin of attach_binary_payload → decode_media (possible only
-    because the stub is md5-deterministic)."""
+    because the stub is md5-deterministic).  ``scalars=True`` mirrors
+    :func:`decode_media_scalars` (feat_i columns instead of the array)."""
     h = f"md5({text_col})"
     seg = lambda a, b: f"cast(concat('0x', substring({h}, {a + 1}, {b - a})) as bigint)"  # noqa: E731
-    feats = ", ".join(
+    feat = lambda i: (  # noqa: E731
         f"round(cast({seg(8 + 4 * i, 12 + 4 * i)} as double) / 65535.0, 6)"
-        for i in range(4)
     )
+    if scalars:
+        feats = ",\n  ".join(f"{feat(i)} as feat_{i}" for i in range(4))
+    else:
+        feats = "[" + ", ".join(feat(i) for i in range(4)) + "] as features"
     return f"""
 select cast({id_col} as bigint) as doc_id,
   'image/fake' as media_type,
   cast(length({text_col}) as int) as byte_len,
   cast(64 + {seg(0, 4)} % 192 as int) as width,
   cast(64 + {seg(4, 8)} % 192 as int) as height,
-  [{feats}] as features
+  {feats}
 from ({source_sql})
 """

@@ -96,8 +96,15 @@ def _dedup_first_per_version(
         *_dedup_order(df, cfg, business_cols, with_priority=with_priority),
     )
     prev_u = F.lag(u).over(w)
+    # lag(u) is NULL both for "no previous row" and "previous row with NULL
+    # updated_at"; the marker disambiguates so a key whose updated_at values
+    # are all NULL still keeps its first row (the reference's
+    # row_number()=1 per _scd2_key keeps one row for such keys too).
+    prev_marker = F.lag(F.lit(1)).over(w)
     return (
-        df.withColumn("_is_dup", prev_u.eqNullSafe(u))
+        df.withColumn(
+            "_is_dup", prev_marker.isNotNull() & prev_u.eqNullSafe(u)
+        )
         .filter(~F.col("_is_dup"))
         .drop("_is_dup")
     )

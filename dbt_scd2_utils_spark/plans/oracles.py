@@ -35,6 +35,7 @@ class OracleSpec:
     check_cols: Sequence[str]
     created_at: str | None = None
     deleted_at: str | None = None
+    loaded_at: str = "_loaded_at"
     default_valid_to: str = "2999-12-31 23:59:59"
 
     @property
@@ -50,14 +51,18 @@ class OracleSpec:
         return ", ".join(self.business_cols)
 
     def dedup_order(self, with_priority: bool) -> str:
-        """Mirror of operators.scd2._dedup_order: priority, then business
-        values (minus updated_at), NULLS LAST."""
+        """Mirror of operators.scd2._dedup_order: priority, then the
+        loaded-at watermark when the feed carries one, then business values
+        (minus updated_at), NULLS LAST."""
         parts = ["_priority asc"] if with_priority else []
-        parts += [
-            f"{c} asc nulls last"
-            for c in self.business_cols
+        cols = [
+            c for c in self.business_cols
             if c.lower() != self.updated_at.lower()
         ]
+        if self.loaded_at.lower() in {c.lower() for c in cols}:
+            parts.append(f"{self.loaded_at} asc nulls last")
+            cols = [c for c in cols if c.lower() != self.loaded_at.lower()]
+        parts += [f"{c} asc nulls last" for c in cols]
         return ", ".join(parts) or "1"
 
     # ---- audit column SQL (mirror of functions/audit.py) ------------------

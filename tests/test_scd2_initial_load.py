@@ -14,6 +14,7 @@ from tests.fixtures.seeds import (
     BORN_DELETED_SCHEMA,
     CUSTOMERS_RAW,
     CUSTOMERS_SCHEMA,
+    TS,
 )
 
 CFG = ScdConfig(unique_key=("customer_id",), deleted_at_column="deleted_at")
@@ -118,3 +119,22 @@ def test_audit_schema(spark):
     assert dtypes["_valid_from"] == "timestamp"
     assert dtypes["_valid_to"] == "timestamp"
     assert dtypes["_change_type"] == "string"
+
+
+def test_initial_load_all_null_updated_at_keeps_one_row(spark):
+    """A key whose updated_at values are ALL NULL must survive the dedup with
+    exactly one row (the reference's row_number()=1 per _scd2_key keeps one;
+    a lag-only dup test silently dropped the whole key — ADVICE r1)."""
+    rows = [
+        (50, "Null Nora", "nora@x.com", "ACTIVE", None, None),
+        (50, "Null Nora", "nora@alt.com", "ACTIVE", None, None),
+        (1, "Alice", "alice@x.com", "ACTIVE", None, TS("2024-01-01 09:00:00")),
+    ]
+    df = spark.createDataFrame(rows, CUSTOMERS_SCHEMA)
+    out = scd2_initial_load(df, CFG)
+    got = rows_by_key(out, "customer_id")
+    assert [r["customer_id"] for r in got] == [1, 50]
+    key50 = [r for r in got if r["customer_id"] == 50]
+    assert len(key50) == 1
+    # deterministic tiebreak: smallest business values survive
+    assert key50[0]["email"] == "nora@alt.com"
