@@ -65,7 +65,7 @@ def _scd01_audit(df: DataFrame, cfg: ScdConfig, business_cols: Sequence[str]) ->
 
 
 def _initial_load(df: DataFrame, cfg: ScdConfig, latest: bool) -> DataFrame:
-    cfg.validate().validate_against_schema(df.columns)
+    cfg.validate().validate_against_schema(df.schema)
     business_cols = cfg.business_columns(df.columns)
     deduped = _dedup_latest_or_earliest(
         df.select(*business_cols), cfg, business_cols, latest=latest
@@ -98,7 +98,7 @@ def scd1_incremental(
     """SCD1 merge: matched → overwrite business (non-key) columns, keep audit
     columns untouched (first-seen _valid_from survives); not matched → insert."""
     cfg = cfg.with_overrides(scd_type=1)
-    cfg.validate().validate_against_schema(batch.columns)
+    cfg.validate().validate_against_schema(batch.schema)
     business_cols = cfg.business_columns(batch.columns)
     source = _scd01_audit(
         _dedup_latest_or_earliest(
@@ -119,7 +119,7 @@ def scd0_incremental(
 ) -> DataFrame:
     """SCD0 merge: insert-only — existing keys retained untouched."""
     cfg = cfg.with_overrides(scd_type=0)
-    cfg.validate().validate_against_schema(batch.columns)
+    cfg.validate().validate_against_schema(batch.schema)
     business_cols = cfg.business_columns(batch.columns)
     source = _scd01_audit(
         _dedup_latest_or_earliest(

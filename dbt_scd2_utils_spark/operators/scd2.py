@@ -153,7 +153,7 @@ def scd2_initial_load(df: DataFrame, cfg: ScdConfig) -> DataFrame:
     content hash equals the previous version's → derive audit columns.
     All windows share ``partitionBy(unique_key)`` → a single shuffle.
     """
-    cfg.validate().validate_against_schema(df.columns)
+    cfg.validate().validate_against_schema(df.schema)
     business_cols = cfg.business_columns(df.columns)
     check_cols = cfg.check_columns(df.columns)
 
@@ -232,7 +232,7 @@ def build_scd2_merge_source(
     business+audit columns plus ``_scd2_op`` ('upsert'/'delete') and
     ``_scd2_key``.
     """
-    cfg.validate().validate_against_schema(batch.columns)
+    cfg.validate().validate_against_schema(batch.schema)
     business_cols = cfg.business_columns(batch.columns)
     check_cols = cfg.check_columns(batch.columns)
     u = cfg.updated_at_column

@@ -90,7 +90,7 @@ class ScdTable:
         # references the batch multiple times (new_records, dedup, redundant
         # check), exactly why the reference materializes it once.
         model_df = model_df.cache()
-        cfg.validate_against_schema(model_df.columns)
+        cfg.validate_against_schema(model_df.schema)
 
         initial = full_refresh or not self.exists()
         if self.partition_buckets and not initial and cfg.scd_type == 2:
@@ -120,7 +120,19 @@ class ScdTable:
 
     def _build_bucketed_incremental(self, batch: DataFrame) -> None:
         """Merge only the bucket partitions the batch touches, rewrite only
-        those partitions (dynamic partition overwrite)."""
+        those partitions.
+
+        Durability: the merged slice is first written to a STAGING directory
+        (a durable barrier — the merge plan reads the live table, so its
+        output must be fully on disk before any live file is deleted; a
+        cache/persist barrier is only best-effort and recomputes against
+        deleted files on eviction or executor loss).  Each affected bucket
+        partition is then swapped in with an atomic directory rename, the
+        same story as ``_atomic_write``.  A crash mid-swap leaves every
+        partition wholly old or wholly new, never partially rewritten; on an
+        object store this rename protocol would be replaced by a table
+        format's commit (Delta/Iceberg), same as ``_atomic_write``.
+        """
         affected = [
             r[0]
             for r in batch.select(self._bucket_expr(batch).alias("b")).distinct().collect()
@@ -131,18 +143,26 @@ class ScdTable:
             .drop(BUCKET_COL)
         )
         merged = scd2_incremental(target_slice, batch, self.cfg)
-        # Materialize BEFORE overwriting: the write targets the same path the
-        # merge plan reads from; without this barrier a task retry after
-        # partition commit could read already-deleted files.
-        merged = merged.persist()
-        merged.count()
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        stage = self.path + "__stage"
         (
             merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(self.path)
+            .parquet(stage)
         )
+        # Staging is durable; now swap each affected partition directory.
+        for b in affected:
+            part = f"{BUCKET_COL}={b}"
+            src = os.path.join(stage, part)
+            dst = os.path.join(self.path, part)
+            old = dst + "__old"
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            # else: the merge emptied this bucket — leave it deleted.
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
         self.spark.catalog.refreshByPath(self.path)
 
     def _atomic_write(self, df: DataFrame) -> None:

@@ -148,10 +148,28 @@ class ScdConfig:
                 )
         return self
 
-    def validate_against_schema(self, columns: Sequence[str]) -> "ScdConfig":
+    def validate_against_schema(self, columns) -> "ScdConfig":
         """Column-existence checks against the model output schema
-        (scd_plan.sql:90-102) + DATE-typed updated_at warning is done by the
-        operator (it has the dtype)."""
+        (scd_plan.sql:90-102).  Accepts a plain name sequence or a
+        ``StructType``; with a StructType the DATE-typed updated_at warning
+        (scd_plan.sql:224-238) is emitted too."""
+        fields = getattr(columns, "fields", None)
+        if fields is not None:
+            for f in fields:
+                if f.name.upper() == self.updated_at_column.upper():
+                    t = f.dataType.typeName().upper()
+                    if "DATE" in t and "TIME" not in t:
+                        warnings.warn(
+                            f"Column '{self.updated_at_column}' has type "
+                            f"'{t}' which is a DATE type.\nSCD2 logic works "
+                            "best with TIMESTAMP types for precise change "
+                            "tracking.\nConsider using a TIMESTAMP column "
+                            "for more accurate validity windows.\n"
+                            "Undocumented behavior may occur when using "
+                            "DATE types.",
+                            stacklevel=2,
+                        )
+            columns = [f.name for f in fields]
         upper = [c.upper() for c in columns]
         for setting_name, setting_value in (
             ("created_at_column", self.created_at_column),

@@ -49,3 +49,32 @@ def test_configured_column_not_in_model(spark):
     cfg = ScdConfig(unique_key=("customer_id",), created_at_column="nope")
     with pytest.raises(ScdConfigError, match="is configured but is not a column produced by"):
         scd2_initial_load(df, cfg)
+
+
+def test_date_typed_updated_at_warns(spark):
+    """scd_plan.sql:224-238: a DATE-typed updated_at column must emit the
+    reference's warning (the negative-test script greps for it)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.col("id").alias("customer_id"),
+        F.lit("x").alias("status"),
+        F.current_date().alias("_updated_at"),
+    )
+    cfg = ScdConfig(unique_key=("customer_id",))
+    with pytest.warns(UserWarning, match="which is a DATE type"):
+        cfg.validate_against_schema(df.schema)
+
+
+def test_timestamp_updated_at_does_not_warn(spark):
+    import warnings as w
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.col("id").alias("customer_id"),
+        F.current_timestamp().alias("_updated_at"),
+    )
+    cfg = ScdConfig(unique_key=("customer_id",))
+    with w.catch_warnings():
+        w.simplefilter("error")
+        cfg.validate_against_schema(df.schema)
