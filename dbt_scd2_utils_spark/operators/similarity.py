@@ -109,8 +109,16 @@ where rank <= {k}
 
 
 # ---------------------------------------------------------------------------
-# Hyperplane LSH (scale path)
+# Banded hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------
+#
+# b bands × r planes (sign-LSH analogue of minhash banding): each vector gets
+# b independent r-bit signatures; candidates are pairs agreeing on ANY band
+# (OR-amplification).  Bucket granularity is 2^r PER BAND, so candidate-set
+# size stays ∝ corpus/2^r as the corpus grows (the single-band design's 2^p
+# total buckets meant bucket size — and the verify join — grew linearly with
+# the corpus), and recall at a given cosine is tuned by b independently of
+# granularity: P(candidate) = 1-(1-p^r)^b with p = 1 - θ/π.
 
 
 def hyperplanes(dims: int, planes: int, seed: str = "ann") -> list[list[float]]:
@@ -126,11 +134,25 @@ def hyperplanes(dims: int, planes: int, seed: str = "ann") -> list[list[float]]:
     return out
 
 
+def banded_hyperplanes(
+    dims: int, bands: int, rows_per_band: int, seed: str = "ann"
+) -> list[list[list[float]]]:
+    """``bands`` disjoint groups of ``rows_per_band`` hyperplanes."""
+    hp = hyperplanes(dims, bands * rows_per_band, seed)
+    return [hp[b * rows_per_band : (b + 1) * rows_per_band] for b in range(bands)]
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket signature: one bit per hyperplane."""
     bits = []
     for i, plane in enumerate(planes):
-        lit = F.array(*[F.lit(c) for c in plane])
+        # A constant array literal, built with ONE py4j round trip per plane
+        # (F.lit(list) converts element-by-element: ~40ms/plane of driver
+        # time; F.array(*lits) additionally re-materializes the array per
+        # ROW — measured 11× slower at execution).
+        lit = F.expr(
+            "array(" + ", ".join(repr(c) + "D" for c in plane) + ")"
+        )
         bits.append(F.when(_dot(vec, lit) >= 0, F.lit(2**i)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
@@ -148,37 +170,96 @@ def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     return "cast(" + " + ".join(parts) + " as int)"
 
 
+def _parallelize_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has far fewer partitions
+    than the cluster has slots (the single-parquet-file local case): the
+    signature projection is CPU-heavy and would otherwise run on one core.
+    At scale the input is already well-partitioned and this is a no-op —
+    no unconditional shuffle of a 100-TB corpus."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() * 2 < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
+def _banded(
+    df: DataFrame, id_alias: str, vec_alias: str,
+    id_col: str, vec_col: str, bhp: list[list[list[float]]],
+    parallelize: bool = True,
+) -> DataFrame:
+    """One row per (vector, band): (id, vec, nrm, band, sig).  The signature
+    array and the vector norm are computed once per input row, then
+    posexploded — a narrow generator, no re-scan per band; downstream cosine
+    verification reuses ``nrm`` instead of recomputing norms per pair.
+    ``parallelize=False`` skips the small-input repartition (use for a
+    broadcast-bound query side: the extra shuffle costs more than the
+    single-core signature pass saves)."""
+    v = as_double(vec_col)
+    sigs = F.array(*[lsh_bucket(v, band) for band in bhp])
+    src = _parallelize_narrow(df) if parallelize else df
+    return src.select(
+        F.col(id_col).alias(id_alias),
+        v.alias(vec_alias),
+        F.sqrt(_dot(v, v)).alias(f"{vec_alias}_nrm"),
+        F.posexplode(sigs).alias("band", "sig"),
+    )
+
+
+def _banded_sql(
+    source_sql: str, id_alias: str, vec_alias: str,
+    id_col: str, vec_col: str, bhp: list[list[list[float]]],
+) -> str:
+    """Oracle twin of _banded: one SELECT per band, unioned."""
+    vec = f"cast({vec_col} as double[])"
+    selects = [
+        f"select {id_col} as {id_alias}, {vec} as {vec_alias}, "
+        f"sqrt(list_dot_product({vec}, {vec})) as {vec_alias}_nrm, "
+        f"{i} as band, {lsh_bucket_sql(vec, band)} as sig from ({source_sql})"
+        for i, band in enumerate(bhp)
+    ]
+    return "\nunion all\n".join(selects)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 8,
     dims: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact ranking within the query's LSH bucket only.
+    """Approximate top-k: exact ranking over the union of the query's
+    per-band bucket collisions.
 
-    The corpus is bucketed once (a narrow projection) and the join is an
-    equi-join on the bucket signature — work ∝ bucket size, not corpus size.
-    """
-    hp = hyperplanes(dims, planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("qv"),
-        lsh_bucket(as_double(vec_col), hp).alias("bucket"),
-    )
-    c = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-        lsh_bucket(as_double(vec_col), hp).alias("bucket"),
-    )
-    scored = c.join(
-        F.broadcast(q), (q.bucket == c.bucket) & (F.col("query_id") != F.col("neighbor_id"))
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    Physical shape: both sides carry (band, sig) rows; the candidate join is
+    an equi-join on (band, sig) with the (small) query side broadcast —
+    work ∝ Σ per-band bucket sizes, never corpus².  Duplicate candidates
+    from multi-band collisions collapse via distinct on the scored triple
+    (the score is deterministic, so duplicates are exact)."""
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    q = _banded(queries, "query_id", "qv", id_col, vec_col, bhp, parallelize=False)
+    c = _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (q.band == c.band) & (q.sig == c.sig)
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qv_nrm") * F.col("cv_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -196,28 +277,23 @@ def lsh_ann_topk_sql(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 8,
     dims: int = 64,
 ) -> str:
-    hp = hyperplanes(dims, planes)
-    bucket = lsh_bucket_sql("cast(%s as double[])" % vec_col, hp)
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
     return f"""
-with q as (
-  select {id_col} as query_id, cast({vec_col} as double[]) as qv,
-         {bucket} as bucket
-  from ({queries_sql})
+with qb as (
+{_banded_sql(queries_sql, "query_id", "qv", id_col, vec_col, bhp)}
 ),
-c as (
-  select {id_col} as neighbor_id, cast({vec_col} as double[]) as cv,
-         {bucket} as bucket
-  from ({source_sql})
+cb as (
+{_banded_sql(source_sql, "neighbor_id", "cv", id_col, vec_col, bhp)}
 ),
 scored as (
-  select query_id, neighbor_id,
-    round(list_dot_product(qv, cv) /
-          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
-      as cosine_sim
-  from c join q on q.bucket = c.bucket and query_id != neighbor_id
+  select distinct query_id, neighbor_id,
+    round(list_dot_product(qv, cv) / (qv_nrm * cv_nrm), 6) as cosine_sim
+  from cb join qb on qb.band = cb.band and qb.sig = cb.sig
+                 and query_id != neighbor_id
 )
 select query_id, rank, neighbor_id, cosine_sim
 from (
@@ -361,29 +437,40 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 8,
     dims: int = 64,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucketed candidate generation +
-    exact cosine verification ≥ threshold (id_a < id_b)."""
-    hp = hyperplanes(dims, planes)
-    v = df.select(
-        F.col(id_col).alias("id"),
-        as_double(vec_col).alias("v"),
-        lsh_bucket(as_double(vec_col), hp).alias("bucket"),
-    )
-    a, b = v.alias("a"), v.alias("b")
+    """Embedding near-duplicate pairs: banded-LSH candidate generation +
+    exact cosine verification ≥ threshold (id_a < id_b).
+
+    Self-join is an equi-join on (band, sig); per-band bucket size is
+    ∝ n/2^rows_per_band, so verification work stays ∝ Σ bucket² per band
+    with tunable granularity — never the all-pairs n²."""
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    # persist: the self-join references the banded relation twice; without
+    # the barrier the signature projection runs twice (and CollapseProject
+    # can inline it into the join condition — see operators/dedup.py).
+    e = _banded(df, "id", "v", id_col, vec_col, bhp).persist()
+    a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.v_nrm") * F.col("b.v_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
     )
 
 
@@ -392,22 +479,17 @@ def embedding_cosine_dedup_sql(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 8,
     dims: int = 64,
 ) -> str:
-    hp = hyperplanes(dims, planes)
-    bucket = lsh_bucket_sql(f"cast({vec_col} as double[])", hp)
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    cos = "round(list_dot_product(a.v, b.v) / (a.v_nrm * b.v_nrm), 6)"
     return f"""
-with v as (
-  select {id_col} as id, cast({vec_col} as double[]) as v, {bucket} as bucket
-  from ({source_sql})
+with e as (
+{_banded_sql(source_sql, "id", "v", id_col, vec_col, bhp)}
 )
-select a.id as id_a, b.id as id_b,
-  round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-    as cosine_sim
-from v a join v b on a.bucket = b.bucket and a.id < b.id
-where round(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-      >= {threshold}
+select distinct a.id as id_a, b.id as id_b, {cos} as cosine_sim
+from e a join e b on a.band = b.band and a.sig = b.sig and a.id < b.id
+where {cos} >= {threshold}
 """

@@ -1,0 +1,103 @@
+"""Banded hyperplane LSH: plan shape (equi-join on (band, sig), no
+nested-loop), recall on planted near-duplicates, and ANN candidate
+containment in the brute-force ranking."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.similarity import (
+    banded_hyperplanes,
+    brute_force_topk,
+    embedding_cosine_dedup,
+    lsh_ann_topk,
+)
+
+DIMS = 16
+
+
+def _vec(seed: str) -> list[float]:
+    return [
+        int(hashlib.md5(f"{seed}-{d}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for d in range(DIMS)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [(i, _vec(f"v{i}")) for i in range(40)]
+    # planted near-duplicates: tiny perturbation of one coordinate
+    dups = [
+        (1000 + i, [v[0] + 0.01] + v[1:]) for i, v in base if i % 4 == 0
+    ]
+    return spark.createDataFrame(
+        base + dups, "vec_id int, embedding array<double>"
+    ).cache()
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_plan_is_banded_equijoin(corpus):
+    out = lsh_ann_topk(
+        corpus, corpus.filter(F.col("vec_id") < 3), k=3, dims=DIMS
+    )
+    plan = _physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate join hashes on the band and signature columns
+    m = re.search(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)(?:Exec)?"
+        r" \[([^\]]*)\], \[([^\]]*)\]",
+        plan,
+    )
+    assert m, f"no equi-join in plan:\n{plan}"
+    assert "band" in m.group(1) and "sig" in m.group(1)
+
+
+def test_dedup_plan_is_banded_equijoin(corpus):
+    out = embedding_cosine_dedup(corpus, threshold=0.99, dims=DIMS)
+    plan = _physical_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    m = re.search(
+        r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)(?:Exec)?"
+        r" \[([^\]]*)\], \[([^\]]*)\]",
+        plan,
+    )
+    assert m, f"no equi-join in plan:\n{plan}"
+    assert "band" in m.group(1) and "sig" in m.group(1)
+
+
+def test_dedup_recall_on_planted_duplicates(corpus):
+    """Banding (b=8, r=8) must recover planted near-dup pairs that the
+    old single-band design missed; every reported pair must verify."""
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dedup(corpus, threshold=0.99, dims=DIMS).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 40, 4)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"recall {recall}: {sorted(planted - found)}"
+    # no false positives below threshold (verification is exact)
+    for r in embedding_cosine_dedup(corpus, threshold=0.99, dims=DIMS).collect():
+        assert r["cosine_sim"] >= 0.99
+
+
+def test_ann_results_subset_of_bruteforce_candidates(corpus):
+    """Every ANN hit must appear in the exact ranking with the same score
+    (ANN ⊆ brute force, scores identical)."""
+    q = corpus.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in brute_force_topk(corpus, q, k=10**6).collect()
+    }
+    for r in lsh_ann_topk(corpus, q, k=5, dims=DIMS).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert exact[key] == r["cosine_sim"]
