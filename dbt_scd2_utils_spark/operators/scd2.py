@@ -322,7 +322,8 @@ def build_scd2_merge_source(
 
 def scd2_incremental(
     target: DataFrame, batch: DataFrame, cfg: ScdConfig,
-    broadcast_source: bool = True,
+    broadcast_source: bool | None = None,
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Apply one incremental SCD2 batch and return the NEW full table.
 
@@ -331,16 +332,26 @@ def scd2_incremental(
     SCD2 key; matched 'delete' rows drop, matched 'upsert' rows update only
     ``cfg.merge_update_cols``, unmatched 'upsert' rows insert.
 
-    Physical shape at scale: the (small) merge source is broadcast, so the
-    target streams through ONE broadcast left join — no shuffle of the big
-    side, no full-outer join.  The inserts anti-join runs between two small
-    DataFrames.  The rewrite-the-table sink cost is inherent to the vanilla
-    (non-Delta) path; `scd_build` can shard it with bucketed partitioning.
+    Physical shape at scale: the (delta-sized) merge source is broadcast, so
+    the target streams through ONE broadcast left join — no shuffle of the
+    big side, no full-outer join.  The inserts anti-join runs between two
+    small DataFrames.  The rewrite-the-table sink cost is inherent to the
+    vanilla (non-Delta) path; `scd_build` can shard it with bucketed
+    partitioning.
+
+    ``broadcast_source=None`` (default) sizes the decision at run time: the
+    persisted source's row count is compared against ``broadcast_max_rows``
+    and the merge falls back to a shuffled hash/sort-merge join when a batch
+    touches too many keys to broadcast (the backfill-the-world case) — the
+    count is free, it materializes the persisted source the downstream
+    action needs anyway.  Pass True/False to force either shape.
     """
     source, prev, business_cols = build_scd2_merge_source(target, batch, cfg)
     # The merge source (delta-sized) feeds both the broadcast join and the
     # inserts anti-join — persist so its window chain runs once.
     source = source.persist()
+    if broadcast_source is None:
+        broadcast_source = source.count() <= broadcast_max_rows
     audit_cols = cfg.audit_columns
     all_cols = business_cols + audit_cols
 
@@ -389,8 +400,19 @@ def scd2_incremental(
     # Matched target keys are a subset of the previous_records slice (every
     # target version sharing a batch row's full key also shares its business
     # key), so the anti-join runs small-vs-small instead of re-scanning the
-    # target.
-    prev_keys = prev.select(KEY_COL)
+    # target.  With incremental_predicates the reference ANDs them into the
+    # MERGE ON clause (get_incremental_scd2_sql.sql:247-255): a target row
+    # the predicates exclude does NOT match, so its source twin inserts
+    # (duplicating the full key — the reference's documented hazard); mirror
+    # that by anti-joining against the predicate-passing slice only.  That
+    # slice is derived from dest (prev lacks the audit columns predicates
+    # usually reference); the broadcast semi-join keeps it delta-sized.
+    if cfg.incremental_predicates:
+        prev_keys = dest.join(
+            F.broadcast(source.select(KEY_COL).distinct()), KEY_COL, "left_semi"
+        ).select(KEY_COL)
+    else:
+        prev_keys = prev.select(KEY_COL)
     inserts = (
         source.filter(F.col(OP_COL) == "upsert")
         .join(prev_keys, KEY_COL, "left_anti")

@@ -184,3 +184,65 @@ def test_no_collapse_retains_versions(spark):
     rows = [r.asDict() for r in state.orderBy("_valid_from").collect()]
     assert len(rows) == 2  # both versions retained
     assert [r["_is_current"] for r in rows] == [False, True]
+
+
+def test_broadcast_fallback_on_large_source(spark):
+    """broadcast_source=None sizes the decision: a batch touching every key
+    with a tiny broadcast budget must fall back to a non-broadcast join,
+    with identical results (the backfill-the-world case)."""
+    from tests.fixtures.seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
+
+    cfg = ScdConfig(unique_key=("customer_id",), deleted_at_column="deleted_at")
+    b1 = spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA)
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    target = scd2_initial_load(b1, cfg).persist()
+
+    fallback = scd2_incremental(target, b2, cfg, broadcast_max_rows=1)
+    plan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    forced = scd2_incremental(target, b2, cfg, broadcast_source=True)
+    assert (
+        fallback.exceptAll(forced).count() == 0
+        and forced.exceptAll(fallback).count() == 0
+    )
+
+
+def test_incremental_predicates_mirror_merge_on_semantics(spark):
+    """incremental_predicates AND into the MERGE ON clause
+    (get_incremental_scd2_sql.sql:247-255): a predicate-excluded target row
+    does not match, so (a) it passes through untouched and (b) its source
+    twin INSERTS — duplicating the full key, the reference's documented
+    hazard. The engine must mirror both."""
+    from tests.fixtures.seeds import TS
+
+    schema = "customer_id int, status string, deleted_at timestamp, _updated_at timestamp"
+    cfg = ScdConfig(
+        unique_key=("customer_id",),
+        deleted_at_column="deleted_at",
+        incremental_predicates=("_is_current = true",),
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "OLD", None, TS("2024-01-01 09:00:00")),
+            (1, "MID", None, TS("2024-01-01 10:00:00")),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, "NEW", None, TS("2024-01-01 11:00:00"))], schema
+    )
+    target = scd2_initial_load(b1, cfg).persist()
+    out = scd2_incremental(target, b2, cfg)
+    rows = [r.asDict() for r in out.orderBy("_valid_from", "_is_current").collect()]
+
+    # 09:00 original (untouched, predicate-excluded) + 09:00 duplicate
+    # (inserted by the unmatched source twin) + 10:00 expired + 11:00 new.
+    assert len(rows) == 4
+    nine = [r for r in rows if r["_valid_from"] == TS("2024-01-01 09:00:00")]
+    assert len(nine) == 2 and nine[0] == nine[1]
+    ten = [r for r in rows if r["_valid_from"] == TS("2024-01-01 10:00:00")]
+    assert len(ten) == 1 and ten[0]["_is_current"] is False
+    assert ten[0]["_valid_to"] == TS("2024-01-01 11:00:00")
+    eleven = [r for r in rows if r["_valid_from"] == TS("2024-01-01 11:00:00")]
+    assert len(eleven) == 1 and eleven[0]["_is_current"] is True
