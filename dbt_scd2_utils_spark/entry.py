@@ -214,6 +214,147 @@ def q_scd2_incremental_update_all_false(spark: SparkSession, sf_dir: str) -> Dat
         return scd2_incremental(target, b2, cfg)
 
 
+# ---- born-deleted / created_at feed (get_valid_from_sql.sql:24-43) --------
+
+BORN_DELETED_FEED_SQL = """
+select user_id, event_type, value, props,
+       case when event_type = 'error' then ts end as deleted_at,
+       ts - interval 2 hour as _created_at,
+       ts as _updated_at
+from events
+"""
+
+BORN_DELETED_CFG = SCD2_CFG.with_overrides(
+    created_at_column="_created_at",
+    change_columns_exclude=("_created_at",),
+)
+
+BORN_DELETED_SPEC = OracleSpec(
+    keys=("user_id",),
+    business_cols=(
+        "user_id", "event_type", "value", "props", "deleted_at",
+        "_created_at", "_updated_at",
+    ),
+    updated_at="_updated_at",
+    check_cols=("event_type", "value", "props", "deleted_at"),
+    created_at="_created_at",
+    deleted_at="deleted_at",
+    default_valid_to=VALID_TO,
+)
+
+
+def q_scd2_born_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """created_at_column + born-deleted path: a key whose FIRST version
+    carries deleted_at opens its validity at coalesce(deleted_at,
+    created_at, updated_at) and is change-typed 'D' first
+    (get_valid_from_sql.sql:24-43, assert_born_deleted_record.sql)."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    feed = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("_created_at"),
+        F.col("ts").alias("_updated_at"),
+    )
+    return scd2_initial_load(feed, BORN_DELETED_CFG)
+
+
+# ---- loaded_at tiebreak feed (dedup watermark priority) --------------------
+
+LOADED_AT_FEED_SQL = """
+select user_id, event_type, value, props,
+       case when event_type = 'error' then ts end as deleted_at,
+       ts + interval 1 hour as _loaded_at,
+       ts as _updated_at
+from events
+union all
+select user_id, event_type, value + 5000 as value, props,
+       case when event_type = 'error' then ts end as deleted_at,
+       ts as _loaded_at,
+       ts as _updated_at
+from events where user_id % 3 = 0
+"""
+
+LOADED_AT_CFG = SCD2_CFG.with_overrides(change_columns_exclude=("_loaded_at",))
+
+LOADED_AT_SPEC = OracleSpec(
+    keys=("user_id",),
+    business_cols=(
+        "user_id", "event_type", "value", "props", "deleted_at",
+        "_loaded_at", "_updated_at",
+    ),
+    updated_at="_updated_at",
+    check_cols=("event_type", "value", "props", "deleted_at"),
+    deleted_at="deleted_at",
+    default_valid_to=VALID_TO,
+)
+
+
+def q_scd2_loaded_at_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-(key, updated_at) conflicts carrying a _loaded_at watermark:
+    the earliest-loaded row wins the dedup (the W6 tiebreak orders
+    loaded_at before business values — operators/scd2._dedup_order)."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("_loaded_at"),
+        F.col("ts").alias("_updated_at"),
+    )
+    dup = events.filter(F.col("user_id") % 3 == 0).select(
+        "user_id",
+        "event_type",
+        (F.col("value") + F.lit(5000)).alias("value"),
+        "props",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+        F.col("ts").alias("_loaded_at"),
+        F.col("ts").alias("_updated_at"),
+    )
+    return scd2_initial_load(base.unionByName(dup), LOADED_AT_CFG)
+
+
+def q_scd2_change_columns_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """change_columns.exclude: props changes do not open new versions
+    (scd_plan.sql:189-222)."""
+    prepare(spark)
+    cfg = SCD2_CFG.with_overrides(change_columns_exclude=("props",))
+    return scd2_initial_load(change_feed(spark, sf_dir), cfg)
+
+
+def q_scd2_change_columns_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """change_columns.include: only event_type/value participate in change
+    detection (scd_plan.sql:189-222)."""
+    prepare(spark)
+    cfg = SCD2_CFG.with_overrides(change_columns_include=("event_type", "value"))
+    return scd2_initial_load(change_feed(spark, sf_dir), cfg)
+
+
+def q_scd2_incremental_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_predicates merge-time pruning: only current target rows
+    enter the merge; excluded rows pass through untouched
+    (get_incremental_scd2_sql.sql:247-255)."""
+    prepare(spark)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cfg = SCD2_CFG.with_overrides(
+            update_all_previous_records=False,
+            collapse_redundant_versions=False,
+            incremental_predicates=("_is_current = true",),
+        )
+        b1, b2 = _split(change_feed(spark, sf_dir))
+        target = scd2_initial_load(b1, cfg).persist()
+        return scd2_incremental(target, b2, cfg)
+
+
 COMPOSITE_FEED_SQL = """
 select l_orderkey, l_partkey, nullif(l_returnflag, 'N') as flag_key,
        l_quantity, l_extendedprice, l_shipdate as _updated_at
@@ -521,6 +662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
         "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
         "scd2_composite_null_key": q_scd2_composite_null_key,
+        "scd2_born_deleted": q_scd2_born_deleted,
+        "scd2_loaded_at_tiebreak": q_scd2_loaded_at_tiebreak,
+        "scd2_change_columns_exclude": q_scd2_change_columns_exclude,
+        "scd2_change_columns_include": q_scd2_change_columns_include,
+        "scd2_incremental_predicates": q_scd2_incremental_predicates,
         "scd1_initial_load": q_scd1_initial_load,
         "scd1_incremental_merge": q_scd1_incremental_merge,
         "scd0_initial_load": q_scd0_initial_load,
@@ -574,6 +720,38 @@ def oracle_sql() -> dict[str, str]:
         ),
         "scd2_composite_null_key": scd2_initial_load_sql(
             COMPOSITE_FEED_SQL, COMPOSITE_SPEC
+        ),
+        "scd2_born_deleted": scd2_initial_load_sql(
+            BORN_DELETED_FEED_SQL, BORN_DELETED_SPEC
+        ),
+        "scd2_loaded_at_tiebreak": scd2_initial_load_sql(
+            LOADED_AT_FEED_SQL, LOADED_AT_SPEC
+        ),
+        "scd2_change_columns_exclude": scd2_initial_load_sql(
+            FEED_SQL,
+            OracleSpec(
+                keys=("user_id",),
+                business_cols=tuple(FEED_COLS),
+                updated_at="_updated_at",
+                check_cols=("event_type", "value", "deleted_at"),
+                deleted_at="deleted_at",
+                default_valid_to=VALID_TO,
+            ),
+        ),
+        "scd2_change_columns_include": scd2_initial_load_sql(
+            FEED_SQL,
+            OracleSpec(
+                keys=("user_id",),
+                business_cols=tuple(FEED_COLS),
+                updated_at="_updated_at",
+                check_cols=("event_type", "value"),
+                deleted_at="deleted_at",
+                default_valid_to=VALID_TO,
+            ),
+        ),
+        "scd2_incremental_predicates": scd2_incremental_no_collapse_sql(
+            _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC,
+            update_all=False, predicates=("_is_current = true",),
         ),
         "scd1_initial_load": scd1_initial_load_sql(FEED01_SQL, SCD01_SPEC),
         "scd1_incremental_merge": scd1_incremental_sql(

@@ -155,7 +155,8 @@ def scd2_current_snapshot_sql(source_sql: str, s: OracleSpec) -> str:
 
 
 def scd2_incremental_no_collapse_sql(
-    b1_sql: str, b2_sql: str, s: OracleSpec, update_all: bool = True
+    b1_sql: str, b2_sql: str, s: OracleSpec, update_all: bool = True,
+    predicates: Sequence[str] = (),
 ) -> str:
     """Twin of the staged pipeline: target = initial_load(b1), then one
     incremental merge of b2 with collapse_redundant_versions=false
@@ -165,7 +166,13 @@ def scd2_incremental_no_collapse_sql(
     ``update_all=False`` adds the J2 temporal pruning predicate
     (``n.updated_at <= p.valid_to``) to the previous-record EXISTS and drops
     ``_change_type`` from the matched-update column set
-    (scd_plan.sql:156-187)."""
+    (scd_plan.sql:156-187).
+
+    ``predicates`` mirrors incremental_predicates ANDed into the MERGE ON
+    (get_incremental_scd2_sql.sql:247-255): the target splits into a
+    predicate-passing slice (merged) and a passthrough slice, and the
+    inserts NOT EXISTS runs against the passing slice only — CTE-for-CTE
+    the engine's split."""
     sk_scd2 = surrogate_key_sql(s.scd2_key_cols)
     sk_bkey = surrogate_key_sql(list(s.keys))
     sk_check = surrogate_key_sql(list(s.check_cols))
@@ -195,6 +202,25 @@ def scd2_incremental_no_collapse_sql(
         for c in all_cols
     )
     insert_proj = ", ".join(f"u.{c}" for c in all_cols)
+    if predicates:
+        pred = " and ".join(f"({p})" for p in predicates)
+        pred_ctes = f"""
+tgt_in as (
+  select * from tgtk where coalesce(({pred}), false)
+),
+tgt_out as (
+  select * from tgtk where not coalesce(({pred}), false)
+),"""
+        tgt_merge = "tgt_in"
+        passthrough = (
+            "\nunion all\nselect "
+            + ", ".join(f"{c} as {c}" for c in all_cols)
+            + " from tgt_out"
+        )
+    else:
+        pred_ctes = ""
+        tgt_merge = "tgtk"
+        passthrough = ""
     return f"""
 with b1 as ({b1_sql}),
 b2 as ({b2_sql}),
@@ -240,20 +266,20 @@ upserts as (
 ),
 tgtk as (
   select t.*, {t_scd2} as _scd2_key from tgt as t
-),
+),{pred_ctes}
 matched as (
   select
     {matched_proj}
-  from tgtk t left join upserts u on t._scd2_key = u._scd2_key
+  from {tgt_merge} t left join upserts u on t._scd2_key = u._scd2_key
 ),
 inserts as (
   select {insert_proj}
   from upserts u
-  where not exists (select 1 from tgtk t where t._scd2_key = u._scd2_key)
+  where not exists (select 1 from {tgt_merge} t where t._scd2_key = u._scd2_key)
 )
 select * from matched
 union all
-select * from inserts
+select * from inserts{passthrough}
 """
 
 
