@@ -64,8 +64,47 @@ class ScdTable:
 
     # -- state ----------------------------------------------------------
 
+    MATERIALIZATION = "scd"
+
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_scd_meta.json")
+
+    def _write_meta(self) -> None:
+        """Record how this relation was built so the next run can apply the
+        reference's materialization-match rule (is_incremental.sql:18-28:
+        a relation last built by a DIFFERENT materialization forces a full
+        rebuild rather than an incremental merge)."""
+        import json
+
+        with open(self._meta_path(), "w") as f:
+            json.dump(
+                {
+                    "materialized": self.MATERIALIZATION,
+                    "scd_type": self.cfg.scd_type,
+                },
+                f,
+            )
+
+    def _materialization_matches(self) -> bool:
+        """is_incremental.sql:18-28's materialization-match leg.  A missing
+        metadata file (pre-existing/foreign parquet dir) counts as a
+        MISMATCH: the relation wasn't built by this materialization, so the
+        run must be treated as initial — same as dbt replacing a ``table``
+        relation when the model switches to ``scd``."""
+        import json
+
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        # scd_type is recorded for observability but not matched on — the
+        # reference's rule is materialization-granular (an scd_type change
+        # re-merges under the new config, same as changing any other config).
+        return meta.get("materialized") == self.MATERIALIZATION
 
     def read(self) -> DataFrame:
         df = self.spark.read.parquet(self.path)
@@ -92,7 +131,14 @@ class ScdTable:
         model_df = model_df.cache()
         cfg.validate_against_schema(model_df.schema)
 
-        initial = full_refresh or not self.exists()
+        # scd_plan.sql:104 + is_incremental.sql:18-28: initial unless the
+        # relation exists AND was built by this materialization AND the run
+        # is not a full refresh.
+        initial = (
+            full_refresh
+            or not self.exists()
+            or not self._materialization_matches()
+        )
         if self.partition_buckets and not initial and cfg.scd_type == 2:
             result = self._build_bucketed_incremental(model_df)
             model_df.unpersist()
@@ -163,6 +209,7 @@ class ScdTable:
             # else: the merge emptied this bucket — leave it deleted.
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+        self._write_meta()
         self.spark.catalog.refreshByPath(self.path)
 
     def _atomic_write(self, df: DataFrame) -> None:
@@ -177,6 +224,7 @@ class ScdTable:
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+        self._write_meta()
         # Invalidate cached file listings for readers of the swapped path.
         self.spark.catalog.refreshByPath(self.path)
 

@@ -29,13 +29,10 @@ except ImportError:
     HAS_DELTA = False
 
 
-def scd2_delta_merge(
-    spark: SparkSession,
-    target_table: str,
-    batch: DataFrame,
-    cfg: ScdConfig,
-) -> None:
-    """Apply one incremental SCD2 batch to a Delta table in place.
+def build_merge_clauses(cfg: ScdConfig, business_cols: list[str]) -> dict:
+    """Pure clause construction for the three-way Delta MERGE — separated
+    from the DeltaTable calls so the mapping is testable without
+    delta-spark installed.
 
     Clause mapping (≡ get_incremental_scd2_sql.sql:238-268):
       ON    md5(dest scd2_unique_key cols) == src._scd2_key [AND predicates]
@@ -43,6 +40,30 @@ def scd2_delta_merge(
       WHEN MATCHED AND src._scd2_op = 'upsert'  → UPDATE SET merge_update_cols
       WHEN NOT MATCHED AND src._scd2_op = 'upsert' → INSERT all columns
     """
+    all_cols = list(business_cols) + list(cfg.audit_columns)
+    return {
+        # ON as SQL text (the d-side surrogate key mirrors functions.hashing
+        # .surrogate_key; predicates AND-ed in → Delta file pruning,
+        # get_incremental_scd2_sql.sql:247-255).
+        "on_predicates": list(cfg.incremental_predicates),
+        "matched_delete_condition": (
+            f"s.{OP_COL} = 'delete'" if cfg.effective_collapse else None
+        ),
+        "matched_update_condition": f"s.{OP_COL} = 'upsert'",
+        "update_set": {c: f"s.{c}" for c in cfg.merge_update_cols},
+        "insert_condition": f"s.{OP_COL} = 'upsert'",
+        "insert_values": {c: f"s.{c}" for c in all_cols},
+    }
+
+
+def scd2_delta_merge(
+    spark: SparkSession,
+    target_table: str,
+    batch: DataFrame,
+    cfg: ScdConfig,
+) -> None:
+    """Apply one incremental SCD2 batch to a Delta table in place (see
+    :func:`build_merge_clauses` for the clause mapping)."""
     if not HAS_DELTA:
         raise ImportError(
             "delta-spark is not installed; use operators.scd2.scd2_incremental "
@@ -50,26 +71,26 @@ def scd2_delta_merge(
         )
     target_df = spark.table(target_table)
     source, _prev, business_cols = build_scd2_merge_source(target_df, batch, cfg)
-    all_cols = business_cols + cfg.audit_columns
+    clauses = build_merge_clauses(cfg, business_cols)
 
     from pyspark.sql import functions as F
 
     dt = DeltaTable.forName(spark, target_table)
     dest_key = surrogate_key([f"d.{c}" for c in cfg.scd2_unique_key])
     cond = dest_key == source[KEY_COL]
-    # incremental_predicates AND-ed into the ON clause → Delta file pruning
-    # (get_incremental_scd2_sql.sql:247-255).
-    for pred in cfg.incremental_predicates:
+    for pred in clauses["on_predicates"]:
         cond = cond & F.expr(pred)
 
     merge = dt.alias("d").merge(source.alias("s"), cond)
-    if cfg.effective_collapse:
-        merge = merge.whenMatchedDelete(condition=f"s.{OP_COL} = 'delete'")
+    if clauses["matched_delete_condition"] is not None:
+        merge = merge.whenMatchedDelete(
+            condition=clauses["matched_delete_condition"]
+        )
     merge = merge.whenMatchedUpdate(
-        condition=f"s.{OP_COL} = 'upsert'",
-        set={c: f"s.{c}" for c in cfg.merge_update_cols},
+        condition=clauses["matched_update_condition"],
+        set=clauses["update_set"],
     ).whenNotMatchedInsert(
-        condition=f"s.{OP_COL} = 'upsert'",
-        values={c: f"s.{c}" for c in all_cols},
+        condition=clauses["insert_condition"],
+        values=clauses["insert_values"],
     )
     merge.execute()

@@ -72,3 +72,37 @@ def table_exists(spark: SparkSession, name: str) -> bool:
     (is_incremental.sql:18-28; full-refresh / materialization-match checks
     live in the build planner)."""
     return spark.catalog.tableExists(name)
+
+
+def is_incremental_run(
+    spark: SparkSession,
+    name: str,
+    full_refresh: bool = False,
+    materialization: str = "scd",
+    existing_materialization: str | None = None,
+) -> bool:
+    """The reference's full ``is_incremental`` conjunction
+    (is_incremental.sql:18-28): relation exists AND is a table (not a view)
+    AND the run is not a full refresh AND the existing relation was built by
+    the same materialization.
+
+    ``existing_materialization`` is the caller's record of how the relation
+    was last built (dbt reads it from the manifest; ``ScdTable`` persists it
+    in table metadata — see ``plans.build.ScdTable._write_meta``).  ``None``
+    means unknown, which conservatively counts as a match — the reference
+    likewise falls back to incremental when state is unavailable."""
+    if full_refresh:
+        return False
+    if not spark.catalog.tableExists(name):
+        return False
+    table = spark.catalog.getTable(name)
+    # Relation must be a *table*: catalog views report VIEW, temp views
+    # TEMPORARY — neither supports an incremental merge.
+    if table.tableType in ("VIEW", "TEMPORARY"):
+        return False
+    if (
+        existing_materialization is not None
+        and existing_materialization != materialization
+    ):
+        return False
+    return True
