@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.clustering import dedup_clusters, dedup_clusters_sql
 from .operators.dedup import (
     exact_dedup,
     exact_dedup_sql,
@@ -616,6 +617,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → transitive closure → one canonical doc per duplicate
+    cluster, over the whole corpus (operators/clustering.py)."""
+    prepare(spark)
+    corpus = doc_corpus(spark, sf_dir)
+    return dedup_clusters(corpus, minhash_lsh_pairs(corpus))
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return embedding_cosine_dedup(
@@ -685,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -818,6 +828,9 @@ def oracle_sql() -> dict[str, str]:
             DOC_CORPUS_SQL, threshold=0.5
         ),
         "dedup_simhash": simhash_sql("select * from documents"),
+        "dedup_clusters": dedup_clusters_sql(
+            DOC_CORPUS_SQL, minhash_lsh_pairs_sql(DOC_CORPUS_SQL)
+        ),
         "dedup_embedding_cosine": embedding_cosine_dedup_sql(
             EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"
         ),

@@ -1,0 +1,64 @@
+"""connected_components / dedup_clusters (operators/clustering.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_path_graph_needs_propagation(spark):
+    # 1-2-3-4-5 chain (diameter 4): exercises multiple rounds, not just the
+    # first-hop min.
+    cc = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_clusters_and_order_independence(spark):
+    # Two components; edges given in arbitrary orientation/order.
+    cc = connected_components(
+        _pairs(spark, [(7, 3), (3, 9), (20, 10), (2, 9)])
+    )
+    got = {r["id"]: r["component"] for r in cc.collect()}
+    assert got == {2: 2, 3: 2, 7: 2, 9: 2, 10: 10, 20: 10}
+
+
+def test_max_iter_bounds_rounds(spark):
+    # A long chain with max_iter=1 must still terminate (possibly
+    # unconverged) — the bound is a guard, not a correctness dependency
+    # once >= diameter.
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 8)])
+    cc = connected_components(pairs, max_iter=1)
+    assert cc.count() == 8
+    cc_full = connected_components(pairs)
+    assert set(r["component"] for r in cc_full.collect()) == {1}
+
+
+def test_dedup_clusters_whole_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    out = dedup_clusters(corpus, pairs).collect()
+    rep = {r["doc_id"]: r["cluster_rep"] for r in out}
+    canon = {r["doc_id"]: r["is_canonical"] for r in out}
+    assert rep == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    assert canon == {1: True, 2: False, 3: False, 4: True, 5: True, 6: False}
+    # filter(is_canonical) is the deduplicated corpus: one survivor per
+    # cluster + every unpaired doc.
+    kept = [r["doc_id"] for r in out if r["is_canonical"]]
+    assert sorted(kept) == [1, 4, 5]
+
+
+def test_empty_pairs_all_canonical(spark):
+    corpus = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = dedup_clusters(corpus, _pairs(spark, []))
+    assert out.filter(~F.col("is_canonical")).count() == 0
