@@ -356,6 +356,51 @@ def q_scd2_incremental_predicates(spark: SparkSession, sf_dir: str) -> DataFrame
         return scd2_incremental(target, b2, cfg)
 
 
+def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of the daily rollup, driven to completion
+    with trigger(availableNow) so a batch oracle exists: append mode emits
+    exactly the watermark-closed windows, i.e. the batch rollup restricted
+    to window_end <= max(ts) - watermark delay (streaming/rollup.py)."""
+    prepare(spark)
+    import tempfile
+
+    from .streaming.rollup import windowed_rollup
+
+    base = tempfile.mkdtemp(prefix="scd_stream_rollup_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    # Micros re-write: readStream cannot flip the nanos legacy conf the way
+    # load_table does for batch.
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        windowed_rollup(stream, window_duration="1 day", watermark_delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
+STREAMING_ROLLUP_ORACLE_SQL = """
+with cut as (select max(ts) - interval 1 hour as c from events)
+select cast(date_trunc('day', ts) as timestamp) as window_start,
+       cast(date_trunc('day', ts) + interval 1 day as timestamp) as window_end,
+       event_type,
+       count(*) as n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) as sum_value,
+       min(value) as min_value,
+       max(value) as max_value
+from events
+group by 1, 2, 3
+having cast(date_trunc('day', ts) + interval 1 day as timestamp)
+         <= (select c from cut)
+"""
+
+
 COMPOSITE_FEED_SQL = """
 select l_orderkey, l_partkey, nullif(l_returnflag, 'N') as flag_key,
        l_quantity, l_extendedprice, l_shipdate as _updated_at
@@ -684,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_source_watermark": q_incremental_source_watermark,
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
+        "streaming_daily_rollup": q_streaming_daily_rollup,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
@@ -802,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
             from events
             group by 1, 2
         """,
+        "streaming_daily_rollup": STREAMING_ROLLUP_ORACLE_SQL,
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
             from ({scd2_built})
