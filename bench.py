@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "scd1_initial_load",
     "scd0_initial_load",
     "scd2_composite_null_key",
+    "scd2_born_deleted",
     "scd2_temporal_join",
     "incremental_source_watermark",
     "invariant_one_current_per_key",
@@ -37,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "multimodal_decode",

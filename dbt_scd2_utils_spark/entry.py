@@ -686,7 +686,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return lsh_ann_topk(emb, k=5, query_ids=range(8))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

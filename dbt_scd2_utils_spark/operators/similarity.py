@@ -20,6 +20,8 @@ an equi-join on bucket signature (one shuffle, work ∝ bucket sizes).
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Sequence
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -160,6 +162,57 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return sig.cast("int")
 
 
+@lru_cache(maxsize=8)
+def _plane_tensor(bhp: tuple) -> Column:
+    """Parse the bands × rows × dims coefficient tensor once per distinct
+    parameterization; the returned unresolved Column is reusable across
+    queries (and both sides of the candidate join share the identical
+    expression object)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(repr(c) + "D" for c in plane) + ")"
+                for plane in band
+            )
+            + ")"
+            for band in bhp
+        )
+        + ")"
+    )
+
+
+def banded_sigs(vec: Column, bhp: list[list[list[float]]]) -> Column:
+    """All band signatures in ONE expression: the full plane tensor is a
+    single nested array literal and the per-band/per-plane loops are
+    higher-order functions over it.
+
+    Equivalent math to per-plane :func:`lsh_bucket` (same sequential dot,
+    same bit weights) but O(1) expression-tree size: the unrolled version
+    — 64 separately-parsed plane literals and a 64-way when-sum, repeated
+    on both join sides — cost ~5 s of driver-side analysis/codegen per
+    query at ANY data size (measured sf0.1).  Here Catalyst sees one
+    literal and three nested lambdas regardless of bands × rows."""
+    tensor = _plane_tensor(
+        tuple(tuple(tuple(plane) for plane in band) for band in bhp)
+    )
+    return F.transform(
+        tensor,
+        lambda band: F.aggregate(
+            F.transform(
+                band,
+                lambda plane, i: F.when(
+                    _dot(vec, plane) >= 0,
+                    F.pow(F.lit(2.0), i.cast("double")),
+                ).otherwise(F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("int"),
+    )
+
+
 def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
     parts = []
     for i, plane in enumerate(planes):
@@ -198,13 +251,23 @@ def _banded(
     broadcast-bound query side: the extra shuffle costs more than the
     single-core signature pass saves)."""
     v = as_double(vec_col)
-    sigs = F.array(*[lsh_bucket(v, band) for band in bhp])
     src = _parallelize_narrow(df) if parallelize else df
-    return src.select(
+    # Two projections, not one: computing the signature from an alias
+    # defined in the SAME select would resolve it as a lateral column
+    # alias, and Spark's analyzer cannot substitute an LCA inside a
+    # higher-order-function lambda (internal "should not contain any
+    # LateralColumnAliasReference" error when vec_col == vec_alias).
+    # CollapseProject re-merges these after analysis, so no extra stage.
+    base = src.select(
         F.col(id_col).alias(id_alias),
         v.alias(vec_alias),
         F.sqrt(_dot(v, v)).alias(f"{vec_alias}_nrm"),
-        F.posexplode(sigs).alias("band", "sig"),
+    )
+    return base.select(
+        id_alias,
+        vec_alias,
+        f"{vec_alias}_nrm",
+        F.posexplode(banded_sigs(F.col(vec_alias), bhp)).alias("band", "sig"),
     )
 
 
@@ -225,13 +288,14 @@ def _banded_sql(
 
 def lsh_ann_topk(
     df: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 8,
     rows_per_band: int = 8,
     dims: int = 64,
+    query_ids: Sequence | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact ranking over the union of the query's
     per-band bucket collisions.
@@ -240,15 +304,35 @@ def lsh_ann_topk(
     an equi-join on (band, sig) with the (small) query side broadcast —
     work ∝ Σ per-band bucket sizes, never corpus².  Duplicate candidates
     from multi-band collisions collapse via distinct on the scored triple
-    (the score is deterministic, so duplicates are exact)."""
+    (the score is deterministic, so duplicates are exact).
+
+    When the queries ARE corpus rows, pass ``query_ids`` instead of a
+    ``queries`` DataFrame: the query side is then sliced out of the single
+    persisted corpus signature table rather than signed in a second pass —
+    at corpus scale that drops one full scan+signature job."""
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
-    q = _banded(queries, "query_id", "qv", id_col, vec_col, bhp, parallelize=False)
     c = _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
+    if query_ids is not None:
+        if queries is not None:
+            raise ValueError("pass either queries or query_ids, not both")
+        c = c.persist()
+        q = c.filter(F.col("neighbor_id").isin(*query_ids)).select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("cv").alias("qv"),
+            F.col("cv_nrm").alias("qv_nrm"),
+            "band",
+            "sig",
+        )
+    else:
+        q = _banded(
+            queries, "query_id", "qv", id_col, vec_col, bhp, parallelize=False
+        )
     scored = (
-        c.join(
-            F.broadcast(q),
-            (q.band == c.band) & (q.sig == c.sig)
-            & (F.col("query_id") != F.col("neighbor_id")),
+        c.alias("c").join(
+            F.broadcast(q.alias("q")),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.sig") == F.col("c.sig"))
+            & (F.col("q.query_id") != F.col("c.neighbor_id")),
         )
         .select(
             "query_id",
