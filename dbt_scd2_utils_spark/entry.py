@@ -385,6 +385,33 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch SCD2 sink driven file-by-file
+    (maxFilesPerTrigger=1): batch 1 initial-loads, batch 2 merges
+    incrementally, and with collapse_redundant_versions the final table
+    equals the batch full refresh over the whole feed regardless of
+    arrival order (tests/test_streaming.py proves order-independence) —
+    so the initial-load oracle doubles as the streaming oracle."""
+    prepare(spark)
+    import tempfile
+
+    from .streaming.scd2_stream import Scd2ParquetSink, scd2_write_stream
+
+    base = tempfile.mkdtemp(prefix="scd_stream_scd2_")
+    src, target, ckpt = f"{base}/src", f"{base}/target", f"{base}/ckpt"
+    b1, b2 = _split(change_feed(spark, sf_dir))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = scd2_write_stream(stream, target, SCD2_CFG, checkpoint=ckpt)
+    q.awaitTermination(600)
+    return Scd2ParquetSink(spark, target, SCD2_CFG).read()
+
+
 STREAMING_ROLLUP_ORACLE_SQL = """
 with cut as (select max(ts) - interval 1 hour as c from events)
 select cast(date_trunc('day', ts) as timestamp) as window_start,
@@ -730,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
         "streaming_daily_rollup": q_streaming_daily_rollup,
+        "streaming_scd2_merge": q_streaming_scd2_merge,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
@@ -768,6 +796,8 @@ def oracle_sql() -> dict[str, str]:
         # collapse ⇒ incremental ≡ full refresh: the oracle is the
         # full-refresh derivation (independent path through the semantics).
         "scd2_incremental_merge": scd2_built,
+        # Same equivalence, exercised through the foreachBatch stream sink.
+        "streaming_scd2_merge": scd2_built,
         "scd2_incremental_no_collapse": scd2_incremental_no_collapse_sql(
             _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC
         ),
