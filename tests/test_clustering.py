@@ -62,3 +62,59 @@ def test_empty_pairs_all_canonical(spark):
     corpus = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     out = dedup_clusters(corpus, _pairs(spark, []))
     assert out.filter(~F.col("is_canonical")).count() == 0
+
+
+# ---- property: random graphs vs pure-python union-find --------------------
+
+
+def _uf_components(n_nodes, edges):
+    """Independent reference: array union-find with path compression."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # Min-id representative per component.
+    return {x: find(x) for x in list(parent)}
+
+
+def test_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(1, n + 1), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        want = _uf_components(n, edges)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                _pairs(spark, [(a, b) for a, b in edges])
+            ).collect()
+        }
+        # union-find roots are min ids after full compression of the same
+        # edge set — but path compression can leave stale parents; resolve
+        # transitively for the comparison.
+        resolved = {}
+        for x in want:
+            r = x
+            while want[r] != r:
+                r = want[r]
+            resolved[x] = r
+        assert got == resolved, f"seed {seed} mismatch"
