@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.clustering import dedup_clusters, dedup_clusters_sql
+from .operators.sampling import (
+    hash_split,
+    hash_split_sql,
+    shard_by_token_budget,
+    shard_by_token_budget_sql,
+)
 from .operators.dedup import (
     exact_dedup,
     exact_dedup_sql,
@@ -669,6 +675,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashed 90/5/5 split (operators/sampling.py): pure
+    projection, assignment stable under corpus growth."""
+    prepare(spark)
+    return hash_split(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing over per-bucket running sums
+    (operators/sampling.py): token counts from the BPE-ish counter, 512
+    tokens per shard, 16 buckets."""
+    prepare(spark)
+    counts = token_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("bpe_tokens").alias("n_tokens")
+    )
+    return shard_by_token_budget(counts, budget=512, buckets=16)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return exact_dedup(doc_corpus(spark, sf_dir))
@@ -769,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "train_val_test_split": q_train_val_test_split,
+        "token_shards": q_token_shards,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -907,6 +933,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": simhash_sql("select * from documents"),
         "dedup_clusters": dedup_clusters_sql(
             DOC_CORPUS_SQL, minhash_lsh_pairs_sql(DOC_CORPUS_SQL)
+        ),
+        "train_val_test_split": hash_split_sql("select * from documents"),
+        "token_shards": shard_by_token_budget_sql(
+            "select doc_id, bpe_tokens as n_tokens from ("
+            + token_count_sql("select * from documents")
+            + ")",
+            budget=512,
+            buckets=16,
         ),
         "dedup_embedding_cosine": embedding_cosine_dedup_sql(
             EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"

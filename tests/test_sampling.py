@@ -1,0 +1,70 @@
+"""hash_split / shard_by_token_budget (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.sampling import (
+    hash_split,
+    shard_by_token_budget,
+)
+
+
+def test_split_stable_under_corpus_growth(spark):
+    small = spark.range(1, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(1, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big).collect()}
+    # Every doc keeps its assignment when the corpus grows 10×.
+    assert all(b[k] == v for k, v in a.items())
+    # All three labels materialize at this size.
+    assert {"train", "val", "test"} == set(b.values())
+
+
+def test_split_weights_validated(spark):
+    with pytest.raises(ValueError, match="10000"):
+        hash_split(
+            spark.range(5).withColumnRenamed("id", "doc_id"),
+            weights=(("train", 5000), ("test", 100)),
+        )
+
+
+def test_split_proportions_roughly_hold(spark):
+    df = hash_split(spark.range(1, 5001).withColumnRenamed("id", "doc_id"))
+    frac = (
+        df.groupBy("split").count().withColumn("f", F.col("count") / 5000.0)
+    )
+    got = {r["split"]: r["f"] for r in frac.collect()}
+    assert abs(got["train"] - 0.90) < 0.03
+    assert abs(got["val"] - 0.05) < 0.02
+    assert abs(got["test"] - 0.05) < 0.02
+
+
+def test_shard_packing_sequential_and_oversized(spark):
+    rows = [(1, 300), (2, 300), (3, 2000), (4, 100), (5, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # One bucket → a single sequential packing, deterministic by doc_id.
+    out = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_token_budget(df, budget=512, buckets=1).collect()
+    }
+    # starts: 0, 300, 600, 2600, 2700 → shards 0, 0, 1, 5, 5
+    assert out == {1: 0, 2: 0, 3: 1, 4: 5, 5: 5}
+    # doc 3 (2000 tokens > budget) holds its shard alone
+    assert list(out.values()).count(1) == 1
+
+
+def test_shard_buckets_partition_work(spark):
+    df = spark.range(1, 500).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tokens")
+    )
+    out = shard_by_token_budget(df, budget=1000, buckets=8)
+    assert out.select("bucket").distinct().count() == 8
+    # Within every bucket, shard ids start at 0 and are dense.
+    per = out.groupBy("bucket").agg(
+        F.min("shard").alias("lo"),
+        F.max("shard").alias("hi"),
+        F.countDistinct("shard").alias("n"),
+    )
+    assert per.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count() == 0
