@@ -418,6 +418,39 @@ def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Scd2ParquetSink(spark, target, SCD2_CFG).read()
 
 
+def q_streaming_scd2_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState CDC operator, drained over an in-order
+    single-batch feed: its change events reconstruct the full SCD2 table
+    ('expire' events ∪ never-expired 'insert' events), which for an
+    in-order feed equals the batch initial load — so the state-store path
+    shares the initial-load oracle (streaming/scd2_state.py)."""
+    prepare(spark)
+    import tempfile
+
+    from .streaming.scd2_state import scd2_streaming_changes
+
+    base = tempfile.mkdtemp(prefix="scd_stream_state_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    feed = change_feed(spark, sf_dir)
+    feed.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        scd2_streaming_changes(stream, SCD2_CFG)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out)
+    ins = got.filter(F.col("_op") == "insert").drop("_op")
+    exp = got.filter(F.col("_op") == "expire").drop("_op")
+    keys = ["user_id", "_valid_from"]
+    return exp.unionByName(ins.join(exp.select(*keys), keys, "left_anti"))
+
+
 STREAMING_ROLLUP_ORACLE_SQL = """
 with cut as (select max(ts) - interval 1 hour as c from events)
 select cast(date_trunc('day', ts) as timestamp) as window_start,
@@ -782,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_rollup": q_events_daily_rollup,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_scd2_merge": q_streaming_scd2_merge,
+        "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
@@ -824,6 +858,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_incremental_merge": scd2_built,
         # Same equivalence, exercised through the foreachBatch stream sink.
         "streaming_scd2_merge": scd2_built,
+        # And through the state-store CDC operator (events reconstructed).
+        "streaming_scd2_stateful": scd2_built,
         "scd2_incremental_no_collapse": scd2_incremental_no_collapse_sql(
             _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC
         ),
