@@ -26,6 +26,8 @@ from .operators.sampling import (
     hash_split_sql,
     shard_by_token_budget,
     shard_by_token_budget_sql,
+    weighted_repeat,
+    weighted_repeat_sql,
 )
 from .operators.dedup import (
     exact_dedup,
@@ -726,6 +728,15 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_by_token_budget(counts, budget=512, buckets=16)
 
 
+def q_epoch_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch dataset mixing at weight 1.3: every doc once, a
+    stable hashed 30% twice (operators/sampling.py)."""
+    prepare(spark)
+    return weighted_repeat(
+        load_table(spark, sf_dir, "documents"), weight=1.3
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return exact_dedup(doc_corpus(spark, sf_dir))
@@ -829,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_val_test_split": q_train_val_test_split,
         "token_shards": q_token_shards,
+        "epoch_weighted_repeat": q_epoch_weighted_repeat,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -971,6 +983,9 @@ def oracle_sql() -> dict[str, str]:
             DOC_CORPUS_SQL, minhash_lsh_pairs_sql(DOC_CORPUS_SQL)
         ),
         "train_val_test_split": hash_split_sql("select * from documents"),
+        "epoch_weighted_repeat": weighted_repeat_sql(
+            "select * from documents", weight=1.3
+        ),
         "token_shards": shard_by_token_budget_sql(
             "select doc_id, bpe_tokens as n_tokens from ("
             + token_count_sql("select * from documents")

@@ -155,3 +155,53 @@ from (
   from b
 )
 """
+
+
+def weighted_repeat(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """(id, copy): each row repeated ``floor(weight)`` times, plus one more
+    copy for the hash-selected ``frac(weight)`` fraction of ids — the
+    deterministic form of fractional-epoch dataset mixing (e.g. weight 1.3
+    ⇒ every document once, a stable 30% twice).
+
+    The expansion is a narrow generator (sequence + explode, no shuffle);
+    repeat decisions are stable under corpus growth like ``hash_split``."""
+    if weight < 0:
+        raise ValueError(f"weight must be >= 0, got {weight}")
+    base = int(weight)
+    frac_bp = round((weight - base) * 10_000)
+    copies = (
+        F.lit(base)
+        + (_hash_bp(id_col, salt, 10_000) < frac_bp).cast("int")
+    )
+    seq = F.when(copies >= 1, F.sequence(F.lit(1), copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(seq).alias("copy"),
+    )
+
+
+def weighted_repeat_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    weight: float = 1.0,
+    salt: str = "epoch",
+) -> str:
+    base = int(weight)
+    frac_bp = round((weight - base) * 10_000)
+    bp = _hash_bp_sql(id_col, salt, 10_000)
+    return f"""
+with c as (
+  select {id_col},
+         {base} + cast(({bp}) < {frac_bp} as int) as copies
+  from ({source_sql})
+)
+select {id_col}, cast(unnest(generate_series(1, copies)) as int) as copy
+from c
+"""

@@ -68,3 +68,19 @@ def test_shard_buckets_partition_work(spark):
         F.countDistinct("shard").alias("n"),
     )
     assert per.filter((F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)).count() == 0
+
+
+def test_weighted_repeat_fraction_and_stability(spark):
+    from dbt_scd2_utils_spark.operators.sampling import weighted_repeat
+
+    df = spark.range(1, 2001).withColumnRenamed("id", "doc_id")
+    out = weighted_repeat(df, weight=1.3)
+    n = out.count()
+    # every doc once + ~30% twice
+    assert 2000 * 1.25 < n < 2000 * 1.35
+    # weight 0.5: a stable subset exactly once; subset of the weight-1.5 set
+    half = {r["doc_id"] for r in weighted_repeat(df, weight=0.5).collect()}
+    again = {r["doc_id"] for r in weighted_repeat(df, weight=0.5).collect()}
+    assert half == again and 2000 * 0.45 < len(half) < 2000 * 0.55
+    # integer weight: exact multiplicity
+    assert weighted_repeat(df, weight=2.0).count() == 4000
