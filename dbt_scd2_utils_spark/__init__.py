@@ -20,7 +20,18 @@ from .operators.scd01 import (
 )
 from .operators.temporal_join import scd2_join
 from .plans.build import ScdTable, scd_build
-from .sources.incremental import high_water_mark, incremental_source
+from .operators.clustering import connected_components, dedup_clusters
+from .operators.sampling import (
+    hash_split,
+    shard_by_token_budget,
+    weighted_repeat,
+)
+from .sources.incremental import (
+    high_water_mark,
+    incremental_source,
+    is_incremental_run,
+)
+from .sources.seeds import load_seed
 from .sources.tables import load_table, load_tables
 
 __version__ = "0.1.0"
@@ -41,7 +52,14 @@ __all__ = [
     "ScdTable",
     "scd_build",
     "incremental_source",
+    "is_incremental_run",
     "high_water_mark",
+    "load_seed",
     "load_table",
     "load_tables",
+    "connected_components",
+    "dedup_clusters",
+    "hash_split",
+    "shard_by_token_budget",
+    "weighted_repeat",
 ]

@@ -568,12 +568,15 @@ def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_incremental_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: high-water-mark scan — rows newer than the target's max(ts)."""
+    """S3: high-water-mark scan — rows newer than the target's max(ts).
+    The cutoff rides into the read (`newer_than=`) so it filters the RAW
+    nanos column and reaches parquet row-group statistics; a post-rebuild
+    filter cannot push past `timestamp_micros(x div 1000)`."""
     prepare(spark)
     events = load_table(spark, sf_dir, "events")
     target = events.filter(F.col("ts") <= F.lit(SPLIT).cast("timestamp"))
     hwm = high_water_mark(target, "ts")
-    return events.filter(F.col("ts") > F.lit(hwm))
+    return load_table(spark, sf_dir, "events", newer_than=("ts", hwm))
 
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

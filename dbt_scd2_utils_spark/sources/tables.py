@@ -36,14 +36,44 @@ def _nanos_ts_columns(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    newer_than: tuple[str, "datetime"] | None = None,
+) -> DataFrame:
     """Read one testdata table; nanosecond timestamps come back as proper
-    TimestampType (values truncated ns → µs, matching DuckDB's read)."""
+    TimestampType (values truncated ns → µs, matching DuckDB's read).
+
+    ``newer_than=(col, ts)`` applies the incremental watermark predicate
+    ``col > ts`` *before* the nanos rebuild, against the raw long column —
+    a filter written after the rebuild sits behind the
+    ``timestamp_micros(x div 1000)`` expression, which Catalyst cannot
+    invert, so only ``IsNotNull`` reaches the scan and every row group is
+    read.  On the raw long the comparison pushes down
+    (``PushedFilters: [GreaterThanOrEqual(col, …)]``) and parquet min/max
+    statistics skip row groups — the difference between scanning the delta
+    and scanning 100 TB.  An incremental load always knows its high-water
+    mark before the scan (it comes from the target), so the cutoff can be
+    part of the read."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if newer_than is not None:
+        c, ts = newer_than
+        if c in ns_cols:
+            # Exact integer cutoff: rebuilt-ts > ts  ⇔  raw_nanos div 1000
+            # > micros(ts)  ⇔  raw_nanos >= (micros(ts)+1) * 1000.
+            # (datetime subtraction, not float .timestamp() — float seconds
+            # round away sub-µs precision at current epochs.)
+            from datetime import datetime, timedelta
+
+            micros = (ts - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+            df = df.filter(F.col(c) >= F.lit((micros + 1) * 1000))
+        else:
+            df = df.filter(F.col(c) > F.lit(ts))
     for c in ns_cols:
         # Integer `div` (not `/`): epoch-nanos exceed double's 53-bit mantissa,
         # so float division would corrupt the low microseconds.  Truncation
