@@ -86,3 +86,27 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    keys: tuple[str, ...] | list[str],
+    buckets: int = 8,
+) -> None:
+    """Persist a (typically SCD2) table hash-bucketed AND sorted by its
+    business key in the session catalog.
+
+    Bucketing is the shuffle-avoidance deployment for key-equality joins:
+    two tables bucketed the same way join with NO Exchange on either side
+    (the temporal spine join's containment predicates ride on the
+    key-equality SortMergeJoin), and single-table window chains over the
+    key can likewise reuse the layout.  At 100 TB this turns the spine
+    join from two full shuffles into a co-located merge."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(name)
+    )
