@@ -44,6 +44,10 @@ from .operators.multimodal import (
     attach_binary_payload,
     decode_media_scalars,
     decode_media_sql,
+    resize_media,
+    resize_media_sql,
+    sample_frames,
+    sample_frames_sql,
 )
 from .operators.similarity import (
     as_double,
@@ -793,6 +797,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry (payload column excluded from the
+    checked projection — binary cells don't canonicalize)."""
+    prepare(spark)
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_media(media).drop("payload")
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame fan-out through mapInPandas (video chunking shape)."""
+    prepare(spark)
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=3)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar feat_0..feat_3 projection: the driver's canonicalizer sorts
     and hashes cell values, which list cells break (CORRECTNESS_r01 err)."""
@@ -849,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1016,6 +1037,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_decode": decode_media_sql(
             "select * from documents", scalars=True
+        ),
+        "multimodal_resize": resize_media_sql("select * from documents"),
+        "multimodal_frame_sample": sample_frames_sql(
+            "select * from documents", n_frames=3
         ),
     }
 
