@@ -39,9 +39,12 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "train_val_test_split",
+    "token_shards",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "multimodal_decode",
+    "multimodal_frame_sample",
 ]
 
 
