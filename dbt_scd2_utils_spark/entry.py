@@ -744,6 +744,30 @@ def q_epoch_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation composed from the engine's operators:
+    near-dup clustering keeps one canonical doc per cluster, the quality
+    score gates low-information docs, and the surviving corpus is sliced
+    to the train split — the assembled shape of a real training-data
+    pipeline, oracle-checked as one composed query."""
+    prepare(spark)
+    corpus = doc_corpus(spark, sf_dir).persist()
+    stats = text_stats(corpus)
+    clusters = dedup_clusters(corpus, minhash_lsh_pairs(corpus))
+    split = hash_split(corpus)
+    return (
+        corpus.join(stats, "doc_id")
+        .join(clusters, "doc_id")
+        .join(split, "doc_id")
+        .filter(
+            F.col("is_canonical")
+            & (F.col("quality_bp") >= 5000)
+            & (F.col("split") == "train")
+        )
+        .select("doc_id", "quality_bp", "cluster_rep")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return exact_dedup(doc_corpus(spark, sf_dir))
@@ -863,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": q_train_val_test_split,
         "token_shards": q_token_shards,
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
+        "curation_pipeline": q_curation_pipeline,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1010,6 +1035,19 @@ def oracle_sql() -> dict[str, str]:
         "epoch_weighted_repeat": weighted_repeat_sql(
             "select * from documents", weight=1.3
         ),
+        "curation_pipeline": f"""
+with corpus as ({DOC_CORPUS_SQL}),
+stats as ({text_stats_sql('select * from corpus')}),
+cc as ({dedup_clusters_sql('select * from corpus',
+                           minhash_lsh_pairs_sql('select * from corpus'))}),
+sp as ({hash_split_sql('select * from corpus')})
+select c.doc_id, s.quality_bp, cc.cluster_rep
+from corpus c
+join stats s using (doc_id)
+join cc using (doc_id)
+join sp using (doc_id)
+where cc.is_canonical and s.quality_bp >= 5000 and sp.split = 'train'
+""",
         "token_shards": shard_by_token_budget_sql(
             "select doc_id, bpe_tokens as n_tokens from ("
             + token_count_sql("select * from documents")
