@@ -57,6 +57,7 @@ from .operators.similarity import (
     embedding_cosine_dedup_sql,
     ivf_ann_topk,
     ivf_ann_topk_sql,
+    kmeans_centroids_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
 )
@@ -821,6 +822,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED centroids: two Lloyd iterations of the
+    bit-deterministic DataFrame k-means feed the same probe plan
+    (operators/similarity.py::kmeans_centroids)."""
+    prepare(spark)
+    from .operators.similarity import ivf_ann_topk, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, centroids=cents, nprobe=2
+    )
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize geometry (payload column excluded from the
     checked projection — binary cells don't canonicalize)."""
@@ -893,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
@@ -1072,6 +1088,14 @@ where cc.is_canonical and s.quality_bp >= 5000 and sp.split = 'train'
             "select * from embeddings",
             "select * from embeddings where vec_id < 8",
             k=5,
+        ),
+        "ann_ivf_trained_topk": ivf_ann_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            k=5,
+            cents_sql=kmeans_centroids_sql(
+                "select * from embeddings", k=8, iters=2
+            ),
         ),
         "multimodal_decode": decode_media_sql(
             "select * from documents", scalars=True

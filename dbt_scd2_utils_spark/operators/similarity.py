@@ -398,19 +398,24 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     centroid_ids: tuple[int, ...] = tuple(range(0, 480, 30)),
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus partitioned into inverted lists by nearest
     centroid; a query exact-ranks only its ``nprobe`` closest cells.
 
-    Centroids are corpus vectors with fixed ids (deterministic, no k-means
-    dependency — swap in trained centroids at deployment without changing
-    the plan shape).  Scale shape: assignment is a broadcast join against
-    the small centroid set; the probe join is an equi-join on cell id —
-    work ∝ probed cell sizes, not corpus size.
+    Default centroids are corpus vectors with fixed ids (deterministic, no
+    training dependency); pass ``centroids`` (cent_id, cv) — e.g. from
+    :func:`kmeans_centroids` — for trained cells without any plan change.
+    Scale shape: assignment is a broadcast join against the small centroid
+    set; the probe join is an equi-join on cell id — work ∝ probed cell
+    sizes, not corpus size.
     """
-    cents = df.filter(F.col(id_col).isin(*centroid_ids)).select(
-        F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cv")
-    )
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cv")
+    else:
+        cents = df.filter(F.col(id_col).isin(*centroid_ids)).select(
+            F.col(id_col).alias("cent_id"), as_double(vec_col).alias("cv")
+        )
 
     def assign(side: DataFrame, id_alias: str, out_vec: str, n: int) -> DataFrame:
         """n nearest centroids per vector (cosine, id tiebreak)."""
@@ -464,17 +469,20 @@ def ivf_ann_topk_sql(
     vec_col: str = "embedding",
     centroid_ids: tuple[int, ...] = tuple(range(0, 480, 30)),
     nprobe: int = 2,
+    cents_sql: str | None = None,
 ) -> str:
     ids = ", ".join(str(i) for i in centroid_ids)
     cos = (
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
-    return f"""
-with cents as (
+    if cents_sql is None:
+        cents_sql = f"""
   select {id_col} as cent_id, cast({vec_col} as double[]) as cv
   from ({source_sql}) where {id_col} in ({ids})
-),
+"""
+    return f"""
+with cents as ({cents_sql}),
 corpus as (
   select neighbor_id, nv, cent_id from (
     select c.{id_col} as neighbor_id, cast(c.{vec_col} as double[]) as nv,
@@ -577,3 +585,142 @@ select distinct a.id as id_a, b.id as id_b, {cos} as cosine_sim
 from e a join e b on a.band = b.band and a.sig = b.sig and a.id < b.id
 where {cos} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid training (Lloyd's iterations, DataFrame-only)
+# ---------------------------------------------------------------------------
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    """Squared L2 via the dot-product identity |a-b|² = a·a + b·b − 2·a·b.
+    Built from three sequential dots so the engine and the DuckDB oracle
+    (list_dot_product) produce bit-identical values — a zip_with of
+    differences would fold in a different order."""
+    return _dot(a, a) + _dot(b, b) - 2 * _dot(a, b)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, cv): Lloyd's k-means as DataFrame ops, bit-deterministic.
+
+    Seeds are the ``k`` lowest-id corpus vectors (no RNG).  Each iteration
+    is one broadcast assignment join (argmin squared-L2, centroid-id
+    tiebreak) and one per-dimension mean.  The mean quantizes components
+    to integer micro-units (round(v·1e6) as long) and sums THOSE — long
+    addition is accumulation-order independent, where double summation is
+    not and double→decimal casts round differently across engines
+    (measured ±5e-13/value ⇒ ~1e-14 drift per mean).  The 1e-6
+    quantization noise is irrelevant to centroid quality and makes the
+    training bit-reproducible anywhere.  Work per iteration: O(n·k)
+    distance evaluations + one shuffle keyed on (cent_id, dim); the
+    centroid table stays driver-small throughout.  A cluster that loses
+    all points drops out (k shrinks), same in the oracle.
+    """
+    pts = df.select(
+        F.col(id_col).alias("pid"), as_double(vec_col).alias("pv")
+    ).persist()
+    w0 = Window.orderBy("pid")
+    cents = (
+        pts.orderBy("pid")
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cent_id"),
+            F.col("pv").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        scored = pts.join(F.broadcast(cents)).select(
+            "pid",
+            "pv",
+            "cent_id",
+            _dist2(F.col("pv"), F.col("cv")).alias("d2"),
+        )
+        wa = Window.partitionBy("pid").orderBy(
+            F.col("d2").asc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("cent_id", "pv")
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("pv").alias("dim", "val"))
+            .groupBy("cent_id", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * 1e6, 0).cast("long"))
+                    .cast("double")
+                    / (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+                ).alias("mean")
+            )
+        )
+        cents = means.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s["mean"],
+            ).alias("cv")
+        )
+        # Materialize: the next iteration references cents twice and the
+        # lineage would otherwise recompute every prior iteration per ref.
+        cents = cents.localCheckpoint()
+    pts.unpersist()
+    return cents
+
+
+def kmeans_centroids_sql(
+    source_sql: str,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """Oracle twin of :func:`kmeans_centroids` (returns SQL whose result is
+    (cent_id, cv)).  Dimensions are 1-based here vs 0-based posexplode —
+    only the array ORDER matters, and both sort by dimension."""
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    sql = f"""
+pts as (
+  select {id_col} as pid, cast({vec_col} as double[]) as pv
+  from ({source_sql})
+),
+cents0 as (
+  select cast(row_number() over (order by pid) - 1 as bigint) as cent_id,
+         pv as cv
+  from (select * from pts order by pid limit {k})
+)"""
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        sql += f""",
+asg{i} as (
+  select cent_id, pv from (
+    select p.pid, p.pv, c.cent_id,
+           row_number() over (
+             partition by p.pid
+             order by {d2.format(a="p.pv", b="c.cv")} asc, c.cent_id asc
+           ) as rn
+    from pts p cross join {prev} c
+  ) where rn = 1
+),
+cents{i} as (
+  select cent_id, list(mean order by dim) as cv
+  from (
+    select cent_id, dim,
+           cast(sum(cast(round(pv[dim] * 1000000) as bigint)) as double)
+             / cast(count(*) * 1000000 as double) as mean
+    from asg{i}, (select unnest(generate_series(1, {dims})) as dim) dims
+    group by cent_id, dim
+  )
+  group by cent_id
+)"""
+        prev = f"cents{i}"
+    return f"with {sql}\nselect cent_id, cv from {prev}"

@@ -101,3 +101,35 @@ def test_ann_results_subset_of_bruteforce_candidates(corpus):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact
         assert exact[key] == r["cosine_sim"]
+
+
+def test_kmeans_centroids_deterministic_and_improving(spark):
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _dist2,
+        kmeans_centroids,
+    )
+    from dbt_scd2_utils_spark.sources.tables import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def distortion(cents):
+        pts = emb.select(
+            F.col("vec_id").alias("pid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("pv"),
+        )
+        d = pts.join(F.broadcast(cents)).select(
+            "pid", _dist2(F.col("pv"), F.col("cv")).alias("d2")
+        )
+        w = Window.partitionBy("pid").orderBy("d2")
+        best = d.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        return best.agg(F.sum("d2")).first()[0]
+
+    c0 = kmeans_centroids(emb, k=4, iters=0)
+    c2 = kmeans_centroids(emb, k=4, iters=2)
+    assert distortion(c2) < distortion(c0)
+    # bit-deterministic across runs
+    a = sorted(map(tuple, [r["cv"] for r in c2.collect()]))
+    b = sorted(map(tuple, [r["cv"] for r in kmeans_centroids(emb, k=4, iters=2).collect()]))
+    assert a == b
