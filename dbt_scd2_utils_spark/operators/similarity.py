@@ -36,6 +36,38 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cache lifetime: some operators persist an intermediate relation that the
+# plan references twice (a CollapseProject barrier + single evaluation).
+# The returned DataFrame is lazy, so the operator itself cannot unpersist —
+# the CALLER owns the cache lifetime.  Short-lived sessions (the driver
+# harness, bench) can ignore this; a long-lived session should call
+# release_caches() after the consuming action, or it leaks executor storage
+# memory one persisted relation per call.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    _LIVE_CACHES.append(cached)
+    return cached
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module has cached; returns how
+    many were released.  Safe to call at any time — consuming a returned
+    DataFrame after release just recomputes the intermediate."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -121,6 +153,16 @@ where rank <= {k}
 # total buckets meant bucket size — and the verify join — grew linearly with
 # the corpus), and recall at a given cosine is tuned by b independently of
 # granularity: P(candidate) = 1-(1-p^r)^b with p = 1 - θ/π.
+#
+# Signature dots are QUANTIZED-INTEGER: sign(Σ_d floor(v_d·c_d·1e9 + 0.5))
+# — int64 addition is accumulation-order independent, so the engine path
+# (vectorized numpy over Arrow batches), the HOF reference path, and the
+# DuckDB oracle agree EXACTLY by construction, with no dependence on any
+# particular float fold order.  The 1e-9 quantization is far below any
+# meaningful cosine margin; it only (deterministically) perturbs which side
+# of a hyperplane a vector falls on when |dot| < ~3e-8 — irrelevant to LSH
+# recall, identical in all implementations.  Verification cosines remain
+# exact doubles (sequential fold, bitwise-matched to list_dot_product).
 
 
 def hyperplanes(dims: int, planes: int, seed: str = "ann") -> list[list[float]]:
@@ -144,8 +186,24 @@ def banded_hyperplanes(
     return [hp[b * rows_per_band : (b + 1) * rows_per_band] for b in range(bands)]
 
 
+QUANT = 1000000000.0  # signature-dot quantum: 1e-9 units
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Quantized integer dot: Σ floor(aᵢ·bᵢ·1e9 + 0.5) as long.  Integer
+    accumulation is order-independent — every implementation (numpy, HOF,
+    DuckDB) produces the exact same value with no fold-order caveats."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x * y * F.lit(QUANT) + F.lit(0.5))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket signature: one bit per hyperplane."""
+    """Sign-bit bucket signature: one bit per hyperplane (quantized dot)."""
     bits = []
     for i, plane in enumerate(planes):
         # A constant array literal, built with ONE py4j round trip per plane
@@ -155,7 +213,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         lit = F.expr(
             "array(" + ", ".join(repr(c) + "D" for c in plane) + ")"
         )
-        bits.append(F.when(_dot(vec, lit) >= 0, F.lit(2**i)).otherwise(F.lit(0)))
+        bits.append(F.when(_qdot(vec, lit) >= 0, F.lit(2**i)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
@@ -163,12 +221,12 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 @lru_cache(maxsize=8)
-def _plane_tensor(bhp: tuple) -> Column:
-    """Parse the bands × rows × dims coefficient tensor once per distinct
-    parameterization; the returned unresolved Column is reusable across
-    queries (and both sides of the candidate join share the identical
-    expression object)."""
-    return F.expr(
+def _plane_tensor_sql(bhp: tuple) -> str:
+    """Bands × rows × dims coefficient tensor as ONE SQL literal string.
+    The STRING is cached (not a Column: a Column wraps a JVM expression
+    handle, which goes stale if the SparkContext is restarted within the
+    same Python process); ``F.expr`` re-wraps it per call, which is cheap."""
+    return (
         "array("
         + ", ".join(
             "array("
@@ -183,17 +241,24 @@ def _plane_tensor(bhp: tuple) -> Column:
     )
 
 
-def banded_sigs(vec: Column, bhp: list[list[list[float]]]) -> Column:
-    """All band signatures in ONE expression: the full plane tensor is a
-    single nested array literal and the per-band/per-plane loops are
-    higher-order functions over it.
+def _plane_tensor(bhp: tuple) -> Column:
+    return F.expr(_plane_tensor_sql(bhp))
 
-    Equivalent math to per-plane :func:`lsh_bucket` (same sequential dot,
-    same bit weights) but O(1) expression-tree size: the unrolled version
-    — 64 separately-parsed plane literals and a 64-way when-sum, repeated
-    on both join sides — cost ~5 s of driver-side analysis/codegen per
-    query at ANY data size (measured sf0.1).  Here Catalyst sees one
-    literal and three nested lambdas regardless of bands × rows."""
+
+def banded_sigs(vec: Column, bhp: list[list[list[float]]]) -> Column:
+    """All band signatures in ONE expression (``array<int>``, one element
+    per band): the full plane tensor is a single nested array literal and
+    the per-band/per-plane loops are higher-order functions over it.
+
+    This is the REFERENCE implementation (quantized dots, same math as the
+    vectorized numpy path in :func:`_banded` — a test asserts exact
+    equality).  HOF lambdas evaluate interpreted (outside whole-stage
+    codegen), so the hot path uses numpy over Arrow batches instead; an
+    unrolled-literal codegen version was tried and rejected — 4k terms in
+    one expression exceeds Janino's 64 KB method limit and Spark falls
+    back to interpreted eval after a measured ~50 s compile-retry tax,
+    while splitting into 64 projection fields compiled but ran ~1.8×
+    slower than the HOF path."""
     tensor = _plane_tensor(
         tuple(tuple(tuple(plane) for plane in band) for band in bhp)
     )
@@ -203,7 +268,7 @@ def banded_sigs(vec: Column, bhp: list[list[list[float]]]) -> Column:
             F.transform(
                 band,
                 lambda plane, i: F.when(
-                    _dot(vec, plane) >= 0,
+                    _qdot(vec, plane) >= 0,
                     F.pow(F.lit(2.0), i.cast("double")),
                 ).otherwise(F.lit(0.0)),
             ),
@@ -213,13 +278,32 @@ def banded_sigs(vec: Column, bhp: list[list[list[float]]]) -> Column:
     )
 
 
+def unrolled_dot_sql(a_sql: str, b_sql: str, dims: int) -> str:
+    """``a·b`` as a flat left-associated sum — ``a[0]*b[0] + a[1]*b[1] +
+    …`` — which folds in exactly the same left-to-right order as the
+    sequential :func:`_dot` aggregate and DuckDB's ``list_dot_product``
+    (bitwise-identical doubles), but is plain codegen arithmetic instead
+    of an interpreted higher-order function.  Safe for SINGLE dots in a
+    projection; do not compose thousands of terms into one expression —
+    a 64-plane signature tensor unrolled this way exceeds Janino's 64 KB
+    method limit and Spark silently falls back to interpreted eval
+    (measured: 50 s first-run compile-retry tax)."""
+    return " + ".join(f"{a_sql}[{d}] * {b_sql}[{d}]" for d in range(dims))
+
+
 def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`lsh_bucket`/:func:`banded_sigs`: the quantized
+    dot is Σᵢ floor(v[i]·c[i]·1e9 + 0.5) over a lambda — int64 sums match
+    the engine exactly regardless of accumulation order."""
     parts = []
     for i, plane in enumerate(planes):
         arr = "[" + ", ".join(f"cast({c} as double)" for c in plane) + "]"
-        parts.append(
-            f"case when list_dot_product({vec_sql}, {arr}) >= 0 then {2**i} else 0 end"
+        qdot = (
+            f"list_sum(list_transform(generate_series(1, {len(plane)}), "
+            f"i -> cast(floor({vec_sql}[i] * ({arr})[i] * {QUANT!r} + 0.5)"
+            f" as bigint)))"
         )
+        parts.append(f"case when {qdot} >= 0 then {2**i} else 0 end")
     return "cast(" + " + ".join(parts) + " as int)"
 
 
@@ -243,32 +327,75 @@ def _banded(
     id_col: str, vec_col: str, bhp: list[list[list[float]]],
     parallelize: bool = True,
 ) -> DataFrame:
-    """One row per (vector, band): (id, vec, nrm, band, sig).  The signature
-    array and the vector norm are computed once per input row, then
-    posexploded — a narrow generator, no re-scan per band; downstream cosine
-    verification reuses ``nrm`` instead of recomputing norms per pair.
+    """One row per (vector, band): (id, vec, nrm, band, sig).
+
+    Signatures are computed VECTORIZED in numpy over Arrow batches
+    (``mapInPandas``): one (batch × dims) · (dims) multiply per plane plus
+    integer sums — memory-bandwidth-bound BLAS-style work, ~10× the
+    throughput of interpreted HOF lambda eval, with no JIT-warmup tax and
+    no Janino method-size ceiling (both were measured failure modes of
+    JVM-side alternatives; see :func:`banded_sigs`).  The quantized
+    integer dot makes the numpy result EXACTLY equal to the HOF reference
+    and the DuckDB oracle — no float fold-order dependence.  The vector
+    and its norm ride through the Arrow round trip untouched (float64 is
+    exact across Arrow), so downstream cosine verification still reuses
+    ``nrm`` and the double-precision vector.
+
+    The norm stays JVM-side: an unrolled codegen self-dot whose
+    left-to-right fold matches DuckDB's ``list_dot_product`` bitwise —
+    the norm feeds VALUE-compared cosines, where bitwise parity matters.
     ``parallelize=False`` skips the small-input repartition (use for a
     broadcast-bound query side: the extra shuffle costs more than the
     single-core signature pass saves)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     v = as_double(vec_col)
     src = _parallelize_narrow(df) if parallelize else df
-    # Two projections, not one: computing the signature from an alias
-    # defined in the SAME select would resolve it as a lateral column
-    # alias, and Spark's analyzer cannot substitute an LCA inside a
-    # higher-order-function lambda (internal "should not contain any
-    # LateralColumnAliasReference" error when vec_col == vec_alias).
-    # CollapseProject re-merges these after analysis, so no extra stage.
+    dims = len(bhp[0][0])
+    bands, rows_per_band = len(bhp), len(bhp[0])
+    nrm_sql = " + ".join(
+        f"cast(`{vec_col}`[{d}] as double) * cast(`{vec_col}`[{d}] as double)"
+        for d in range(dims)
+    )
+    nrm_alias = f"{vec_alias}_nrm"
     base = src.select(
         F.col(id_col).alias(id_alias),
         v.alias(vec_alias),
-        F.sqrt(_dot(v, v)).alias(f"{vec_alias}_nrm"),
+        F.sqrt(F.expr(nrm_sql)).alias(nrm_alias),
     )
-    return base.select(
-        id_alias,
-        vec_alias,
-        f"{vec_alias}_nrm",
-        F.posexplode(banded_sigs(F.col(vec_alias), bhp)).alias("band", "sig"),
+    out_schema = StructType(
+        base.schema.fields
+        + [StructField("band", IntegerType()), StructField("sig", IntegerType())]
     )
+    coef = np.asarray(bhp, dtype=np.float64).reshape(bands * rows_per_band, dims)
+    weights = (2 ** np.arange(rows_per_band, dtype=np.int64)).reshape(1, 1, -1)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_alias]]
+            )
+            qdots = np.empty((n, bands * rows_per_band), dtype=np.int64)
+            for p in range(bands * rows_per_band):
+                # Same term math as _qdot / the oracle: floor(v·c·1e9 + .5)
+                # per element, exact int64 sum (order-independent).
+                qdots[:, p] = (
+                    np.floor(vecs * coef[p] * QUANT + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+            bits = (qdots >= 0).astype(np.int64).reshape(n, bands, rows_per_band)
+            sigs = (bits * weights).sum(axis=2).astype(np.int32)
+            out = pdf.loc[pdf.index.repeat(bands)].reset_index(drop=True)
+            out["band"] = np.tile(np.arange(bands, dtype=np.int32), n)
+            out["sig"] = sigs.reshape(-1)
+            yield out
+
+    return base.mapInPandas(gen, out_schema)
 
 
 def _banded_sql(
@@ -310,12 +437,19 @@ def lsh_ann_topk(
     ``queries`` DataFrame: the query side is then sliced out of the single
     persisted corpus signature table rather than signed in a second pass —
     at corpus scale that drops one full scan+signature job."""
+    if queries is None and query_ids is None:
+        raise ValueError(
+            "lsh_ann_topk needs a query side: pass queries=<DataFrame> or "
+            "query_ids=<ids of corpus rows to use as queries>"
+        )
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     c = _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
     if query_ids is not None:
         if queries is not None:
             raise ValueError("pass either queries or query_ids, not both")
-        c = c.persist()
+        # Referenced by both join sides — persisted; caller releases via
+        # release_caches() in long-lived sessions (see _LIVE_CACHES).
+        c = _barrier(c)
         q = c.filter(F.col("neighbor_id").isin(*query_ids)).select(
             F.col("neighbor_id").alias("query_id"),
             F.col("cv").alias("qv"),
@@ -338,7 +472,7 @@ def lsh_ann_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
+                F.expr(unrolled_dot_sql("qv", "cv", dims))
                 / (F.col("qv_nrm") * F.col("cv_nrm")),
                 6,
             ).alias("cosine_sim"),
@@ -543,7 +677,8 @@ def embedding_cosine_dedup(
     # persist: the self-join references the banded relation twice; without
     # the barrier the signature projection runs twice (and CollapseProject
     # can inline it into the join condition — see operators/dedup.py).
-    e = _banded(df, "id", "v", id_col, vec_col, bhp).persist()
+    # Caller releases via release_caches() in long-lived sessions.
+    e = _barrier(_banded(df, "id", "v", id_col, vec_col, bhp))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -556,7 +691,7 @@ def embedding_cosine_dedup(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                _dot(F.col("a.v"), F.col("b.v"))
+                F.expr(unrolled_dot_sql("a.v", "b.v", dims))
                 / (F.col("a.v_nrm") * F.col("b.v_nrm")),
                 6,
             ).alias("cosine_sim"),

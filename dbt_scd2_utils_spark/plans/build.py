@@ -90,17 +90,24 @@ class ScdTable:
 
     def _materialization_matches(self) -> bool:
         """is_incremental.sql:18-28's materialization-match leg.  A missing
-        metadata file (pre-existing/foreign parquet dir) counts as a
-        MISMATCH: the relation wasn't built by this materialization, so the
-        run must be treated as initial — same as dbt replacing a ``table``
-        relation when the model switches to ``scd``."""
+        or unreadable metadata file means UNKNOWN provenance and counts as a
+        MATCH (incremental), aligned with
+        ``sources.incremental.is_incremental_run``'s ``None``-means-match
+        rule: the destructive alternative (treat unknown as mismatch →
+        initial load → ``_atomic_write`` replaces the table) would silently
+        discard accumulated SCD2 history for any table built before the
+        meta file existed, or whose meta file was lost.  Only an EXPLICIT
+        record of a different materialization forces the rebuild — same as
+        dbt replacing a ``table`` relation when the model switches to
+        ``scd``.  ``_write_meta`` runs on every build, so unknown-provenance
+        tables are backfilled after one incremental cycle."""
         import json
 
         try:
             with open(self._meta_path()) as f:
                 meta = json.load(f)
         except (OSError, ValueError):
-            return False
+            return True
         # scd_type is recorded for observability but not matched on — the
         # reference's rule is materialization-granular (an scd_type change
         # re-merges under the new config, same as changing any other config).
@@ -173,12 +180,24 @@ class ScdTable:
         output must be fully on disk before any live file is deleted; a
         cache/persist barrier is only best-effort and recomputes against
         deleted files on eviction or executor loss).  Each affected bucket
-        partition is then swapped in with an atomic directory rename, the
-        same story as ``_atomic_write``.  A crash mid-swap leaves every
-        partition wholly old or wholly new, never partially rewritten; on an
+        partition is then swapped in via rename, the same story as
+        ``_atomic_write``.  The displaced partition is parked under a
+        DOT-prefixed name (``.<part>__old``): Spark's file listing ignores
+        ``.``/``_``-prefixed paths, so a crash between the two renames
+        leaves the live table readable (that partition absent, its data
+        recoverable from the dot dir) rather than corrupting partition
+        discovery with a bogus ``<part>__old`` partition value.  Any such
+        remnants from a previous crash are swept before the swap.  On an
         object store this rename protocol would be replaced by a table
         format's commit (Delta/Iceberg), same as ``_atomic_write``.
         """
+        # Sweep parked-partition remnants from a previous crashed swap —
+        # they are invisible to Spark (dot prefix) but would collide with
+        # this swap's parking renames.
+        import glob
+
+        for leftover in glob.glob(os.path.join(self.path, f".{BUCKET_COL}=*__old")):
+            shutil.rmtree(leftover, ignore_errors=True)
         affected = [
             r[0]
             for r in batch.select(self._bucket_expr(batch).alias("b")).distinct().collect()
@@ -201,7 +220,7 @@ class ScdTable:
             part = f"{BUCKET_COL}={b}"
             src = os.path.join(stage, part)
             dst = os.path.join(self.path, part)
-            old = dst + "__old"
+            old = os.path.join(self.path, f".{part}__old")
             if os.path.exists(dst):
                 os.rename(dst, old)
             if os.path.exists(src):

@@ -36,6 +36,38 @@ def _nanos_ts_columns(path: str) -> list[str]:
         return []
 
 
+def _epoch_micros(spark: SparkSession, ts) -> int:
+    """Microseconds since the Unix epoch for ``ts``, interpreting a naive
+    datetime in the SESSION timezone (``spark.sql.session.timeZone``) —
+    the same rule Spark applies to naive TimestampType literals — so the
+    pushed-down raw-long comparison matches what a post-rebuild timestamp
+    comparison would have selected, regardless of session tz."""
+    from datetime import datetime, timedelta, timezone
+
+    if ts.tzinfo is None:
+        tzname = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            from zoneinfo import ZoneInfo
+
+            tz = ZoneInfo(tzname)
+        except Exception:
+            # Spark also accepts fixed offsets like "+08:00" / "GMT+08:00".
+            import re
+
+            m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{2}):?(\d{2})", tzname)
+            if not m:
+                raise ValueError(
+                    f"unrecognized spark.sql.session.timeZone {tzname!r}"
+                )
+            sign = 1 if m.group(1) == "+" else -1
+            tz = timezone(
+                sign * timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+            )
+        ts = ts.replace(tzinfo=tz)
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    return (ts - epoch) // timedelta(microseconds=1)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -68,9 +100,16 @@ def load_table(
             # > micros(ts)  ⇔  raw_nanos >= (micros(ts)+1) * 1000.
             # (datetime subtraction, not float .timestamp() — float seconds
             # round away sub-µs precision at current epochs.)
-            from datetime import datetime, timedelta
-
-            micros = (ts - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+            #
+            # The raw long is an absolute epoch instant, but a NAIVE cutoff
+            # datetime means "wall clock in the session timezone" (that is
+            # how Spark interprets a naive TimestampType literal on the
+            # non-nanos branch below).  Resolve it through the session tz
+            # explicitly rather than assuming UTC — a user running with
+            # spark.sql.session.timeZone=America/New_York would otherwise
+            # get a cutoff shifted by the offset, silently dropping or
+            # double-reading delta rows.
+            micros = _epoch_micros(spark, ts)
             df = df.filter(F.col(c) >= F.lit((micros + 1) * 1000))
         else:
             df = df.filter(F.col(c) > F.lit(ts))

@@ -64,22 +64,44 @@ def test_is_incremental_run_full_refresh_and_materialization(spark):
 # ---- ScdTable materialization-match leg ----------------------------------
 
 
-def test_foreign_parquet_dir_forces_initial(spark, tmp_path):
-    """A parquet dir NOT built by ScdTable (no _scd_meta.json) must be
-    treated as initial — the relation wasn't built by this materialization
-    (is_incremental.sql:18-28)."""
+def test_unknown_provenance_defaults_to_incremental(spark, tmp_path):
+    """A table whose _scd_meta.json is missing has UNKNOWN provenance and
+    must NOT be silently replaced (that would destroy accumulated SCD2
+    history): ``_materialization_matches`` aligns with
+    ``is_incremental_run``'s None-means-match rule and merges
+    incrementally, backfilling the meta file on the way out."""
+    import datetime as dt
+
+    path = str(tmp_path / "tbl")
+    t0, t1 = dt.datetime(2020, 1, 1), dt.datetime(2020, 6, 1)
+    tbl = ScdTable(spark, path, resolve_config(**CFG_KW))
+    tbl.build(_feed(spark, [(1, "a", t0)]))
+    # Simulate a pre-meta-era table (or a lost meta file).
+    os.remove(os.path.join(path, "_scd_meta.json"))
+    assert tbl.exists() and tbl._materialization_matches()
+    out = tbl.build(_feed(spark, [(1, "b", t1)]))
+    # Incremental, not a destructive rebuild: key 1 keeps both versions.
+    assert out.filter(F.col("k") == 1).count() == 2
+    meta = json.load(open(os.path.join(path, "_scd_meta.json")))
+    assert meta["materialized"] == "scd" and meta["scd_type"] == 2
+
+
+def test_explicit_foreign_materialization_forces_initial(spark, tmp_path):
+    """Only an EXPLICIT record of a different materialization forces the
+    initial rebuild (is_incremental.sql:18-28 — dbt replacing a ``table``
+    relation when the model switches to ``scd``)."""
     import datetime as dt
 
     path = str(tmp_path / "tbl")
     t0 = dt.datetime(2020, 1, 1)
-    feed = _feed(spark, [(1, "a", t0)])
-    # Foreign table: plain parquet write, then an ScdTable build over it.
-    feed.write.parquet(path)
+    _feed(spark, [(1, "a", t0)]).write.parquet(path)
+    with open(os.path.join(path, "_scd_meta.json"), "w") as f:
+        json.dump({"materialized": "table"}, f)
     tbl = ScdTable(spark, path, resolve_config(**CFG_KW))
     assert tbl.exists() and not tbl._materialization_matches()
     out = tbl.build(_feed(spark, [(1, "a", t0), (2, "b", t0)]))
-    # Initial load semantics: both keys present as version rows, and the
-    # foreign file's contents were replaced, not merged into.
+    # Initial load semantics: the foreign contents were replaced, not
+    # merged into.
     assert out.filter(F.col("_is_current")).count() == 2
     meta = json.load(open(os.path.join(path, "_scd_meta.json")))
     assert meta["materialized"] == "scd" and meta["scd_type"] == 2

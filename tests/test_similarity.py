@@ -103,6 +103,55 @@ def test_ann_results_subset_of_bruteforce_candidates(corpus):
         assert exact[key] == r["cosine_sim"]
 
 
+def test_numpy_sigs_exactly_match_hof_reference(corpus):
+    """The vectorized numpy signature path (the engine hot path inside
+    _banded) must produce EXACTLY the HOF reference's signatures — the
+    quantized-integer dot guarantees this with no fold-order caveats.
+    Checked on float32 input too (the real embeddings table is
+    array<float>)."""
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _banded,
+        banded_hyperplanes,
+        banded_sigs,
+    )
+
+    bhp = banded_hyperplanes(DIMS, bands=4, rows_per_band=6)
+    for cast_to in ("array<double>", "array<float>"):
+        df = corpus.select(
+            "vec_id", F.col("embedding").cast(cast_to).alias("embedding")
+        )
+        hof = df.select(
+            F.col("vec_id").alias("id"),
+            F.posexplode(
+                banded_sigs(
+                    F.transform("embedding", lambda x: x.cast("double")), bhp
+                )
+            ).alias("band", "hof_sig"),
+        )
+        eng = _banded(df, "id", "v", "vec_id", "embedding", bhp).select(
+            "id", "band", F.col("sig").alias("eng_sig")
+        )
+        joined = hof.join(eng, ["id", "band"], "full_outer")
+        bad = joined.filter(
+            F.col("hof_sig").isNull()
+            | F.col("eng_sig").isNull()
+            | (F.col("hof_sig") != F.col("eng_sig"))
+        ).count()
+        assert bad == 0, f"{cast_to}: {bad} (id, band) rows disagree"
+
+
+def test_lsh_requires_query_side_and_release_caches(corpus):
+    from dbt_scd2_utils_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="query side"):
+        lsh_ann_topk(corpus)
+    # query_ids path persists an intermediate; release_caches frees it.
+    similarity.release_caches()
+    lsh_ann_topk(corpus, query_ids=[0, 1], dims=DIMS).collect()
+    assert similarity.release_caches() >= 1
+    assert similarity.release_caches() == 0
+
+
 def test_kmeans_centroids_deterministic_and_improving(spark):
     from dbt_scd2_utils_spark.operators.similarity import (
         _dist2,
