@@ -92,7 +92,7 @@ from .plans.oracles import (
 )
 from .session import prepare
 from .sources.incremental import high_water_mark
-from .sources.tables import load_table
+from .sources.tables import load_table, write_bucketed_table
 
 # Mid-month split for the staged (initial + one incremental batch) queries —
 # the events tables span 2024-01-01 .. 2024-01-31 at every scale factor.
@@ -572,6 +572,33 @@ def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_bucketed_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment-scale join shape: both SCD2 relations are persisted
+    hash-bucketed AND sorted by the business key
+    (``sources.tables.write_bucketed_table``), then temporal-joined reading
+    the BUCKETED tables — the plan keeps the containment join's
+    key-equality sort-merge but drops the table-side Exchanges (asserted in
+    ``tests/test_bucketed_join.py``; at 100 TB this is the difference
+    between two full shuffles and co-located merges).  Bucketing changes
+    the physical plan, not the relation, so the scd2_temporal_join oracle
+    gates the result byte-for-byte."""
+    prepare(spark)
+    rels = _view_purchase_rels(spark, sf_dir)
+    # Bucket count matches spark.sql.shuffle.partitions so the bucketed
+    # scans' distribution satisfies the join requirement directly (a
+    # mismatch re-shuffles — bucket count is a deployment decision).
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    names = ("scd2_bkt_view", "scd2_bkt_purch")
+    for rel, name in zip(rels, names):
+        write_bucketed_table(rel, name, ("user_id",), buckets=n)
+    tabs = [spark.table(name) for name in names]
+    out = scd2_join(tabs, ["user_id"], default_valid_to=VALID_TO)
+    return out.select(
+        "user_id", "view_value", "view_props", "purch_value", "purch_props",
+        "_is_current", "_valid_from", "_valid_to",
+    )
+
+
 def q_incremental_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: high-water-mark scan — rows newer than the target's max(ts).
     The cutoff rides into the read (`newer_than=`) so it filters the RAW
@@ -882,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd0_initial_load": q_scd0_initial_load,
         "scd0_incremental_merge": q_scd0_incremental_merge,
         "scd2_temporal_join": q_scd2_temporal_join,
+        "scd2_bucketed_temporal_join": q_scd2_bucketed_temporal_join,
         "incremental_source_watermark": q_incremental_source_watermark,
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
@@ -985,7 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "scd0_initial_load": scd0_initial_load_sql(FEED01_SQL, SCD01_SPEC),
         # time-ordered batches ⇒ staged scd0 ≡ earliest-row full load.
         "scd0_incremental_merge": scd0_initial_load_sql(FEED01_SQL, SCD01_SPEC),
-        "scd2_temporal_join": scd2_join_sql(
+        "scd2_temporal_join": (temporal_join_oracle := scd2_join_sql(
             [
                 rel_sql("view", "view_value", "view_props"),
                 rel_sql("purchase", "purch_value", "purch_props"),
@@ -993,7 +1021,10 @@ def oracle_sql() -> dict[str, str]:
             [["view_value", "view_props"], ["purch_value", "purch_props"]],
             ["user_id"],
             default_valid_to=VALID_TO,
-        ),
+        )),
+        # Bucketing changes the physical plan (no table-side Exchange),
+        # not the relation — the same temporal-join oracle gates it.
+        "scd2_bucketed_temporal_join": temporal_join_oracle,
         "incremental_source_watermark": f"""
             select * from events
             where ts > (
