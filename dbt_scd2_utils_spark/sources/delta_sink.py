@@ -2,10 +2,18 @@
 this container).
 
 The reference's MERGE (``get_incremental_scd2_sql.sql:238-268``) maps 1:1
-onto Delta's three-clause merge; this module carries that mapping so a
+onto Delta's three-clause merge; this module implements that mapping so a
 Delta-enabled deployment gets true in-place merge (file-level rewrite ∝
 matched files + ``incremental_predicates`` file pruning) instead of the
 vanilla join-and-overwrite path in ``operators/scd2.py``.
+
+TESTING STATUS: the clause construction (:func:`build_merge_clauses`) is
+unit-tested without delta-spark; the :func:`scd2_delta_merge` execute path
+is UNTESTED — delta-spark is not installed in the build container (and the
+environment forbids installing packages), so ``merge.execute()`` has never
+run here.  A Delta-enabled deployment should validate it once against
+``operators.scd2.scd2_incremental`` output (the clause mapping says they
+must be row-identical).
 
 The merge SOURCE is the same DataFrame ``build_scd2_merge_source`` produces
 for the vanilla path — only the sink differs, which is exactly the
