@@ -17,6 +17,26 @@ intent ("prioritise existing record", line 149-150) and make the pick fully
 deterministic: order by ``_priority`` (previous=0 wins over new=17), then the
 loaded-at watermark when present, then the business column values.  This is
 cross-engine stable (orders by values, never by engine-specific hashes).
+
+Key-skew note (window chain): every audit window partitions by the business
+key, so a pathological key with millions of versions lands WHOLE on one
+task — AQE skew handling covers joins, not windows, so that stage runs as
+a single-straggler tail bounded by the hot key's history length (measured
+local[32]: 100k-version hot key among 10k normal keys → initial ~5.7 s,
+incremental ~7.1 s; provoked in
+``tests/test_scd2_incremental.py::test_hot_key_window_skew_completes``).
+This is inherent to SCD2 semantics — lead/lag/row_number over a key's full
+history cannot be computed on less than the full history.  At 100 TB the
+mitigations are upstream of this operator: (a) such keys are almost always
+data bugs (a NULL-ish sentinel key) — surface them with
+``batch.groupBy(keys).count().orderBy(F.desc("count"))`` and quarantine;
+(b) if a hot key is legitimate, pre-collapse its intra-batch churn (e.g.
+keep last version per (key, hour)) BEFORE the merge, shrinking the window
+input; (c) a salted two-phase window (salt → per-salt partial lead/lag →
+boundary-row fixup join) is possible but only pays off past ~10M versions
+per key — below that the straggler finishes before the extra shuffle+join
+would.  The operator deliberately does not salt by default: correctness of
+the fixup is subtle and the 99.99% case pays the cost for nothing.
 """
 
 from __future__ import annotations
