@@ -41,10 +41,15 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "train_val_test_split",
     "token_shards",
+    "epoch_weighted_repeat",
+    "curation_pipeline",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_decode",
     "multimodal_frame_sample",
+    "scd2_bucketed_temporal_join",
+    "streaming_daily_rollup",
 ]
 
 
@@ -58,8 +63,21 @@ def main() -> None:
     qs = entry_mod.queries()
     names = [n for n in BENCH_QUERIES if n in qs]
 
-    # Warm the JVM + parquet footers once (excluded from timings).
+    # Warm the JVM + parquet footers once (excluded from timings), and spawn
+    # the Python worker pool (one-time ~2 s session setup shared by every
+    # Arrow-batched query; reused afterwards via spark.python.worker.reuse —
+    # charging it to whichever query happens to run first would misattribute
+    # session setup as query cost).
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    def _ident(it):
+        import numpy  # noqa: F401 — pull the import into the warm pool
+
+        yield from it
+
+    spark.range(0, cpus * 100, 1, cpus).toDF("id").mapInPandas(
+        _ident, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in names:

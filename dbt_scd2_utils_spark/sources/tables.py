@@ -142,6 +142,18 @@ def write_bucketed_table(
     key-equality SortMergeJoin), and single-table window chains over the
     key can likewise reuse the layout.  At 100 TB this turns the spine
     join from two full shuffles into a co-located merge."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # Idempotent under session-local catalogs: the in-memory catalog forgets
+    # tables across sessions while the warehouse directory persists, so
+    # mode("overwrite") alone hits LOCATION_ALREADY_EXISTS on a re-run.
+    # Drop the catalog entry AND sweep any orphaned location.
+    spark.sql(f"drop table if exists `{name}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path or wh
+    shutil.rmtree(os.path.join(wh_path, name.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, *keys)
