@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Scaling proof: run the three heaviest operators at two data scales whose
+row counts differ 10× and record the wall-time curve (BASELINE.md §scaling).
+
+The driver testdata tops out at sf0.1, so this script generates its own
+deterministic corpora (matched distributions at both scales — near-dup rate,
+users-per-event ratio, text length) under ``.scale_data/`` and compares
+MY-sf0.1-equivalent vs MY-sf1: a relative curve over identically-shaped data,
+which is the claim under test ("~linear in rows"), not absolute parity with
+the driver generator.
+
+Usage: python scripts/scale_proof.py [--small-only]
+Prints one JSON line per (scale, operator) and a summary line with ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_data")
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan store "
+    "vector query agg table hash join merge shuffle broadcast filter scale "
+    "stream window state key row group page codec stats prune skew salt"
+).split()
+
+
+def gen_documents(n: int, seed: int) -> "pyarrow.Table":
+    """Word-soup docs with an ~18% near-duplicate tail (copy an earlier doc,
+    perturb ~8% of words) so minhash/cluster paths do real work."""
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    texts: list[str] = []
+    for i in range(n):
+        if i > 0 and rng.random() < 0.18:
+            words = texts[rng.randrange(max(1, i - 500), i)].split()
+            for j in range(len(words)):
+                if rng.random() < 0.08:
+                    words[j] = rng.choice(VOCAB)
+        else:
+            words = [rng.choice(VOCAB) for _ in range(rng.randint(12, 60))]
+        texts.append(" ".join(words))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([["en", "zh", "de"][i % 3] for i in range(n)]),
+            "source": pa.array([f"src{i % 4}" for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_events(n: int, seed: int) -> "pyarrow.Table":
+    """Change-feed events: ~n/66 users (driver testdata ratio), one month of
+    second-granular timestamps, 'error' rows acting as soft deletes."""
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    users = max(50, n // 66)
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC in epoch micros
+    span = 31 * 24 * 3600
+    ts = sorted(rng.randrange(span) for _ in range(n))
+    types = ["view", "purchase", "signup", "error", "click"]
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + t * 1_000_000 + i % 1000 for i, t in enumerate(ts)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([rng.randrange(users) for _ in range(n)], pa.int64()),
+            "event_type": pa.array([types[rng.randrange(100) % 5] for _ in range(n)]),
+            "value": pa.array([round(rng.uniform(0, 200), 2) for _ in range(n)]),
+            "props": pa.array(['{"k": %d}' % rng.randrange(100) for _ in range(n)]),
+        }
+    )
+
+
+def ensure_data() -> dict[str, dict[str, str]]:
+    import pyarrow.parquet as pq
+
+    scales = {"s0.1": {"documents": 5_000, "events": 100_000},
+              "s1": {"documents": 50_000, "events": 1_000_000}}
+    out: dict[str, dict[str, str]] = {}
+    for scale, tables in scales.items():
+        d = os.path.join(DATA_DIR, scale)
+        os.makedirs(d, exist_ok=True)
+        out[scale] = {}
+        for name, n in tables.items():
+            path = os.path.join(d, f"{name}.parquet")
+            if not os.path.exists(path):
+                gen = gen_documents if name == "documents" else gen_events
+                pq.write_table(gen(n, seed=42), path)
+                print(f"generated {path} ({n} rows)", file=sys.stderr)
+            out[scale][name] = path
+    return out
+
+
+def run(spark, paths: dict[str, str]) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark import ScdConfig, scd2_incremental, scd2_initial_load
+    from dbt_scd2_utils_spark.operators.clustering import dedup_clusters
+    from dbt_scd2_utils_spark.operators.dedup import minhash_lsh_pairs
+
+    times: dict[str, float] = {}
+    docs = spark.read.parquet(paths["documents"])
+    events = spark.read.parquet(paths["events"])
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs)
+    pairs.write.format("noop").mode("overwrite").save()
+    times["minhash_lsh_pairs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    dedup_clusters(docs, pairs).write.format("noop").mode("overwrite").save()
+    times["dedup_clusters"] = round(time.perf_counter() - t0, 2)
+
+    feed = events.select(
+        "user_id", "event_type", "value", "props",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+        F.col("ts").alias("_updated_at"),
+    )
+    cfg = ScdConfig(
+        unique_key=("user_id",), deleted_at_column="deleted_at",
+        default_valid_to="2200-01-01 00:00:00",
+    )
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    t0 = time.perf_counter()
+    state = scd2_initial_load(feed.filter(F.col("_updated_at") <= split), cfg).persist()
+    state.write.format("noop").mode("overwrite").save()  # materialized table stand-in
+    scd2_incremental(
+        state, feed.filter(F.col("_updated_at") > split), cfg
+    ).write.format("noop").mode("overwrite").save()
+    times["scd2_incremental_merge"] = round(time.perf_counter() - t0, 2)
+    state.unpersist()
+    return times
+
+
+def main() -> None:
+    from dbt_scd2_utils_spark.session import get_spark
+
+    paths = ensure_data()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    spark = get_spark("scale-proof", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm JVM + python workers once so the curve measures the operators.
+    spark.range(0, 1000, 1, 8).toDF("id").mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {}
+    scales = ["s0.1"] if "--small-only" in sys.argv else ["s0.1", "s1"]
+    for scale in scales:
+        results[scale] = run(spark, paths[scale])
+        print(json.dumps({"scale": scale, "times": results[scale]}))
+
+    if "s1" in results:
+        ratios = {
+            op: round(results["s1"][op] / max(results["s0.1"][op], 1e-9), 1)
+            for op in results["s1"]
+        }
+        print(json.dumps({"metric": "scale_ratio_10x_rows", "ratios": ratios, "cpus": cpus}))
+
+
+if __name__ == "__main__":
+    main()
