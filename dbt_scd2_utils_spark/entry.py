@@ -42,12 +42,14 @@ from .operators.dedup import (
 from .operators.invariants import no_validity_overlaps, one_current_per_key
 from .operators.multimodal import (
     attach_binary_payload,
+    decode_media_real,
     decode_media_scalars,
     decode_media_sql,
     resize_media,
     resize_media_sql,
     sample_frames,
     sample_frames_sql,
+    synthesize_media_corpus,
 )
 from .operators.similarity import (
     as_double,
@@ -886,6 +888,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_scalars(media)
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path (no SQL oracle possible — DuckDB cannot parse
+    PPM/WAV, so this row is rows-only gated; pytest checks exact
+    pixel/sample values): synthesize genuine P6 PPM images + PCM WAV clips
+    from the documents ids, then decode them with the pure-Python/numpy
+    codecs — real header parsing, real pixel means, real RMS/zero-crossing
+    features.  Features flattened to scalars like q_multimodal_decode."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_corpus(docs)
+    out = decode_media_real(media)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "width",
+        "height",
+        *[F.col("features")[i].alias(f"feat_{i}") for i in range(4)],
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -939,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        # rows-only (no oracle_sql entry): real PPM/WAV codec decode —
+        # DuckDB cannot parse binary media; exact values pytest-gated in
+        # tests/test_multimodal_real.py.
+        "multimodal_decode_real": q_multimodal_decode_real,
     }
 
 

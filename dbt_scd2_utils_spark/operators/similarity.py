@@ -312,8 +312,13 @@ def _parallelize_narrow(df: DataFrame) -> DataFrame:
     than the cluster has slots (the single-parquet-file local case): the
     signature projection is CPU-heavy and would otherwise run on one core.
     At scale the input is already well-partitioned and this is a no-op —
-    no unconditional shuffle of a 100-TB corpus."""
+    no unconditional shuffle of a 100-TB corpus.  The partition probe
+    (``df.rdd`` forces a driver-side plan-to-RDD conversion) only runs on
+    local masters — the exact case it exists for — so a cluster deployment
+    never pays the conversion at all."""
     try:
+        if not df.sparkSession.conf.get("spark.master", "").startswith("local"):
+            return df
         target = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() * 2 < target:
             return df.repartition(target)
