@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "events_daily_rollup",
     "events_json_extract",
     "text_stats",
+    "text_repetition_stats",
+    "decontaminate_benchmark",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -34,6 +34,8 @@ from .operators.dedup import (
     exact_dedup_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    ngram_decontaminate,
+    ngram_decontaminate_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
     simhash,
@@ -68,6 +70,8 @@ from .operators.text import (
     fingerprint_sql,
     language_id,
     language_id_sql,
+    repetition_stats,
+    repetition_stats_sql,
     text_stats,
     text_stats_sql,
     token_count,
@@ -888,6 +892,23 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_scalars(media)
 
 
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals (dup/top word-2-gram
+    basis points) — boilerplate/spam flags for curation filtering."""
+    prepare(spark)
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing any word
+    4-gram with a 'benchmark' slice (every 20th doc stands in for the
+    held-out eval corpus)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_decontaminate(docs, bench, n=4)
+
+
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path (no SQL oracle possible — DuckDB cannot parse
     PPM/WAV, so this row is rows-only gated; pytest checks exact
@@ -942,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
+        "text_repetition_stats": q_text_repetition_stats,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1093,6 +1116,12 @@ def oracle_sql() -> dict[str, str]:
             where a._valid_from < b._valid_to and b._valid_from < a._valid_to
         """,
         "text_stats": text_stats_sql("select * from documents"),
+        "text_repetition_stats": repetition_stats_sql("select * from documents"),
+        "decontaminate_benchmark": ngram_decontaminate_sql(
+            "select * from documents",
+            "select * from documents where doc_id % 20 = 0",
+            n=4,
+        ),
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),
         "doc_fingerprint": fingerprint_sql("select * from documents"),

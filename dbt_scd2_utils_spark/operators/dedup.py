@@ -113,8 +113,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Scalable MinHash: explode shingles → k codegen'd md5 columns → map-side
     partial min aggregation keyed by document.  One shuffle of (id, k mins)
-    partials; identical hash values to :func:`minhash_signature`."""
-    exploded = df.select(
+    partials; identical hash values to :func:`minhash_signature`.
+
+    The shingle projection is an interpreted higher-order function —
+    ``parallelize_narrow`` spreads a narrow (single-file local) input across
+    cores before paying it (no-op on well-partitioned inputs)."""
+    from ..functions.partitioning import parallelize_narrow
+
+    exploded = parallelize_narrow(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("s"),
     )
@@ -241,8 +247,11 @@ def ngram_jaccard_pairs(
     if candidates is None:
         candidates = minhash_lsh_pairs(df, id_col, text_col, shingle_n)
     # Persisted: consumed by both sides of the candidate join (and the
-    # shingling is itself expensive to recompute).
-    sh = df.select(
+    # shingling is itself expensive to recompute).  parallelize_narrow
+    # spreads the interpreted shingle projection across cores first.
+    from ..functions.partitioning import parallelize_narrow
+
+    sh = parallelize_narrow(df).select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, shingle_n).alias("sh"),
     ).persist()
@@ -298,7 +307,11 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash over word tokens (md5-derived token hashes → per-bit
     ±1 vote sums → sign bits).  Explode + one aggregation by document —
-    shuffle keyed on id, all bit math JVM-side."""
+    shuffle keyed on id, all bit math JVM-side.  parallelize_narrow spreads
+    the map-side md5-vote work when the input is a single local file."""
+    from ..functions.partitioning import parallelize_narrow
+
+    df = parallelize_narrow(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)).alias("tok"),
@@ -348,4 +361,88 @@ agg as (
 )
 select id as {id_col}, cast({recompose} as bigint) as simhash
 from agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: per document, how many of its distinct
+    word ``n``-grams appear anywhere in the ``benchmark`` corpus, and a flag
+    (the standard exact-overlap eval-contamination check — a doc sharing any
+    13-gram with a benchmark is typically dropped; ``n`` is a parameter).
+
+    Shape: explode both sides' distinct n-grams → equi-join on the gram →
+    per-doc count → left join back to all documents.  The benchmark side is
+    aggregated to DISTINCT grams first (benchmarks are small next to the
+    corpus — Catalyst broadcasts it under the threshold; past it this is a
+    plain shuffle equi-join on the gram key, never O(n·m))."""
+    from ..functions.partitioning import parallelize_narrow
+
+    bcol = bench_text_col or text_col
+    doc_grams = parallelize_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    )
+    bench_grams = parallelize_narrow(benchmark).select(
+        F.explode(word_shingles(bcol, n)).alias("g")
+    ).distinct()
+    hits = (
+        doc_grams.join(bench_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated_grams"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_grams"),
+            (F.coalesce(F.col("contaminated_grams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def ngram_decontaminate_sql(
+    source_sql: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> str:
+    bcol = bench_text_col or text_col
+    return f"""
+with dg as (
+  select {id_col} as id, unnest({word_shingles_sql(text_col, n)}) as g
+  from ({source_sql})
+),
+bg as (
+  select distinct unnest({word_shingles_sql(bcol, n)}) as g
+  from ({bench_sql})
+),
+hits as (
+  select id, count(*) as contaminated_grams
+  from (select distinct id, g from dg) d
+  where g in (select g from bg)
+  group by id
+)
+select s.{id_col},
+  cast(coalesce(h.contaminated_grams, 0) as bigint) as contaminated_grams,
+  coalesce(h.contaminated_grams, 0) > 0 as is_contaminated
+from ({source_sql}) s left join hits h on s.{id_col} = h.id
 """

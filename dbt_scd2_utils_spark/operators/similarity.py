@@ -308,23 +308,10 @@ def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
 
 
 def _parallelize_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input has far fewer partitions
-    than the cluster has slots (the single-parquet-file local case): the
-    signature projection is CPU-heavy and would otherwise run on one core.
-    At scale the input is already well-partitioned and this is a no-op —
-    no unconditional shuffle of a 100-TB corpus.  The partition probe
-    (``df.rdd`` forces a driver-side plan-to-RDD conversion) only runs on
-    local masters — the exact case it exists for — so a cluster deployment
-    never pays the conversion at all."""
-    try:
-        if not df.sparkSession.conf.get("spark.master", "").startswith("local"):
-            return df
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() * 2 < target:
-            return df.repartition(target)
-    except Exception:
-        pass
-    return df
+    """See :func:`functions.partitioning.parallelize_narrow` (shared)."""
+    from ..functions.partitioning import parallelize_narrow
+
+    return parallelize_narrow(df)
 
 
 def _banded(

@@ -1,0 +1,77 @@
+"""Curation operators: repetition quality signals (operators/text.py) and
+benchmark n-gram decontamination (operators/dedup.py) — hand-computed
+expectations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.dedup import ngram_decontaminate
+from dbt_scd2_utils_spark.operators.text import repetition_stats
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → n=5,
+            # distinct=2, top=3
+            (1, "a b a b a b"),
+            # all-distinct 2-grams → dup_bp 0, top_bp = 10000//3
+            (2, "w x y z"),
+            # single word: shorter than n → one whole-text gram
+            (3, "solo"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_grams"] == 5 and rows[1]["n_distinct_grams"] == 2
+    assert rows[1]["top_gram_count"] == 3
+    assert rows[1]["dup_gram_bp"] == (5 - 2) * 10000 // 5 == 6000
+    assert rows[1]["top_gram_bp"] == 3 * 10000 // 5 == 6000
+    assert rows[2]["n_grams"] == 3 and rows[2]["dup_gram_bp"] == 0
+    assert rows[2]["top_gram_bp"] == 10000 // 3
+    assert rows[3]["n_grams"] == 1 and rows[3]["top_gram_bp"] == 10000
+
+
+def test_ngram_decontaminate_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here now"),
+            (3, "quick brown fox jumps elsewhere"),  # shares one 4-gram path
+            (4, "tiny"),  # shorter than n → whole-text gram
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps today"), (101, "tiny")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, n=4).collect()}
+    # doc 1 shares "the quick brown fox" and "quick brown fox jumps"
+    assert out[1]["is_contaminated"] and out[1]["contaminated_grams"] == 2
+    assert not out[2]["is_contaminated"] and out[2]["contaminated_grams"] == 0
+    # doc 3 shares "quick brown fox jumps" only
+    assert out[3]["is_contaminated"] and out[3]["contaminated_grams"] == 1
+    # whole-text fallback gram "tiny" matches the benchmark's whole-text gram
+    assert out[4]["is_contaminated"] and out[4]["contaminated_grams"] == 1
+    # every input doc appears exactly once
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_decontaminate_plan_is_equi_join(spark):
+    """The benchmark join must be an equi-join on the gram (broadcastable),
+    never a nested-loop: assert no CartesianProduct/BroadcastNestedLoop in
+    the plan."""
+    docs = spark.range(100).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id")).alias("text"),
+    )
+    plan = (
+        ngram_decontaminate(docs, docs.limit(10), n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
