@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "text_stats",
     "text_repetition_stats",
     "decontaminate_benchmark",
+    "scrub_pii",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -72,6 +72,8 @@ from .operators.text import (
     language_id_sql,
     repetition_stats,
     repetition_stats_sql,
+    scrub_pii,
+    scrub_pii_sql,
     text_stats,
     text_stats_sql,
     token_count,
@@ -909,6 +911,29 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs, bench, n=4)
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → email → phone scrubbing with typed placeholders and counts.
+    The word-soup documents carry no natural PII, so the query plants
+    deterministic id-derived URLs/emails/phones first (same concat in the
+    oracle) — the scrub then has real work whose counts are checkable."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id"), F.lit("@mail.com"),
+            F.lit(" via https://ex"), F.col("doc_id") % 10, F.lit(".org/p"),
+            F.col("doc_id"),
+            F.lit(" or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(planted)
+
+
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path (no SQL oracle possible — DuckDB cannot parse
     PPM/WAV, so this row is rows-only gated; pytest checks exact
@@ -965,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_repetition_stats": q_text_repetition_stats,
         "decontaminate_benchmark": q_decontaminate_benchmark,
+        "scrub_pii": q_scrub_pii,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1121,6 +1147,14 @@ def oracle_sql() -> dict[str, str]:
             "select * from documents",
             "select * from documents where doc_id % 20 = 0",
             n=4,
+        ),
+        "scrub_pii": scrub_pii_sql(
+            "select doc_id, concat(text,"
+            " ' reach user', doc_id, '@mail.com',"
+            " ' via https://ex', doc_id % 10, '.org/p', doc_id,"
+            " ' or 555-', lpad(cast(doc_id % 1000 as varchar), 3, '0'),"
+            " '-', lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+            ") as text from documents"
         ),
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),

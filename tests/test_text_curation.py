@@ -75,3 +75,24 @@ def test_decontaminate_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_scrub_pii_order_and_counts(spark):
+    from dbt_scd2_utils_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            # email INSIDE a URL counts once, as the URL
+            (1, "see https://x.io/u?mail=bob@x.com then mail carol@y.org"),
+            (2, "call 555-123-4567 or 555.987.6543 twice"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (out[1]["n_urls"], out[1]["n_emails"], out[1]["n_phones"]) == (1, 1, 0)
+    assert out[1]["scrubbed_text"] == "see <URL> then mail <EMAIL>"
+    assert (out[2]["n_urls"], out[2]["n_emails"], out[2]["n_phones"]) == (0, 0, 2)
+    assert out[2]["scrubbed_text"] == "call <PHONE> or <PHONE> twice"
+    assert out[3]["scrubbed_text"] == "clean text with no identifiers at all"
+    assert (out[3]["n_urls"], out[3]["n_emails"], out[3]["n_phones"]) == (0, 0, 0)
