@@ -1,0 +1,101 @@
+"""Physical-plan shape regressions: freeze the scale-relevant plan
+properties the operators were designed around, so a refactor that silently
+introduces a cartesian product, drops a broadcast, or loses map-side
+partial aggregation fails CI instead of failing at 100 TB.
+
+Assertions are deliberately robust (presence/absence of node types), not
+golden-plan strings — Catalyst is free to improve around them."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark import ScdConfig, scd2_incremental, scd2_initial_load, scd2_join
+from dbt_scd2_utils_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from dbt_scd2_utils_spark.operators.similarity import lsh_ann_topk
+from dbt_scd2_utils_spark.operators.text import repetition_stats
+
+BAD_NODES = ("CartesianProduct", "BroadcastNestedLoop")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def scd_feed(spark):
+    return spark.createDataFrame(
+        [
+            (i, f"v{j}", dt.datetime(2020, 1 + j, 1))
+            for i in range(60)
+            for j in range(3)
+        ],
+        "k int, payload string, _updated_at timestamp",
+    )
+
+
+def test_scd2_merge_plan_broadcasts_and_never_nested_loops(spark, scd_feed):
+    cfg = ScdConfig(unique_key=("k",))
+    split = F.lit("2020-03-01").cast("timestamp")
+    state = scd2_initial_load(scd_feed.filter(F.col("_updated_at") < split), cfg).persist()
+    try:
+        out = scd2_incremental(state, scd_feed.filter(F.col("_updated_at") >= split), cfg)
+        plan = plan_of(out)
+        for bad in BAD_NODES:
+            assert bad not in plan, f"{bad} in merge plan"
+        # The affected-keys slice is an explicit broadcast LEFT SEMI — the
+        # target must stream against a broadcast, never shuffle for it.
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    finally:
+        state.unpersist()
+
+
+def test_scd2_join_spine_is_equi_join(spark, scd_feed):
+    cfg = ScdConfig(unique_key=("k",))
+    a = scd2_initial_load(scd_feed.filter("payload = 'v0' or payload = 'v1'"), cfg).persist()
+    b = scd2_initial_load(scd_feed.filter("payload <> 'v0'"), cfg).persist()
+    try:
+        plan = plan_of(scd2_join([a, b], ["k"]))
+        # interval containment must ride on the key equi-join as a filter,
+        # never degrade to a nested-loop/cartesian theta join
+        for bad in BAD_NODES:
+            assert bad not in plan, f"{bad} in temporal join plan"
+    finally:
+        a.unpersist(), b.unpersist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, "a b c d e f g h " + str(i % 7)) for i in range(120)],
+        "doc_id int, text string",
+    )
+
+
+def test_minhash_band_join_is_equi(spark, docs):
+    plan = plan_of(minhash_lsh_pairs(docs))
+    for bad in BAD_NODES:
+        assert bad not in plan, f"{bad} in minhash LSH plan"
+
+
+def test_lsh_ann_join_is_equi(spark):
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: (i * F.col("id") % 17).cast("double")).alias("embedding"),
+    )
+    plan = plan_of(lsh_ann_topk(emb, query_ids=[0, 1], dims=8))
+    for bad in BAD_NODES:
+        assert bad not in plan, f"{bad} in ANN LSH plan"
+
+
+def test_dedup_aggregations_combine_map_side(spark, docs):
+    # exact dedup: min/count must have a partial (map-side) phase — the
+    # hot-key safety argument depends on it
+    plan = plan_of(exact_dedup(docs))
+    assert "partial_min" in plan and "partial_count" in plan
+    # repetition stats: both aggregation levels partial-combine
+    plan2 = plan_of(repetition_stats(docs))
+    assert "partial_count" in plan2
