@@ -809,6 +809,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(doc_corpus(spark, sf_dir))
 
 
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup driven to completion: the dup-planted corpus
+    is re-written as multiple files and streamed with maxFilesPerTrigger=1,
+    so the stateful content-hash aggregation sees several micro-batches.
+    min-id survivor + count are ORDER-INDEPENDENT, so the complete-mode
+    result equals batch exact_dedup regardless of batch boundaries — the
+    batch oracle gates the stream."""
+    prepare(spark)
+    import tempfile
+
+    from .streaming.dedup_stream import streaming_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="scd_stream_dedup_")
+    src = f"{base}/src"
+    doc_corpus(spark, sf_dir).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "stream_dedup_result"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return minhash_lsh_pairs(doc_corpus(spark, sf_dir))
@@ -995,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1160,6 +1194,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": language_id_sql("select * from documents"),
         "doc_fingerprint": fingerprint_sql("select * from documents"),
         "dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),
+        # order-independent survivor (min id) ⇒ the stream's complete-mode
+        # state equals the batch dedup exactly; same oracle.
+        "streaming_dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),
         "dedup_minhash_lsh": minhash_lsh_pairs_sql(DOC_CORPUS_SQL),
         "dedup_ngram_jaccard": ngram_jaccard_pairs_sql(
             DOC_CORPUS_SQL, threshold=0.5
