@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "token_shards",
     "epoch_weighted_repeat",
     "curation_pipeline",
+    "curation_pipeline_v2",
+    "streaming_dedup_exact",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

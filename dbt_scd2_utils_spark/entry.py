@@ -804,6 +804,68 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted(df: DataFrame) -> DataFrame:
+    """Plant deterministic id-derived identifiers (shared by q_scrub_pii and
+    the v2 pipeline; the oracle twin is PLANT_SQL)."""
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id"), F.lit("@mail.com"),
+            F.lit(" via https://ex"), F.col("doc_id") % 10, F.lit(".org/p"),
+            F.col("doc_id"),
+            F.lit(" or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def _plant_sql(source_sql: str) -> str:
+    return (
+        "select doc_id, concat(text,"
+        " ' reach user', doc_id, '@mail.com',"
+        " ' via https://ex', doc_id % 10, '.org/p', doc_id,"
+        " ' or 555-', lpad(cast(doc_id % 1000 as varchar), 3, '0'),"
+        " '-', lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+        f") as text from ({source_sql})"
+    )
+
+
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation pipeline over the dup-planted corpus with
+    planted PII: scrub (URL/email/phone placeholders) → repetition gate
+    (top-2-gram share < 30%) → benchmark decontamination (no shared word
+    4-gram with the eval slice) → near-dup clustering (canonical survivor)
+    → train split.  Every stage is an engine operator; the oracle composes
+    the same *_sql builders over the same CTE chain."""
+    prepare(spark)
+    corpus = _planted(doc_corpus(spark, sf_dir))
+    clean = scrub_pii(corpus).select(
+        "doc_id", F.col("scrubbed_text").alias("text"), "n_emails"
+    ).persist()
+    rep = repetition_stats(clean)
+    bench = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    decon = ngram_decontaminate(clean, bench, n=4)
+    clusters = dedup_clusters(clean, minhash_lsh_pairs(clean))
+    split = hash_split(clean)
+    return (
+        clean.select("doc_id", "n_emails")
+        .join(rep.select("doc_id", "top_gram_bp"), "doc_id")
+        .join(decon, "doc_id")
+        .join(clusters, "doc_id")
+        .join(split, "doc_id")
+        .filter(
+            (F.col("top_gram_bp") < 3000)
+            & ~F.col("is_contaminated")
+            & F.col("is_canonical")
+            & (F.col("split") == "train")
+        )
+        .select("doc_id", "n_emails", "top_gram_bp", "contaminated_grams", "cluster_rep")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return exact_dedup(doc_corpus(spark, sf_dir))
@@ -950,21 +1012,7 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic id-derived URLs/emails/phones first (same concat in the
     oracle) — the scrub then has real work whose counts are checkable."""
     prepare(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" reach user"), F.col("doc_id"), F.lit("@mail.com"),
-            F.lit(" via https://ex"), F.col("doc_id") % 10, F.lit(".org/p"),
-            F.col("doc_id"),
-            F.lit(" or 555-"),
-            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ).alias("text"),
-    )
-    return scrub_pii(planted)
+    return scrub_pii(_planted(load_table(spark, sf_dir, "documents")))
 
 
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1037,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
         "curation_pipeline": q_curation_pipeline,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1182,14 +1231,7 @@ def oracle_sql() -> dict[str, str]:
             "select * from documents where doc_id % 20 = 0",
             n=4,
         ),
-        "scrub_pii": scrub_pii_sql(
-            "select doc_id, concat(text,"
-            " ' reach user', doc_id, '@mail.com',"
-            " ' via https://ex', doc_id % 10, '.org/p', doc_id,"
-            " ' or 555-', lpad(cast(doc_id % 1000 as varchar), 3, '0'),"
-            " '-', lpad(cast(doc_id % 10000 as varchar), 4, '0')"
-            ") as text from documents"
-        ),
+        "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),
         "doc_fingerprint": fingerprint_sql("select * from documents"),
@@ -1221,6 +1263,28 @@ join stats s using (doc_id)
 join cc using (doc_id)
 join sp using (doc_id)
 where cc.is_canonical and s.quality_bp >= 5000 and sp.split = 'train'
+""",
+        "curation_pipeline_v2": f"""
+with corpus as ({_plant_sql(DOC_CORPUS_SQL)}),
+clean0 as ({scrub_pii_sql('select * from corpus')}),
+clean as (select doc_id, scrubbed_text as text, n_emails from clean0),
+rep as ({repetition_stats_sql('select * from clean')}),
+decon as ({ngram_decontaminate_sql(
+    'select doc_id, text from clean',
+    'select * from documents where doc_id % 20 = 0',
+    n=4,
+)}),
+cc as ({dedup_clusters_sql('select doc_id, text from clean',
+                           minhash_lsh_pairs_sql('select doc_id, text from clean'))}),
+sp as ({hash_split_sql('select doc_id from clean')})
+select c.doc_id, c.n_emails, r.top_gram_bp, d.contaminated_grams, cc.cluster_rep
+from clean c
+join rep r using (doc_id)
+join decon d using (doc_id)
+join cc using (doc_id)
+join sp using (doc_id)
+where r.top_gram_bp < 3000 and not d.is_contaminated
+  and cc.is_canonical and sp.split = 'train'
 """,
         "token_shards": shard_by_token_budget_sql(
             "select doc_id, bpe_tokens as n_tokens from ("
