@@ -851,3 +851,23 @@ cents{i} as (
 )"""
         prev = f"cents{i}"
     return f"with {sql}\nselect cent_id, cv from {prev}"
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence
+# ---------------------------------------------------------------------------
+
+
+def save_centroids(centroids: DataFrame, path: str) -> None:
+    """Persist a trained centroid set (``cent_id``, ``cv``) as parquet — the
+    build-once-probe-many IVF deployment: train on a corpus snapshot, store
+    next to the table, and every query session loads the (tiny) index
+    instead of re-running Lloyd iterations over the corpus."""
+    centroids.select("cent_id", "cv").write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> DataFrame:
+    """Load a :func:`save_centroids` index for ``ivf_ann_topk(centroids=)``.
+    The set is broadcast at probe time, so this read is a few KB however
+    large the corpus it indexes."""
+    return spark.read.parquet(path).select("cent_id", "cv")

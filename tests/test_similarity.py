@@ -182,3 +182,22 @@ def test_kmeans_centroids_deterministic_and_improving(spark):
     a = sorted(map(tuple, [r["cv"] for r in c2.collect()]))
     b = sorted(map(tuple, [r["cv"] for r in kmeans_centroids(emb, k=4, iters=2).collect()]))
     assert a == b
+
+
+def test_ivf_centroid_persistence_roundtrip(spark, tmp_path, corpus):
+    """save_centroids/load_centroids: a probe against the loaded index is
+    row-identical to probing the in-memory trained centroids."""
+    from dbt_scd2_utils_spark.operators.similarity import (
+        ivf_ann_topk,
+        kmeans_centroids,
+        load_centroids,
+        save_centroids,
+    )
+
+    cents = kmeans_centroids(corpus, k=4, iters=2, vec_col="embedding")
+    save_centroids(cents, str(tmp_path / "idx"))
+    loaded = load_centroids(spark, str(tmp_path / "idx"))
+    q = corpus.filter(F.col("vec_id") < 3)
+    a = ivf_ann_topk(corpus, q, k=3, centroids=cents).collect()
+    b = ivf_ann_topk(corpus, q, k=3, centroids=loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(b) > 0
