@@ -125,6 +125,13 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     dedup_clusters(docs, pairs).write.format("noop").mode("overwrite").save()
     times["dedup_clusters"] = round(time.perf_counter() - t0, 2)
 
+    from dbt_scd2_utils_spark.operators.dedup import ngram_decontaminate
+
+    t0 = time.perf_counter()
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    ngram_decontaminate(docs, bench, n=4).write.format("noop").mode("overwrite").save()
+    times["ngram_decontaminate"] = round(time.perf_counter() - t0, 2)
+
     feed = events.select(
         "user_id", "event_type", "value", "props",
         F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
