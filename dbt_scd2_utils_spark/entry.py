@@ -86,6 +86,7 @@ from .operators.scd01 import (
     scd1_initial_load,
 )
 from .operators.scd2 import scd2_incremental, scd2_initial_load
+from .operators.sessions import session_stats, session_stats_sql
 from .operators.temporal_join import scd2_join
 from .plans.config import ScdConfig
 from .plans.oracles import (
@@ -656,6 +657,14 @@ def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization + per-session rollup over the events stream
+    (30-min inactivity gap).  One shuffle on user_id for the session window;
+    the rollup ships map-side-combined partials only."""
+    prepare(spark)
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
@@ -1063,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_source_watermark": q_incremental_source_watermark,
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
+        "events_sessionize": q_events_sessionize,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
@@ -1207,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
             from events
             group by 1, 2
         """,
+        "events_sessionize": session_stats_sql("select * from events"),
         "streaming_daily_rollup": STREAMING_ROLLUP_ORACLE_SQL,
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
