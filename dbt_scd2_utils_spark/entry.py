@@ -34,6 +34,8 @@ from .operators.dedup import (
     exact_dedup_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    minhash_novelty,
+    minhash_novelty_sql,
     ngram_decontaminate,
     ngram_decontaminate_sql,
     ngram_jaccard_pairs,
@@ -936,6 +938,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(corpus, minhash_lsh_pairs(corpus))
 
 
+NEW_BATCH_SQL = """
+select doc_id, text from documents where doc_id % 10 = 7
+union all
+select doc_id + 3000000 as doc_id,
+       array_to_string(
+         list_slice(string_split_regex(trim(text), '\\s+'), 1,
+                    greatest((len(string_split_regex(trim(text), '\\s+')) * 4) // 5, 1)),
+         ' ') as text
+from documents where doc_id % 10 = 0
+"""
+CORPUS_MINUS_BATCH_SQL = "select doc_id, text from documents where doc_id % 10 != 7"
+
+
+def _new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                words,
+                F.lit(1),
+                F.greatest(
+                    F.expr("(size(split(trim(text), '\\\\s+')) * 4) div 5"),
+                    F.lit(1),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return docs.filter(F.col("doc_id") % 10 == 7).unionByName(trunc)
+
+
+def q_dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (held-out docs + truncated
+    near-copies of corpus docs) checked against the existing corpus's banded
+    MinHash index — near-dups flagged, novel docs pass."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return minhash_novelty(_new_batch(spark, sf_dir), corpus, threshold=0.5)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return embedding_cosine_dedup(
@@ -1091,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental_novelty": q_dedup_incremental_novelty,
         "train_val_test_split": q_train_val_test_split,
         "token_shards": q_token_shards,
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
@@ -1257,6 +1303,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": simhash_sql("select * from documents"),
         "dedup_clusters": dedup_clusters_sql(
             DOC_CORPUS_SQL, minhash_lsh_pairs_sql(DOC_CORPUS_SQL)
+        ),
+        "dedup_incremental_novelty": minhash_novelty_sql(
+            NEW_BATCH_SQL, CORPUS_MINUS_BATCH_SQL, threshold=0.5
         ),
         "train_val_test_split": hash_split_sql("select * from documents"),
         "epoch_weighted_repeat": weighted_repeat_sql(

@@ -446,3 +446,182 @@ select s.{id_col},
   coalesce(h.contaminated_grams, 0) > 0 as is_contaminated
 from ({source_sql}) s left join hits h on s.{id_col} = h.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (novelty check of a new batch vs an index)
+# ---------------------------------------------------------------------------
+
+
+def banded_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_sig): the banded MinHash index relation — one row per
+    document per band.  This is the table a deployment PERSISTS as its
+    corpus dedup index (parquet partitioned by band); each ingest batch then
+    joins it instead of re-signaturing 100 TB of history."""
+    rows = k // bands
+    with_sig = minhash_signatures(df, id_col, text_col, shingle_n, k)
+    return with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.band_sig")
+
+
+def minhash_novelty(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus dedup: flag each NEW document as a near-duplicate
+    of the existing corpus or novel.  One row per new doc:
+    ``(id, n_dup_matches, is_novel)``.
+
+    Scale shape: the corpus side is :func:`banded_minhash_index` (at
+    deployment, read back from its persisted parquet rather than recomputed);
+    the new batch computes its own (small) bands and equi-joins the index on
+    (band, band_sig) — candidate work ∝ colliding buckets, never
+    batch × corpus — then exact n-gram Jaccard verifies candidates only
+    (the minhash_lsh_pairs / ngram_jaccard_pairs split, applied
+    cross-corpus instead of self-join)."""
+    from ..functions.partitioning import parallelize_narrow
+
+    nb = banded_minhash_index(
+        new_df, id_col, text_col, shingle_n, k, bands
+    ).alias("n")
+    cb = banded_minhash_index(
+        corpus_df, id_col, text_col, shingle_n, k, bands
+    ).alias("c")
+    cand = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_sig") == F.col("c.band_sig")),
+            "inner",
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    sh_new = parallelize_narrow(new_df).select(
+        F.col(id_col).alias("new_id"),
+        word_shingles(text_col, shingle_n).alias("sh_n"),
+    )
+    sh_cor = parallelize_narrow(corpus_df).select(
+        F.col(id_col).alias("corpus_id"),
+        word_shingles(text_col, shingle_n).alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_c"))
+    union = F.size("sh_n") + F.size("sh_c") - inter
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6)
+    dups = (
+        cand.join(sh_new, "new_id")
+        .join(sh_cor, "corpus_id")
+        .select("new_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    counts = dups.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_dup_matches")
+    )
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(counts.withColumnRenamed("new_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_dup_matches", F.lit(0))
+            .cast("long")
+            .alias("n_dup_matches"),
+        )
+        .withColumn("is_novel", F.col("n_dup_matches") == 0)
+    )
+
+
+def _banded_index_sql(
+    source_sql: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    k: int,
+    bands: int,
+) -> str:
+    rows = k // bands
+    sig_sql = minhash_signature_sql(word_shingles_sql(text_col, shingle_n), k)
+    band_selects = "\n  union all\n".join(
+        f"  select id, {b} as band, "
+        + " || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        + " as band_sig from sigs"
+        for b in range(bands)
+    )
+    return f"""
+with sigs as (
+  select {id_col} as id, {sig_sql} as sig
+  from ({source_sql})
+)
+{band_selects}
+"""
+
+
+def minhash_novelty_sql(
+    new_sql: str,
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    nb = _banded_index_sql(new_sql, id_col, text_col, shingle_n, k, bands)
+    cb = _banded_index_sql(corpus_sql, id_col, text_col, shingle_n, k, bands)
+    sh = word_shingles_sql(text_col, shingle_n)
+    return f"""
+with nb as ({nb}),
+cb as ({cb}),
+cand as (
+  select distinct nb.id as new_id, cb.id as corpus_id
+  from nb join cb on nb.band = cb.band and nb.band_sig = cb.band_sig
+),
+shn as (
+  select {id_col} as new_id, {sh} as sh_n from ({new_sql})
+),
+shc as (
+  select {id_col} as corpus_id, {sh} as sh_c from ({corpus_sql})
+),
+dups as (
+  select new_id
+  from cand
+  join shn using (new_id)
+  join shc using (corpus_id)
+  where round(cast(len(list_intersect(sh_n, sh_c)) as double) /
+        greatest(len(sh_n) + len(sh_c) - len(list_intersect(sh_n, sh_c)), 1), 6)
+        >= {threshold}
+),
+counts as (
+  select new_id, count(*) as n_dup_matches from dups group by new_id
+)
+select s.{id_col} as id,
+  cast(coalesce(c.n_dup_matches, 0) as bigint) as n_dup_matches,
+  coalesce(c.n_dup_matches, 0) = 0 as is_novel
+from ({new_sql}) s left join counts c on s.{id_col} = c.new_id
+"""

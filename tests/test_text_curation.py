@@ -96,3 +96,40 @@ def test_scrub_pii_order_and_counts(spark):
     assert out[2]["scrubbed_text"] == "call <PHONE> or <PHONE> twice"
     assert out[3]["scrubbed_text"] == "clean text with no identifiers at all"
     assert (out[3]["n_urls"], out[3]["n_emails"], out[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_minhash_novelty_flags_dup_and_novel(spark):
+    from dbt_scd2_utils_spark.operators.dedup import minhash_novelty
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely unrelated text about spark query planning engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 -> duplicate
+            (10, "the quick brown fox jumps over the lazy dog again today"),
+            # nothing in common with the corpus -> novel
+            (11, "zebra walrus penguin iguana yak otter badger newt stoat mole"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in minhash_novelty(new, corpus, threshold=0.5).collect()}
+    assert set(out) == {10, 11}
+    assert not out[10].is_novel and out[10].n_dup_matches >= 1
+    assert out[11].is_novel and out[11].n_dup_matches == 0
+
+
+def test_banded_minhash_index_shape(spark):
+    from dbt_scd2_utils_spark.operators.dedup import banded_minhash_index
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    idx = banded_minhash_index(df, k=12, bands=4).collect()
+    # one row per doc per band
+    assert len(idx) == 2 * 4
+    assert {r.band for r in idx} == {0, 1, 2, 3}
