@@ -56,6 +56,8 @@ from .operators.multimodal import (
     synthesize_media_corpus,
 )
 from .operators.similarity import (
+    ann_quantized_topk,
+    ann_quantized_topk_sql,
     as_double,
     brute_force_topk,
     brute_force_topk_sql,
@@ -994,6 +996,14 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k over int8-quantized codes: the 4×-compressed
+    index scan (qdot ≈ cosine · 127², integer-exact ranking)."""
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_quantized_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1144,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_decode": q_multimodal_decode,
@@ -1357,6 +1368,11 @@ where r.top_gram_bp < 3000 and not d.is_contaminated
             EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"
         ),
         "ann_bruteforce_topk": brute_force_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            k=5,
+        ),
+        "ann_quantized_topk": ann_quantized_topk_sql(
             "select * from embeddings",
             "select * from embeddings where vec_id < 8",
             k=5,

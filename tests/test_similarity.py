@@ -201,3 +201,34 @@ def test_ivf_centroid_persistence_roundtrip(spark, tmp_path, corpus):
     a = ivf_ann_topk(corpus, q, k=3, centroids=cents).collect()
     b = ivf_ann_topk(corpus, q, k=3, centroids=loaded).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(b) > 0
+
+
+def test_quantize_embeddings_zero_vector_and_range(spark):
+    from dbt_scd2_utils_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r.id: r.code for r in quantize_embeddings(df).collect()}
+    # [3,4]/5 * 127 = [76.2, 101.6] -> [76, 102]
+    assert out[1] == [76, 102]
+    assert out[2] == [0, 0]
+
+
+def test_ann_quantized_topk_matches_bruteforce_top1(spark, corpus):
+    """int8 quantization must preserve the nearest neighbor for every probe
+    query (top-1 recall 1.0 on the planted-duplicate corpus: each query's
+    true top-1 is its near-identical copy, far above the quantization
+    noise floor)."""
+    from dbt_scd2_utils_spark.operators.similarity import ann_quantized_topk
+
+    q = corpus.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 40)
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(corpus, q, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in ann_quantized_topk(corpus, q, k=1).collect()
+    }
+    assert exact == approx
