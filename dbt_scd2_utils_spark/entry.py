@@ -24,6 +24,8 @@ from .operators.clustering import dedup_clusters, dedup_clusters_sql
 from .operators.sampling import (
     hash_split,
     hash_split_sql,
+    mixture_sample,
+    mixture_sample_sql,
     shard_by_token_budget,
     shard_by_token_budget_sql,
     weighted_repeat,
@@ -793,6 +795,14 @@ def q_epoch_weighted_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain keep-rate subsampling (training-mix re-weighting):
+    src0 kept fully, src1 at 50%, src2 at 25%, everything else at 10% —
+    hashed-id Bernoulli, zero shuffle, stable under corpus growth."""
+    prepare(spark)
+    return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation composed from the engine's operators:
     near-dup clustering keeps one canonical doc per cluster, the quality
@@ -1148,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental_novelty": q_dedup_incremental_novelty,
         "train_val_test_split": q_train_val_test_split,
+        "domain_mixture_sample": q_domain_mixture_sample,
         "token_shards": q_token_shards,
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
         "curation_pipeline": q_curation_pipeline,
@@ -1319,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
             NEW_BATCH_SQL, CORPUS_MINUS_BATCH_SQL, threshold=0.5
         ),
         "train_val_test_split": hash_split_sql("select * from documents"),
+        "domain_mixture_sample": mixture_sample_sql("select * from documents"),
         "epoch_weighted_repeat": weighted_repeat_sql(
             "select * from documents", weight=1.3
         ),

@@ -205,3 +205,74 @@ with c as (
 select {id_col}, cast(unnest(generate_series(1, copies)) as int) as copy
 from c
 """
+
+
+DEFAULT_MIXTURE: tuple[tuple[str, int], ...] = (
+    ("src0", 10_000),
+    ("src1", 5_000),
+    ("src2", 2_500),
+)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: Sequence[tuple[str, int]] = DEFAULT_MIXTURE,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_bp: int = 1_000,
+) -> DataFrame:
+    """Deterministic per-domain subsampling to target mixture rates.
+
+    ``rates`` maps a domain to its keep-rate in basis points (10000 = keep
+    all); unlisted domains fall back to ``default_bp``.  The keep decision
+    is the same hashed-id Bernoulli as :func:`hash_split` — stable under
+    corpus growth (a kept document stays kept as new data arrives, so
+    downstream shards/caches don't churn), reproducible across engines, and
+    a pure projection+filter: zero shuffle at any scale.  This is the
+    standard knob for re-weighting web/code/reference domains in a training
+    mix without materializing per-domain tables.
+
+    Returns kept rows only: (id, domain, mix_bp)."""
+    for _, bp in rates:
+        if not 0 <= bp <= 10_000:
+            raise ValueError(f"mixture rate must be in [0, 10000] bp, got {bp}")
+    if not 0 <= default_bp <= 10_000:
+        raise ValueError(f"default_bp must be in [0, 10000], got {default_bp}")
+    bp = _hash_bp(id_col, salt, 10_000)
+    rate = None
+    for dom, r in rates:
+        cond = F.col(domain_col) == dom
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(default_bp) if rate is None else rate.otherwise(default_bp)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            bp.alias("mix_bp"),
+            rate.alias("keep_bp"),
+        )
+        .filter(F.col("mix_bp") < F.col("keep_bp"))
+        .select(id_col, "domain", "mix_bp")
+    )
+
+
+def mixture_sample_sql(
+    source_sql: str,
+    rates: Sequence[tuple[str, int]] = DEFAULT_MIXTURE,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_bp: int = 1_000,
+) -> str:
+    bp = _hash_bp_sql(id_col, salt, 10_000)
+    whens = " ".join(f"when {domain_col} = '{d}' then {r}" for d, r in rates)
+    case = f"case {whens} else {default_bp} end" if whens else str(default_bp)
+    return f"""
+select {id_col}, domain, mix_bp
+from (
+  select {id_col}, {domain_col} as domain, {bp} as mix_bp, {case} as keep_bp
+  from ({source_sql})
+)
+where mix_bp < keep_bp
+"""

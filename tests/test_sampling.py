@@ -84,3 +84,32 @@ def test_weighted_repeat_fraction_and_stability(spark):
     assert half == again and 2000 * 0.45 < len(half) < 2000 * 0.55
     # integer weight: exact multiplicity
     assert weighted_repeat(df, weight=2.0).count() == 4000
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from dbt_scd2_utils_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = (("src0", 10_000), ("src1", 5_000), ("src2", 0))
+    out = mixture_sample(df, rates=rates, default_bp=1_000).toPandas()
+    by_dom = out.groupby("domain").size().to_dict()
+    assert by_dom.get("src0", 0) == 1000          # keep all
+    assert 400 <= by_dom.get("src1", 0) <= 600    # ~50%
+    assert by_dom.get("src2", 0) == 0             # drop all
+    assert 50 <= by_dom.get("src3", 0) <= 150     # default 10%
+
+    # growth stability: kept set over a prefix is a subset of kept over all
+    small = mixture_sample(
+        df.filter("doc_id < 2000"), rates=rates, default_bp=1_000
+    ).toPandas()
+    assert set(small.doc_id) == set(out[out.doc_id < 2000].doc_id)
+
+
+def test_mixture_sample_rejects_bad_rate(spark):
+    import pytest
+    from dbt_scd2_utils_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="mixture rate"):
+        mixture_sample(df, rates=(("a", 10_001),))
