@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "invariant_one_current_per_key",
     "events_daily_rollup",
     "events_json_extract",
+    "events_sessionize",
     "text_stats",
     "text_repetition_stats",
     "decontaminate_benchmark",
@@ -42,13 +43,16 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_incremental_novelty",
     "train_val_test_split",
+    "domain_mixture_sample",
     "token_shards",
     "epoch_weighted_repeat",
     "curation_pipeline",
     "curation_pipeline_v2",
     "streaming_dedup_exact",
     "ann_bruteforce_topk",
+    "ann_quantized_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_decode",

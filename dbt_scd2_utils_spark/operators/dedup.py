@@ -485,6 +485,24 @@ def banded_minhash_index(
     ).select("id", "bs.band", "bs.band_sig")
 
 
+def save_minhash_index(index: DataFrame, path: str) -> None:
+    """Persist a :func:`banded_minhash_index` as parquet partitioned by band
+    — the ingest-time dedup index.  Band-partitioning means a batch probe
+    prunes to the band directories it actually touches."""
+    index.select("id", "band", "band_sig").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    """Read a :func:`save_minhash_index` back for
+    ``minhash_novelty(corpus_index=)`` — each ingest batch probes the stored
+    index instead of re-signaturing the full corpus."""
+    return spark.read.parquet(path).select(
+        "id", F.col("band").cast("int").alias("band"), "band_sig"
+    )
+
+
 def minhash_novelty(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -494,6 +512,7 @@ def minhash_novelty(
     k: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: flag each NEW document as a near-duplicate
     of the existing corpus or novel.  One row per new doc:
@@ -511,8 +530,10 @@ def minhash_novelty(
     nb = banded_minhash_index(
         new_df, id_col, text_col, shingle_n, k, bands
     ).alias("n")
-    cb = banded_minhash_index(
-        corpus_df, id_col, text_col, shingle_n, k, bands
+    cb = (
+        corpus_index
+        if corpus_index is not None
+        else banded_minhash_index(corpus_df, id_col, text_col, shingle_n, k, bands)
     ).alias("c")
     cand = (
         nb.join(

@@ -133,3 +133,30 @@ def test_banded_minhash_index_shape(spark):
     # one row per doc per band
     assert len(idx) == 2 * 4
     assert {r.band for r in idx} == {0, 1, 2, 3}
+
+
+def test_minhash_index_roundtrip_equals_recompute(spark, tmp_path):
+    from dbt_scd2_utils_spark.operators.dedup import (
+        banded_minhash_index,
+        load_minhash_index,
+        minhash_novelty,
+        save_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} body words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta doc 3 body words"),
+         (101, "totally disjoint vocabulary nothing shared here at all ok")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_index")
+    save_minhash_index(banded_minhash_index(corpus), path)
+    idx = load_minhash_index(spark, path)
+    via_index = minhash_novelty(new, corpus, corpus_index=idx).collect()
+    recomputed = minhash_novelty(new, corpus).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, recomputed))
+    flags = {r.id: r.is_novel for r in via_index}
+    assert flags == {100: False, 101: True}
