@@ -29,8 +29,18 @@ window chain (see operators/scd2.py skew note — same mitigation ladder).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_us(ts_col: str) -> Column:
+    """Microseconds since epoch; accepts TIMESTAMP and TIMESTAMP_NTZ.
+
+    ``unix_micros`` rejects NTZ input, and parquet µs-naive columns load as
+    NTZ.  The cast is a no-op for TIMESTAMP and interprets NTZ wall-clock
+    in the session timezone (pinned UTC by session.get_spark), which is
+    exactly DuckDB's ``epoch_us`` of the same naive value."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
 
 
 def sessionize(
@@ -42,7 +52,7 @@ def sessionize(
 ) -> DataFrame:
     """Input events + ``session_idx`` (1-based per-user session counter)."""
     gap_us = int(gap_seconds) * 1_000_000
-    t = F.unix_micros(F.col(ts_col))
+    t = _epoch_us(ts_col)
     w = Window.partitionBy(user_col).orderBy(t.asc(), F.col(id_col).asc())
     prev = F.lag(t).over(w)
     is_new = prev.isNull() | ((t - prev) > gap_us)
@@ -62,7 +72,7 @@ def session_stats(
 ) -> DataFrame:
     """One row per (user, session): bounds, duration, size, value sum."""
     s = sessionize(events, user_col, ts_col, id_col, gap_seconds)
-    t = F.unix_micros(F.col(ts_col))
+    t = _epoch_us(ts_col)
     return (
         s.groupBy(user_col, "session_idx")
         .agg(

@@ -1,11 +1,20 @@
 """Parquet table loading for the driver testdata (and general scans).
 
 Maps the reference's S1/S2 scans (``builtin_overrides/source.sql:34``,
-dbt seed loading) onto ``spark.read.parquet``.  One wrinkle handled here:
-the driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS), which
-Spark's reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  We flip the
-``spark.sql.legacy.parquet.nanosAsLong`` escape hatch and rebuild a proper
-TimestampType column (microsecond truncation — the data is second-granular).
+dbt seed loading) onto ``spark.read.parquet``.  Two wrinkles handled here:
+
+- nanosecond timestamps (``timestamp[ns]``), which Spark's reader rejects
+  outright ([PARQUET_TYPE_ILLEGAL]): flip the
+  ``spark.sql.legacy.parquet.nanosAsLong`` escape hatch and rebuild a
+  proper TimestampType column (microsecond truncation — the data is
+  second-granular);
+- tz-naive microsecond timestamps (``timestamp[us]``,
+  ``isAdjustedToUTC=false``), which Spark reads as TIMESTAMP_NTZ: cast to
+  the session-local TimestampType, interpreting the wall clock in the
+  session timezone (pinned UTC by ``session.get_spark``), which is the
+  same instant the ns-rebuild produced and the same value DuckDB reads —
+  so every downstream operator and oracle sees one canonical temporal
+  type regardless of how the files were written.
 """
 
 from __future__ import annotations
@@ -88,11 +97,16 @@ def load_table(
     and scanning 100 TB.  An incremental load always knows its high-water
     mark before the scan (it comes from the target), so the cutoff can be
     part of the read."""
+    from pyspark.sql.types import TimestampNTZType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
     if newer_than is not None:
         c, ts = newer_than
         if c in ns_cols:
@@ -111,6 +125,12 @@ def load_table(
             # double-reading delta rows.
             micros = _epoch_micros(spark, ts)
             df = df.filter(F.col(c) >= F.lit((micros + 1) * 1000))
+        elif c in ntz_cols:
+            # Filter BEFORE the LTZ cast so the comparison sits directly on
+            # the scanned column and pushes down; an NTZ literal keeps it a
+            # pure wall-clock comparison (no session-tz involvement), which
+            # is what a naive cutoff datetime means.
+            df = df.filter(F.col(c) > F.lit(ts).cast("timestamp_ntz"))
         else:
             df = df.filter(F.col(c) > F.lit(ts))
     for c in ns_cols:
@@ -118,6 +138,10 @@ def load_table(
         # so float division would corrupt the low microseconds.  Truncation
         # toward zero matches DuckDB's ns→µs read of the same files.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz_cols:
+        # Session tz is pinned UTC (session.get_spark), so this is the same
+        # instant the ns rebuild produced for the same wall-clock value.
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

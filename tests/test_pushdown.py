@@ -1,10 +1,21 @@
-"""Watermark predicate pushdown through the nanos-timestamp rebuild
-(sources/tables.py::load_table newer_than)."""
+"""Watermark predicate pushdown through load_table's timestamp
+normalization (sources/tables.py::load_table newer_than).
+
+The driver testdata's temporal encoding has changed between rounds
+(timestamp[ns] → tz-naive timestamp[us]), so each path is pinned with a
+SYNTHETIC parquet fixture of the exact physical type rather than assuming
+what /root/testdata currently holds; the driver-dir tests only assert
+properties that hold for every encoding (normalized dtype, filter parity,
+a pushed watermark comparison).
+"""
 
 from __future__ import annotations
 
 from datetime import datetime
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_scd2_utils_spark.sources.tables import load_table
@@ -12,37 +23,86 @@ from dbt_scd2_utils_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 CUT = datetime(2024, 1, 16)
 
+ROWS = [datetime(2024, 1, d, 12, 0, 0) for d in range(1, 32)]
+
+
+def _write_events(tmp_path, unit: str) -> str:
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ROWS)), pa.int64()),
+            "ts": pa.array(ROWS, pa.timestamp(unit)),
+        }
+    )
+    sf_dir = str(tmp_path / unit)
+    (tmp_path / unit).mkdir()
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    return sf_dir
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_post_rebuild_filter_does_not_push(spark):
-    events = load_table(spark, SF, "events")
-    plan = _plan(events.filter(F.col("ts") > F.lit(CUT)))
-    # The rebuilt-column filter stays above the scan: only IsNotNull pushes.
-    assert "PushedFilters: [IsNotNull(ts)]" in plan
+def _pushed(df) -> str:
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    return plan.split("PushedFilters:")[1].split("]")[0]
 
 
-def test_newer_than_pushes_to_scan(spark):
+# -- nanos path (ns ints rebuilt via timestamp_micros(x div 1000)) -------
+
+
+def test_nanos_rebuild_and_pushdown(spark, tmp_path):
+    sf_dir = _write_events(tmp_path, "ns")
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # Post-rebuild filter cannot reach the scan: the rebuild expression is
+    # not invertible for Catalyst, so only IsNotNull pushes.
+    assert "GreaterThan" not in _pushed(ev.filter(F.col("ts") > F.lit(CUT)))
+    # newer_than rewrites the cutoff onto the raw long, which pushes.
+    pushed = load_table(spark, sf_dir, "events", newer_than=("ts", CUT))
+    assert "GreaterThanOrEqual(ts," in _pushed(pushed)
+    want = ev.filter(F.col("ts") > F.lit(CUT))
+    assert pushed.count() == want.count() > 0
+    assert pushed.exceptAll(want).count() == 0
+
+
+# -- tz-naive micros path (TIMESTAMP_NTZ cast to session-local) ----------
+
+
+def test_ntz_normalized_and_pushdown(spark, tmp_path):
+    sf_dir = _write_events(tmp_path, "us")
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    pushed = load_table(spark, sf_dir, "events", newer_than=("ts", CUT))
+    assert "GreaterThan(ts," in _pushed(pushed)
+    want = ev.filter(F.col("ts") > F.lit(CUT))
+    assert pushed.count() == want.count() > 0
+    assert pushed.exceptAll(want).count() == 0
+
+
+def test_ns_and_us_read_identically(spark, tmp_path):
+    a = load_table(spark, _write_events(tmp_path, "ns"), "events")
+    b = load_table(spark, _write_events(tmp_path, "us"), "events")
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# -- driver testdata (whatever encoding the current generation uses) -----
+
+
+def test_driver_events_normalized(spark):
+    ev = load_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
     pushed = load_table(spark, SF, "events", newer_than=("ts", CUT))
-    plan = _plan(pushed)
-    assert "GreaterThanOrEqual(ts," in plan.split("PushedFilters:")[1]
+    assert "GreaterThan" in _pushed(pushed)  # Than or ThanOrEqual
+    want = ev.filter(F.col("ts") > F.lit(CUT))
+    assert pushed.count() == want.count() > 0
+    assert pushed.exceptAll(want).count() == 0
 
 
-def test_newer_than_equals_post_filter(spark):
-    events = load_table(spark, SF, "events")
-    want = events.filter(F.col("ts") > F.lit(CUT))
-    got = load_table(spark, SF, "events", newer_than=("ts", CUT))
-    assert got.count() == want.count() > 0
-    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
-
-
-def test_newer_than_non_nanos_column(spark):
-    # lineitem l_shipdate is a regular date/timestamp column: the predicate
-    # applies directly (and pushes as a plain comparison).
-    import duckdb
-
+def test_newer_than_non_watermark_column(spark):
+    # lineitem l_shipdate: the predicate applies directly.
     base = load_table(spark, SF, "lineitem")
     dtype = dict(base.dtypes)["l_shipdate"]
     if dtype == "date":
