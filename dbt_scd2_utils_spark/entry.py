@@ -92,6 +92,7 @@ from .operators.scd01 import (
     scd1_initial_load,
 )
 from .operators.scd2 import scd2_incremental, scd2_initial_load
+from .operators.asof import asof_join
 from .operators.sessions import session_stats, session_stats_sql
 from .operators.temporal_join import scd2_join
 from .plans.config import ScdConfig
@@ -671,6 +672,36 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event picks up the user's latest
+    order as of the event timestamp (inclusive).  Runs the union+window
+    as-of join (operators/asof.py) — ONE shuffle on the key, no join
+    operator, O(L+R) per key where the naive equi-join + inequality
+    filter is O(L*R) per key — against DuckDB's native ASOF JOIN as the
+    oracle.  Right side is pre-aggregated to one row per (key, instant)
+    so tie resolution is engine-independent."""
+    prepare(spark)
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    latest = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        events.select("event_id", "user_id", "ts"),
+        latest,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=("o_orderkey", "o_totalprice"),
+    )
+
+
 def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
@@ -1138,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
+        "events_asof_latest_order": q_events_asof_latest_order,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
@@ -1286,6 +1318,19 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2
         """,
         "events_sessionize": session_stats_sql("select * from events"),
+        "events_asof_latest_order": """
+            with latest as (
+                select o_custkey as user_id, o_orderdate,
+                       max(o_orderkey) as o_orderkey,
+                       arg_max(o_totalprice, o_orderkey) as o_totalprice
+                from orders group by 1, 2
+            )
+            select e.event_id, e.user_id, e.ts,
+                   latest.o_orderkey, latest.o_totalprice
+            from events e
+            asof left join latest
+              on e.user_id = latest.user_id and e.ts >= latest.o_orderdate
+        """,
         "streaming_daily_rollup": STREAMING_ROLLUP_ORACLE_SQL,
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
