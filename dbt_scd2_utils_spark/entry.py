@@ -414,6 +414,36 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming rollup drained with
+    trigger(availableNow): append mode emits exactly the watermark-closed
+    sessions (window_end <= max(ts) - delay, inclusive — boundary pinned
+    in tests/test_streaming_sessions.py).  Complements the batch
+    lag+running-sum sessionize: same gap-split rule (diff > gap), Spark's
+    merging session windows and built-in state eviction instead of a
+    window chain (streaming/sessions.py pins the boundary semantics)."""
+    prepare(spark)
+    import tempfile
+
+    from .streaming.sessions import session_window_rollup
+
+    base = tempfile.mkdtemp(prefix="scd_stream_sess_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        session_window_rollup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch SCD2 sink driven file-by-file
     (maxFilesPerTrigger=1): batch 1 initial-loads, batch 2 merges
@@ -488,6 +518,15 @@ group by 1, 2, 3
 having cast(date_trunc('day', ts) + interval 1 day as timestamp)
          <= (select c from cut)
 """
+
+
+def _streaming_sessions_oracle() -> str:
+    from .streaming.sessions import session_window_rollup_sql
+
+    return session_window_rollup_sql(
+        "select * from events",
+        emitted_before_sql="select epoch_us(max(ts) - interval 1 hour) from events",
+    )
 
 
 COMPOSITE_FEED_SQL = """
@@ -1171,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof_latest_order": q_events_asof_latest_order,
         "streaming_daily_rollup": q_streaming_daily_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
@@ -1332,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
               on e.user_id = latest.user_id and e.ts >= latest.o_orderdate
         """,
         "streaming_daily_rollup": STREAMING_ROLLUP_ORACLE_SQL,
+        "streaming_sessionize": _streaming_sessions_oracle(),
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
             from ({scd2_built})
