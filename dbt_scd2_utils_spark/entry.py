@@ -39,6 +39,7 @@ from .operators.dedup import (
     minhash_novelty,
     minhash_novelty_sql,
     ngram_decontaminate,
+    ngram_decontaminate_prefiltered,
     ngram_decontaminate_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
@@ -1150,6 +1151,20 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs, bench, n=4)
 
 
+def q_decontaminate_benchmark_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the broadcast bitmap (k=1 Bloom) prefilter:
+    corpus grams membership-test against a bit_or-packed word table before
+    the exact semi-join, so at 100 TB the shuffle carries ~contamination
+    volume, not every gram.  Output is bit-identical to the exact path —
+    the same oracle gates both (dedup.py::ngram_decontaminate_prefiltered;
+    tiny-bitmap false-positive torture in
+    tests/test_decontaminate_prefiltered.py)."""
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return ngram_decontaminate_prefiltered(docs, bench, n=4)
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL → email → phone scrubbing with typed placeholders and counts.
     The word-soup documents carry no natural PII, so the query plants
@@ -1218,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_repetition_stats": q_text_repetition_stats,
         "decontaminate_benchmark": q_decontaminate_benchmark,
+        "decontaminate_benchmark_bloom": q_decontaminate_benchmark_bloom,
         "scrub_pii": q_scrub_pii,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -1391,11 +1407,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": text_stats_sql("select * from documents"),
         "text_repetition_stats": repetition_stats_sql("select * from documents"),
-        "decontaminate_benchmark": ngram_decontaminate_sql(
+        "decontaminate_benchmark": (decon_oracle := ngram_decontaminate_sql(
             "select * from documents",
             "select * from documents where doc_id % 20 = 0",
             n=4,
-        ),
+        )),
+        # Bitmap-prefiltered path is output-identical to the exact path by
+        # construction — same oracle, independently gated.
+        "decontaminate_benchmark_bloom": decon_oracle,
         "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),

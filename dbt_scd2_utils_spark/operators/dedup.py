@@ -417,6 +417,84 @@ def ngram_decontaminate(
     )
 
 
+def ngram_decontaminate_prefiltered(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    bits_log2: int = 26,
+) -> DataFrame:
+    """:func:`ngram_decontaminate` with a broadcast BITMAP PREFILTER on the
+    corpus-gram stream — identical output (the exact semi-join still
+    decides), built for the 100 TB corpus where the doc-gram stream is the
+    dominant shuffle.
+
+    The benchmark's grams are packed into a k=1 Bloom filter held as a
+    DataFrame: bucket = xxhash64(gram) & (2^bits_log2 - 1), grouped into
+    64-bit words via ``bit_or(1 << (bucket & 63))`` → one (word_idx, bits)
+    row per occupied word.  That table is at most |bench grams| rows
+    (≤ 8 MiB of longs at bits_log2=26 even fully dense), so it BROADCASTS
+    where the raw gram strings might not — and the corpus grams test
+    membership with a broadcast equi-join + bit test, all codegen, no
+    shuffle.  Only the survivors — true hits plus a |bench|/2^bits_log2
+    false-positive trickle — enter the exact semi-join, so the shuffle
+    carries ~the contamination volume instead of every gram in the corpus.
+
+    (Spark's own runtime bloom-filter injection
+    [spark.sql.optimizer.runtime.bloomFilter] targets the same pattern but
+    only fires on shuffle joins past size thresholds; building the filter
+    explicitly keeps the plan deterministic at every scale, and
+    ``bloom_filter_agg`` is not in the public function registry.)
+    """
+    from ..functions.partitioning import parallelize_narrow
+
+    bcol = bench_text_col or text_col
+    mask = (1 << bits_log2) - 1
+    # Low 6 bucket bits select the bit within the word, the rest the word;
+    # mask's low bits are all ones so (bucket & 63) == (hash & 63).
+    word_idx = F.shiftright(F.xxhash64(F.col("g")).bitwiseAND(F.lit(mask)), 6)
+    one_hot = F.expr("shiftleft(cast(1 as bigint), cast(xxhash64(g) & 63 as int))")
+
+    bench_grams = (
+        parallelize_narrow(benchmark)
+        .select(F.explode(word_shingles(bcol, n)).alias("g"))
+        .distinct()
+    )
+    words = bench_grams.groupBy(word_idx.alias("word_idx")).agg(
+        F.bit_or(one_hot).alias("bits")
+    )
+
+    doc_grams = parallelize_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    )
+    survivors = (
+        doc_grams.join(F.broadcast(words), word_idx == F.col("word_idx"))
+        .filter(F.col("bits").bitwiseAND(one_hot) != 0)
+        .select("id", "g")
+    )
+    hits = (
+        survivors.join(bench_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated_grams"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_grams"),
+            (F.coalesce(F.col("contaminated_grams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def ngram_decontaminate_sql(
     source_sql: str,
     bench_sql: str,
