@@ -73,6 +73,7 @@ from .operators.similarity import (
     lsh_ann_topk_sql,
 )
 from .operators.text import (
+    chunk_documents_sql,
     fingerprint,
     fingerprint_sql,
     language_id,
@@ -1151,6 +1152,39 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs, bench, n=4)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: sliding ≤32-token windows, 8-token overlap.
+    Narrow sequence/slice/explode — zero shuffle, no UDF (plan asserted in
+    tests/test_chunking.py::test_no_shuffle)."""
+    prepare(spark)
+    from .operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    )
+
+
+def q_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → pack composition: documents chunked to ≤32-token windows,
+    then chunks greedily packed into ~256-token training shards
+    (shard_by_token_budget).  The whole pipeline has exactly ONE shuffle —
+    the pack step's hash bucket — because chunking is narrow."""
+    prepare(spark)
+    from .operators.sampling import shard_by_token_budget
+    from .operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    ).select(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_tokens",
+    )
+    return shard_by_token_budget(
+        chunks, id_col="chunk_id", tokens_col="chunk_tokens",
+        budget=256, buckets=16,
+    )
+
+
 def q_decontaminate_benchmark_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through the broadcast bitmap (k=1 Bloom) prefilter:
     corpus grams membership-test against a bit_or-packed word table before
@@ -1234,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": q_text_repetition_stats,
         "decontaminate_benchmark": q_decontaminate_benchmark,
         "decontaminate_benchmark_bloom": q_decontaminate_benchmark_bloom,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack_pipeline": q_chunk_pack_pipeline,
         "scrub_pii": q_scrub_pii,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -1415,6 +1451,17 @@ def oracle_sql() -> dict[str, str]:
         # Bitmap-prefiltered path is output-identical to the exact path by
         # construction — same oracle, independently gated.
         "decontaminate_benchmark_bloom": decon_oracle,
+        "chunk_documents": chunk_documents_sql(
+            "select * from documents", max_tokens=32, overlap=8
+        ),
+        "chunk_pack_pipeline": shard_by_token_budget_sql(
+            f"""select doc_id || ':' || chunk_idx as chunk_id, chunk_tokens
+                from ({chunk_documents_sql("select * from documents", max_tokens=32, overlap=8)})""",
+            id_col="chunk_id",
+            tokens_col="chunk_tokens",
+            budget=256,
+            buckets=16,
+        ),
         "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),

@@ -1,0 +1,81 @@
+"""Document chunking (operators/text.py::chunk_documents)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.text import chunk_documents, chunk_documents_sql
+from dbt_scd2_utils_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_short_doc_single_chunk(spark):
+    out = chunk_documents(_df(spark, ["a b c"]), max_tokens=5).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_text"] == "a b c"
+    assert out[0]["chunk_tokens"] == 3
+    assert out[0]["chunk_idx"] == 0
+
+
+def test_exact_multiple_no_overlap(spark):
+    text = " ".join(str(i) for i in range(10))
+    out = chunk_documents(_df(spark, [text]), max_tokens=5).orderBy("chunk_idx").collect()
+    assert [r["chunk_text"] for r in out] == ["0 1 2 3 4", "5 6 7 8 9"]
+
+
+def test_overlap_windows(spark):
+    text = " ".join(str(i) for i in range(8))
+    out = (
+        chunk_documents(_df(spark, [text]), max_tokens=4, overlap=2)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # stride 2, ceil((8-2)/2)=3 starts 0,2,4 — the last full window ends
+    # exactly at the text end; no redundant trailing sub-window.
+    assert [r["chunk_text"] for r in out] == [
+        "0 1 2 3", "2 3 4 5", "4 5 6 7",
+    ]
+    # every token appears in at least one chunk
+    seen = {t for r in out for t in r["chunk_text"].split()}
+    assert seen == {str(i) for i in range(8)}
+
+
+def test_overlap_must_be_smaller(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_df(spark, ["x"]), max_tokens=4, overlap=4)
+
+
+def test_matches_duckdb_oracle(spark):
+    docs = load_table(spark, SF, "documents")
+    got = chunk_documents(docs, max_tokens=32, overlap=8).toPandas()
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    want = con.sql(
+        chunk_documents_sql("select * from documents", max_tokens=32, overlap=8)
+    ).df()
+    norm = lambda df: sorted(  # noqa: E731
+        tuple(str(v) for v in r)
+        for r in df.reindex(sorted(df.columns), axis=1).itertuples(index=False)
+    )
+    assert len(got) > len(docs.toPandas())
+    assert norm(got) == norm(want)
+
+
+def test_no_shuffle(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        chunk_documents(docs, max_tokens=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
