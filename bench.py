@@ -34,9 +34,15 @@ BENCH_QUERIES = [
     "events_daily_rollup",
     "events_json_extract",
     "events_sessionize",
+    "events_asof_latest_order",
     "text_stats",
     "text_repetition_stats",
     "decontaminate_benchmark",
+    "decontaminate_benchmark_bloom",
+    "chunk_documents",
+    "chunk_pack_pipeline",
+    "top_ngrams",
+    "quality_percentile_filter",
     "scrub_pii",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -59,6 +65,7 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "scd2_bucketed_temporal_join",
     "streaming_daily_rollup",
+    "streaming_sessionize",
 ]
 
 

@@ -76,6 +76,8 @@ from .operators.text import (
     chunk_documents_sql,
     fingerprint,
     fingerprint_sql,
+    quality_percentile_filter_sql,
+    top_ngrams_sql,
     language_id,
     language_id_sql,
     repetition_stats,
@@ -1152,6 +1154,29 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs, bench, n=4)
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 word bigrams by occurrence.  Map-side
+    partial counts absorb gram skew; global top-k via
+    TakeOrderedAndProject (no full sort)."""
+    prepare(spark)
+    from .operators.text import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=100)
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quality gate: keep docs at/above the 20th
+    length percentile WITHIN their group — rank-based so domains with
+    different score distributions are not crushed by a global threshold.
+    One shuffle on the group key."""
+    prepare(spark)
+    from .operators.text import quality_percentile_filter
+
+    return quality_percentile_filter(
+        load_table(spark, sf_dir, "documents"), group_cols=("lang", "source")
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: sliding ≤32-token windows, 8-token overlap.
     Narrow sequence/slice/explode — zero shuffle, no UDF (plan asserted in
@@ -1270,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_benchmark_bloom": q_decontaminate_benchmark_bloom,
         "chunk_documents": q_chunk_documents,
         "chunk_pack_pipeline": q_chunk_pack_pipeline,
+        "top_ngrams": q_top_ngrams,
+        "quality_percentile_filter": q_quality_percentile_filter,
         "scrub_pii": q_scrub_pii,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -1461,6 +1488,10 @@ def oracle_sql() -> dict[str, str]:
             tokens_col="chunk_tokens",
             budget=256,
             buckets=16,
+        ),
+        "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
+        "quality_percentile_filter": quality_percentile_filter_sql(
+            "select * from documents", group_cols=("lang", "source")
         ),
         "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
         "token_count": token_count_sql("select * from documents"),
