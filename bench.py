@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "chunk_pack_pipeline",
     "top_ngrams",
     "quality_percentile_filter",
+    "salted_join",
+    "scd2_snapshot_asof",
+    "profile_lineitem",
     "scrub_pii",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -97,6 +97,7 @@ from .operators.scd01 import (
 )
 from .operators.scd2 import scd2_incremental, scd2_initial_load
 from .operators.asof import asof_join
+from .operators.profile import profile_columns_sql
 from .operators.sessions import session_stats, session_stats_sql
 from .operators.temporal_join import scd2_join
 from .plans.config import ScdConfig
@@ -207,6 +208,20 @@ def q_scd2_current_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     out = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
     return out.filter(F.col("_is_current")).select(*FEED_COLS)
+
+
+def q_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read: the dimension exactly as it stood at the SPLIT
+    instant — pure validity-window filter over the built table
+    (operators/temporal_join.py::snapshot_at), no window re-derivation;
+    at scale the two comparisons push to the parquet scan."""
+    prepare(spark)
+    from .operators.temporal_join import snapshot_at
+
+    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
+    return snapshot_at(built, SPLIT).select(
+        *FEED_COLS, "_valid_from", "_valid_to", "_change_type"
+    )
 
 
 def q_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,6 +1169,36 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs, bench, n=4)
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (count / nulls / exact distinct /
+    min / max) of four lineitem columns — one scan however many columns
+    (operators/profile.py; the exact-distinct Expand and its
+    approx_count_distinct escape hatch are documented + plan-tested)."""
+    prepare(spark)
+    from .operators.profile import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "lineitem"),
+        ("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"),
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe equi-join (functions/skew.py): probe rows carry a
+    deterministic row-hash salt, the build side replicates per salt, and
+    the join key becomes (key, salt) — one hot key spreads over `salts`
+    tasks instead of stalling one.  Output provably equals the plain
+    join (the oracle IS the plain join)."""
+    prepare(spark)
+    from .functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    return salted_join(li, orders, "l_orderkey", salts=8)
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 word bigrams by occurrence.  Map-side
     partial counts absorb gram skew; global top-k via
@@ -1263,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_current_snapshot": q_scd2_current_snapshot,
+        "scd2_snapshot_asof": q_scd2_snapshot_asof,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
         "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
@@ -1297,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack_pipeline": q_chunk_pack_pipeline,
         "top_ngrams": q_top_ngrams,
         "quality_percentile_filter": q_quality_percentile_filter,
+        "salted_join": q_salted_join,
+        "profile_lineitem": q_profile_lineitem,
         "scrub_pii": q_scrub_pii,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -1346,6 +1394,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "scd2_initial_load": scd2_built,
         "scd2_current_snapshot": scd2_current_snapshot_sql(FEED_SQL, SCD2_SPEC),
+        "scd2_snapshot_asof": f"""
+            select {SCD2_SPEC.business_csv}, _valid_from, _valid_to, _change_type
+            from ({scd2_built})
+            where _valid_from <= timestamp '{SPLIT}'
+              and _valid_to > timestamp '{SPLIT}'
+        """,
         # collapse ⇒ incremental ≡ full refresh: the oracle is the
         # full-refresh derivation (independent path through the semantics).
         "scd2_incremental_merge": scd2_built,
@@ -1490,6 +1544,16 @@ def oracle_sql() -> dict[str, str]:
             buckets=16,
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
+        "salted_join": """
+            select l.l_orderkey, l.l_quantity, o.o_totalprice
+            from lineitem l
+            join (select o_orderkey as l_orderkey, o_totalprice from orders) o
+              using (l_orderkey)
+        """,
+        "profile_lineitem": profile_columns_sql(
+            "select * from lineitem",
+            ("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"),
+        ),
         "quality_percentile_filter": quality_percentile_filter_sql(
             "select * from documents", group_cols=("lang", "source")
         ),

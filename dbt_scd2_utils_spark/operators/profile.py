@@ -1,0 +1,85 @@
+"""Single-pass column profiling: the data-quality reconnaissance step
+before any pipeline decision (partition strategy, null handling, key
+candidacy).
+
+One aggregation job computes, per requested column: non-null count,
+exact distinct count, min and max (stringified so heterogeneous columns
+stack into one relation), plus the table row count — then a ``stack``
+pivots the single aggregate row into one row per column.
+
+Scale notes:
+
+- ONE scan of the table regardless of column count; all measures ride
+  the same partial-aggregation shuffle.
+- Exact multi-column ``count(distinct)`` makes Catalyst plan an Expand
+  (input multiplied by #profiled columns before the partial agg).  That
+  is the price of exactness and the oracle gate; at 100 TB swap in
+  ``approx_count_distinct`` (HyperLogLog, one pass, no Expand) — the
+  operator takes ``exact=False`` for exactly that.
+- min/max are cast to string AFTER aggregation (two values per column,
+  not per row).  Profile integral/string/timestamp columns; double
+  min/max stringification is engine-specific (Java vs C++ float repr),
+  so keep doubles out of oracle-gated profiles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact: bool = True
+) -> DataFrame:
+    """One row per column: (column_name, n_rows, n_non_null, n_distinct,
+    min_value, max_value)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("profile_columns requires at least one column")
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+            distinct(c).alias(f"__dst_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__cnt_{c}`, `__dst_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) as "
+            "(column_name, n_non_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_non_null", "n_distinct",
+        "min_value", "max_value",
+    )
+
+
+def profile_columns_sql(source_sql: str, cols: Sequence[str]) -> str:
+    """DuckDB twin: per-column aggregate selects unioned (the oracle may
+    scan N times; the engine's one-pass shape is the point)."""
+    parts = [
+        f"""
+        select '{c}' as column_name,
+               cast(count(*) as bigint) as n_rows,
+               cast(count({c}) as bigint) as n_non_null,
+               cast(count(distinct {c}) as bigint) as n_distinct,
+               cast(min({c}) as varchar) as min_value,
+               cast(max({c}) as varchar) as max_value
+        from ({source_sql})
+        """
+        for c in cols
+    ]
+    return " union all ".join(parts)

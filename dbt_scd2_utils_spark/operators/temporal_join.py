@@ -108,3 +108,25 @@ def scd2_join(
 
     # 4. Drop zero/negative-width spine windows.
     return result.filter(F.col("_valid_from") < F.col("_valid_to"))
+
+
+def snapshot_at(
+    table: DataFrame,
+    as_of: str,
+    valid_from_column: str = "_valid_from",
+    valid_to_column: str = "_valid_to",
+) -> DataFrame:
+    """Point-in-time (time-travel) read of an SCD2 table: the rows whose
+    half-open validity window contains ``as_of`` — the generalization of
+    the reference's current-snapshot read path (``_is_current`` is just
+    ``snapshot_at(now)``).  One row per key that existed at that instant;
+    keys born later (or deleted-and-collapsed before it) are absent.
+
+    Scale: a pure filter — pushes to the parquet scan on both window
+    columns (min/max row-group stats skip history segments entirely when
+    the table is written sorted/partitioned by validity), no shuffle, no
+    window re-derivation."""
+    ts = F.lit(as_of).cast("timestamp")
+    return table.filter(
+        (F.col(valid_from_column) <= ts) & (F.col(valid_to_column) > ts)
+    )

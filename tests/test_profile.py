@@ -1,0 +1,67 @@
+"""profile_columns (operators/profile.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.profile import (
+    profile_columns,
+    profile_columns_sql,
+)
+from dbt_scd2_utils_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+COLS = ("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate")
+
+
+def test_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "k long, s string"
+    )
+    out = {r["column_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4
+    assert out["k"]["n_non_null"] == 3
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["s"]["n_non_null"] == 3
+    assert out["s"]["n_distinct"] == 2
+
+
+def test_single_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    plan = (
+        profile_columns(li, COLS)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_approx_mode_no_expand(spark):
+    li = load_table(spark, SF, "lineitem")
+    exact = profile_columns(li, COLS)._jdf.queryExecution().executedPlan().toString()
+    approx = (
+        profile_columns(li, COLS, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact and "Expand" not in approx
+
+
+def test_empty_cols_raises(spark):
+    with pytest.raises(ValueError):
+        profile_columns(load_table(spark, SF, "lineitem"), [])
+
+
+def test_matches_duckdb(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = profile_columns(li, COLS).toPandas()
+    con = duckdb.connect()
+    con.sql(f"create view lineitem as select * from '{SF}/lineitem.parquet'")
+    want = con.sql(profile_columns_sql("select * from lineitem", COLS)).df()
+    norm = lambda df: sorted(  # noqa: E731
+        tuple(str(v) for v in r)
+        for r in df.reindex(sorted(df.columns), axis=1).itertuples(index=False)
+    )
+    assert norm(got) == norm(want)

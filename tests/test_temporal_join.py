@@ -106,3 +106,22 @@ def test_composite_key_join(spark):
     assert rows[0]["order_status"] == "PLACED"
     assert rows[1]["order_status"] == "SHIPPED"
     assert all(r["item_name"] == "Widget" for r in rows)
+
+
+def test_snapshot_at_matches_current_when_asof_is_late(spark):
+    from dbt_scd2_utils_spark.operators.temporal_join import snapshot_at
+
+    import dbt_scd2_utils_spark.entry as em
+    built = em.scd2_initial_load(
+        em.change_feed(spark, "/root/testdata/sf0.001"), em.SCD2_CFG
+    ).persist()
+    # as-of far future == current snapshot
+    far = snapshot_at(built, "2199-01-01 00:00:00")
+    cur = built.filter(F.col("_is_current"))
+    assert far.exceptAll(cur).count() == 0 and cur.exceptAll(far).count() == 0
+    # as-of before history begins == empty
+    assert snapshot_at(built, "1990-01-01 00:00:00").count() == 0
+    # one row per key at any instant
+    mid = snapshot_at(built, em.SPLIT)
+    assert mid.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+    built.unpersist()
