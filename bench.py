@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "scd2_bucketed_temporal_join",
     "streaming_daily_rollup",
     "streaming_sessionize",
+    "streaming_enrich",
+    "scd2_diff_cdc",
 ]
 
 

@@ -118,6 +118,8 @@ from .sources.tables import load_table, write_bucketed_table
 # Mid-month split for the staged (initial + one incremental batch) queries —
 # the events tables span 2024-01-01 .. 2024-01-31 at every scale factor.
 SPLIT = "2024-01-16 00:00:00"
+# In-range "now" probe for time-travel/CDC reads (before VALID_TO's open end).
+VALID_TO_PROBE = "2199-01-01 00:00:00"
 
 # The reference default open-end marker (2999-12-31) overflows pandas'
 # nanosecond datetime64 when results are collected; the driver-facing query
@@ -221,6 +223,23 @@ def q_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
     return snapshot_at(built, SPLIT).select(
         *FEED_COLS, "_valid_from", "_valid_to", "_change_type"
+    )
+
+
+def q_scd2_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC export read: every key whose state changed between the SPLIT
+    instant and now, classified I/U/D with the after-image — the rows a
+    downstream consumer holding the SPLIT snapshot applies to catch up
+    (operators/temporal_join.py::scd2_diff; apply-equivalence proven in
+    tests/test_scd2_diff.py).  Two window filters over one scan + a 1:1
+    full-outer key join — cost ∝ live keys, not history."""
+    prepare(spark)
+    from .operators.temporal_join import scd2_diff
+
+    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
+    return scd2_diff(
+        built, SPLIT, VALID_TO_PROBE, ["user_id"],
+        ("event_type", "value", "props", "deleted_at"),
     )
 
 
@@ -452,6 +471,36 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     q = (
         session_window_rollup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the
+    static customer dimension per micro-batch — the stateless streaming
+    join (no watermark, no state store), which is THE shape for
+    dimension lookup on a live stream; the batch join oracle gates it
+    exactly."""
+    prepare(spark)
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="scd_stream_enrich_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream.join(F.broadcast(customers), "user_id", "inner")
+        .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -1309,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_current_snapshot": q_scd2_current_snapshot,
         "scd2_snapshot_asof": q_scd2_snapshot_asof,
+        "scd2_diff_cdc": q_scd2_diff_cdc,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
         "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
@@ -1331,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_latest_order": q_events_asof_latest_order,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_enrich": q_streaming_enrich,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
@@ -1399,6 +1450,33 @@ def oracle_sql() -> dict[str, str]:
             from ({scd2_built})
             where _valid_from <= timestamp '{SPLIT}'
               and _valid_to > timestamp '{SPLIT}'
+        """,
+        "scd2_diff_cdc": f"""
+            with snap_a as (
+                select * from ({scd2_built})
+                where _valid_from <= timestamp '{SPLIT}'
+                  and _valid_to > timestamp '{SPLIT}'
+            ),
+            snap_b as (
+                select * from ({scd2_built})
+                where _valid_from <= timestamp '{VALID_TO_PROBE}'
+                  and _valid_to > timestamp '{VALID_TO_PROBE}'
+            )
+            select * from (
+                select coalesce(b.user_id, a.user_id) as user_id,
+                       case
+                         when a._valid_from is not null and b._valid_from is not null
+                              and not (a.event_type is not distinct from b.event_type
+                                       and a.value is not distinct from b.value
+                                       and a.props is not distinct from b.props
+                                       and a.deleted_at is not distinct from b.deleted_at)
+                           then 'U'
+                         when b._valid_from is not null and a._valid_from is null then 'I'
+                         when a._valid_from is not null and b._valid_from is null then 'D'
+                       end as _change_type,
+                       b.event_type, b.value, b.props, b.deleted_at
+                from snap_a a full outer join snap_b b on a.user_id = b.user_id
+            ) where _change_type is not null
         """,
         # collapse ⇒ incremental ≡ full refresh: the oracle is the
         # full-refresh derivation (independent path through the semantics).
@@ -1506,6 +1584,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_daily_rollup": STREAMING_ROLLUP_ORACLE_SQL,
         "streaming_sessionize": _streaming_sessions_oracle(),
+        "streaming_enrich": """
+            select e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+            from events e
+            join customer c on e.user_id = c.c_custkey
+        """,
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
             from ({scd2_built})

@@ -130,3 +130,69 @@ def snapshot_at(
     return table.filter(
         (F.col(valid_from_column) <= ts) & (F.col(valid_to_column) > ts)
     )
+
+
+def scd2_diff(
+    table: DataFrame,
+    from_ts: str,
+    to_ts: str,
+    unique_key: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    valid_from_column: str = "_valid_from",
+    valid_to_column: str = "_valid_to",
+) -> DataFrame:
+    """CDC read over an SCD2 table: per key, what changed between two
+    instants — ``'I'`` (key exists at ``to_ts`` only), ``'D'`` (at
+    ``from_ts`` only), ``'U'`` (both, with any ``compare_cols``
+    difference); unchanged keys are absent.  This is the incremental
+    EXPORT surface: a downstream consumer holding the ``from_ts``
+    snapshot applies exactly these rows to reach the ``to_ts`` snapshot
+    — the read-side complement of the engine's merge.
+
+    Shape: two validity-window filters over ONE scan of the table
+    (Spark reuses the exchange), a single full-outer key join, null-safe
+    column comparison.  At most one row per key on each side (the SCD2
+    invariant), so the join is 1:1 — no fan-out, cost ∝ live keys, not
+    history length."""
+    keys = list(unique_key)
+    audit = {valid_from_column, valid_to_column} | {
+        "_is_current", "_updated_at", "_change_type", "_loaded_at", "_written_at"
+    }
+    if compare_cols is None:
+        compare_cols = [
+            c for c in table.columns if c not in keys and c not in audit
+        ]
+    payload = list(compare_cols)
+
+    a = snapshot_at(table, from_ts, valid_from_column, valid_to_column).alias("a")
+    b = snapshot_at(table, to_ts, valid_from_column, valid_to_column).alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+    joined = a.join(b, cond, "full_outer")
+
+    # Side presence via the never-null validity column — key columns can
+    # be legitimately NULL (composite null-bearing keys), so key
+    # null-checks cannot detect the absent side of the full outer join.
+    in_a = F.col(f"a.{valid_from_column}").isNotNull()
+    in_b = F.col(f"b.{valid_from_column}").isNotNull()
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    change = (
+        F.when(in_a & in_b & ~same, F.lit("U"))
+        .when(in_b & ~in_a, F.lit("I"))
+        .when(in_a & ~in_b, F.lit("D"))
+    )
+    # Internal name first: the table's own _change_type audit column exists
+    # on BOTH join sides, so writing the output column under that name
+    # directly would be an ambiguous reference.
+    return (
+        joined.withColumn("__diff_type", change)
+        .filter(F.col("__diff_type").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"b.{k}"), F.col(f"a.{k}")).alias(k) for k in keys],
+            F.col("__diff_type").alias("_change_type"),
+            *[F.col(f"b.{c}").alias(c) for c in payload],
+        )
+    )
