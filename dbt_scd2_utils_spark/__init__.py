@@ -18,7 +18,10 @@ from .operators.scd01 import (
     scd1_incremental,
     scd1_initial_load,
 )
-from .operators.temporal_join import scd2_join
+from .operators.asof import asof_join
+from .operators.profile import profile_columns
+from .operators.temporal_join import scd2_diff, scd2_join, snapshot_at
+from .functions.skew import salted_join
 from .plans.build import ScdTable, scd_build
 from .operators.clustering import connected_components, dedup_clusters
 from .operators.sampling import (
@@ -49,6 +52,11 @@ __all__ = [
     "scd1_initial_load",
     "scd1_incremental",
     "scd2_join",
+    "snapshot_at",
+    "scd2_diff",
+    "asof_join",
+    "salted_join",
+    "profile_columns",
     "ScdTable",
     "scd_build",
     "incremental_source",

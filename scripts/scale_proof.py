@@ -125,12 +125,45 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     dedup_clusters(docs, pairs).write.format("noop").mode("overwrite").save()
     times["dedup_clusters"] = round(time.perf_counter() - t0, 2)
 
-    from dbt_scd2_utils_spark.operators.dedup import ngram_decontaminate
+    from dbt_scd2_utils_spark.operators.dedup import (
+        ngram_decontaminate,
+        ngram_decontaminate_prefiltered,
+    )
 
     t0 = time.perf_counter()
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     ngram_decontaminate(docs, bench, n=4).write.format("noop").mode("overwrite").save()
     times["ngram_decontaminate"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ngram_decontaminate_prefiltered(docs, bench, n=4).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    times["decontaminate_bitmap"] = round(time.perf_counter() - t0, 2)
+
+    from dbt_scd2_utils_spark.operators.asof import asof_join
+    from dbt_scd2_utils_spark.operators.sessions import session_stats
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    t0 = time.perf_counter()
+    asof_join(
+        events.select("event_id", "user_id", "ts", "value"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_order=("purchase_event_id",),
+    ).write.format("noop").mode("overwrite").save()
+    times["asof_join"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    session_stats(events).write.format("noop").mode("overwrite").save()
+    times["sessionize"] = round(time.perf_counter() - t0, 2)
 
     feed = events.select(
         "user_id", "event_type", "value", "props",
