@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "streaming_daily_rollup",
     "streaming_sessionize",
     "streaming_enrich",
+    "streaming_stream_join",
     "scd2_diff_cdc",
 ]
 

@@ -512,6 +512,60 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound: each view
+    event pairs with the same user's purchase events landing within 30
+    minutes after it.  Watermarks on BOTH sides let Spark evict join
+    state once the range can no longer match (the unbounded-state
+    problem stream-stream joins otherwise have); inner-join output is
+    exactly the batch theta-join, which is the oracle."""
+    prepare(spark)
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="scd_stream_ssjoin_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    views = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
+        "inner",
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_value")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch SCD2 sink driven file-by-file
     (maxFilesPerTrigger=1): batch 1 initial-loads, batch 2 merges
@@ -1382,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_enrich": q_streaming_enrich,
+        "streaming_stream_join": q_streaming_stream_join,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
@@ -1588,6 +1643,17 @@ def oracle_sql() -> dict[str, str]:
             select e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
             from events e
             join customer c on e.user_id = c.c_custkey
+        """,
+        "streaming_stream_join": """
+            select v.user_id,
+                   v.event_id as view_id, v.ts as view_ts,
+                   p.event_id as purchase_id, p.value as purchase_value
+            from events v
+            join events p
+              on v.user_id = p.user_id
+             and v.event_type = 'view' and p.event_type = 'purchase'
+             and p.ts >= v.ts
+             and p.ts <= v.ts + interval 30 minute
         """,
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count

@@ -35,9 +35,16 @@ def profile_columns(
 ) -> DataFrame:
     """One row per column: (column_name, n_rows, n_non_null, n_distinct,
     min_value, max_value)."""
+    from ..functions.partitioning import parallelize_narrow
+
     cols = list(cols)
     if not cols:
         raise ValueError("profile_columns requires at least one column")
+    # The Expand multiplies every input row by #cols BEFORE the partial
+    # agg — on a local single-file scan (few partitions) that CPU burn
+    # runs nearly single-core; spread narrow inputs first (no-op on
+    # cluster-partitioned input).
+    df = parallelize_narrow(df)
     distinct = (
         (lambda c: F.count_distinct(F.col(c)))
         if exact
