@@ -236,7 +236,10 @@ def q_scd2_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from .operators.temporal_join import scd2_diff
 
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
+    # persisted: the diff reads the table twice (one pruned scan per
+    # snapshot); without the barrier the whole window-chain build would
+    # execute twice.
+    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
     return scd2_diff(
         built, SPLIT, VALID_TO_PROBE, ["user_id"],
         ("event_type", "value", "props", "deleted_at"),

@@ -149,11 +149,16 @@ def scd2_diff(
     snapshot applies exactly these rows to reach the ``to_ts`` snapshot
     — the read-side complement of the engine's merge.
 
-    Shape: two validity-window filters over ONE scan of the table
-    (Spark reuses the exchange), a single full-outer key join, null-safe
-    column comparison.  At most one row per key on each side (the SCD2
-    invariant), so the join is 1:1 — no fan-out, cost ∝ live keys, not
-    history length."""
+    Shape: TWO filtered scans of the table (verified — the differing
+    snapshot predicates preclude exchange reuse), each pruned by its own
+    validity predicate, so against a materialized table sorted or
+    partitioned by validity each side reads only the row groups covering
+    its instant — NOT the full history twice.  Then a single full-outer
+    key join with null-safe column comparison; at most one row per key
+    per side (the SCD2 invariant) makes the join 1:1 — no fan-out, cost
+    ∝ live keys, not history length.  Callers diffing an UNMATERIALIZED
+    lineage should persist it first or the upstream plan executes twice.
+    """
     keys = list(unique_key)
     audit = {valid_from_column, valid_to_column} | {
         "_is_current", "_updated_at", "_change_type", "_loaded_at", "_written_at"
