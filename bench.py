@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "decontaminate_benchmark_bloom",
     "chunk_documents",
     "chunk_pack_pipeline",
+    "paragraph_dedup",
     "top_ngrams",
     "quality_percentile_filter",
     "salted_join",

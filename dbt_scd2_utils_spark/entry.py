@@ -41,6 +41,7 @@ from .operators.dedup import (
     ngram_decontaminate,
     ngram_decontaminate_prefiltered,
     ngram_decontaminate_sql,
+    paragraph_dedup_stats_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
     simhash,
@@ -1305,6 +1306,18 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, orders, "l_orderkey", salts=8)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-paragraph measurement (C4-style): 16-token
+    paragraphs, corpus-wide first occurrence canonical, duplicated
+    fraction in exact basis points.  Narrow chunking → one shuffle on the
+    paragraph text → map-side-combined doc rollup
+    (operators/dedup.py::paragraph_dedup_stats)."""
+    prepare(spark)
+    from .operators.dedup import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 word bigrams by occurrence.  Map-side
     partial counts absorb gram skew; global top-k via
@@ -1450,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_benchmark_bloom": q_decontaminate_benchmark_bloom,
         "chunk_documents": q_chunk_documents,
         "chunk_pack_pipeline": q_chunk_pack_pipeline,
+        "paragraph_dedup": q_paragraph_dedup,
         "top_ngrams": q_top_ngrams,
         "quality_percentile_filter": q_quality_percentile_filter,
         "salted_join": q_salted_join,
@@ -1696,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
             buckets=16,
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
+        "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
         "salted_join": """
             select l.l_orderkey, l.l_quantity, o.o_totalprice
             from lineitem l

@@ -18,7 +18,7 @@ key; exact verification touches candidate pairs only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import TOKEN_SPLIT
@@ -723,4 +723,85 @@ select s.{id_col} as id,
   cast(coalesce(c.n_dup_matches, 0) as bigint) as n_dup_matches,
   coalesce(c.n_dup_matches, 0) = 0 as is_novel
 from ({new_sql}) s left join counts c on s.{id_col} = c.new_id
+"""
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 16,
+) -> DataFrame:
+    """C4-style intra-corpus duplicate-paragraph measurement: split each
+    document into fixed ``para_tokens``-token paragraphs
+    (text.chunk_documents, no overlap), declare the corpus-wide FIRST
+    occurrence of each distinct paragraph canonical, and report per
+    document how much of it is duplicated text — the signal behind
+    "remove documents that are mostly boilerplate" gates.
+
+    Output: (id, n_paragraphs, n_duplicate, dup_bp) with dup_bp the
+    duplicated fraction in integer basis points (exact in both engines).
+
+    Canonical choice is total-ordered by a fixed-width (doc, idx) string
+    key, so ties cannot differ across engines.  Shape: narrow chunking →
+    ONE shuffle on the paragraph text (the dedup key; min-over-window) →
+    map-side-combined per-doc rollup.  Paragraph-frequency skew (a
+    boilerplate line appearing millions of times) lands on one task only
+    for the tiny (text, min-key) pairs, not the documents themselves."""
+    from .text import chunk_documents
+
+    chunks = chunk_documents(
+        df, id_col=id_col, text_col=text_col, max_tokens=para_tokens, overlap=0
+    )
+    okey = F.format_string("%010d:%010d", F.col(id_col), F.col("chunk_idx"))
+    w = Window.partitionBy("chunk_text")
+    tagged = chunks.withColumn("__okey", okey).withColumn(
+        "__canon", F.min("__okey").over(w)
+    )
+    return (
+        tagged.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum((F.col("__okey") != F.col("__canon")).cast("long")).alias(
+                "n_duplicate"
+            ),
+        )
+        .select(
+            id_col,
+            "n_paragraphs",
+            "n_duplicate",
+            # integer div in BOTH engines: double-division + cast would
+            # TRUNCATE in Spark but ROUND in DuckDB at .5 boundaries
+            F.expr("n_duplicate * 10000 div n_paragraphs").alias("dup_bp"),
+        )
+    )
+
+
+def paragraph_dedup_stats_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 16,
+) -> str:
+    from .text import chunk_documents_sql
+
+    inner = chunk_documents_sql(
+        source_sql, id_col=id_col, text_col=text_col,
+        max_tokens=para_tokens, overlap=0,
+    )
+    return f"""
+with chunks as ({inner}),
+tagged as (
+  select {id_col},
+    printf('%010d:%010d', {id_col}, chunk_idx) as okey,
+    min(printf('%010d:%010d', {id_col}, chunk_idx))
+      over (partition by chunk_text) as canon
+  from chunks
+)
+select {id_col},
+  cast(count(*) as bigint) as n_paragraphs,
+  cast(sum(case when okey <> canon then 1 else 0 end) as bigint) as n_duplicate,
+  cast(sum(case when okey <> canon then 1 else 0 end) * 10000 // count(*) as bigint) as dup_bp
+from tagged
+group by {id_col}
 """

@@ -79,3 +79,40 @@ def test_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_stats(spark):
+    from dbt_scd2_utils_spark.operators.dedup import paragraph_dedup_stats
+
+    # doc 0 and doc 1 share a paragraph-sized block; doc 2 is unique.
+    block = " ".join(f"w{i}" for i in range(16))
+    other = " ".join(f"x{i}" for i in range(16))
+    df = _df(spark, [block + " " + other, block, "unique words only"])
+    out = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_duplicate"], r["dup_bp"])
+        for r in paragraph_dedup_stats(df, para_tokens=16).collect()
+    }
+    assert out[0] == (2, 0, 0)        # doc 0 owns both canonical copies
+    assert out[1] == (1, 1, 10000)    # doc 1's only paragraph is a dup
+    assert out[2] == (1, 0, 0)
+
+
+def test_paragraph_dedup_matches_duckdb(spark):
+    import duckdb
+
+    from dbt_scd2_utils_spark.operators.dedup import (
+        paragraph_dedup_stats,
+        paragraph_dedup_stats_sql,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = paragraph_dedup_stats(docs).toPandas()
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    want = con.sql(paragraph_dedup_stats_sql("select * from documents")).df()
+    norm = lambda df: sorted(  # noqa: E731
+        tuple(str(v) for v in r)
+        for r in df.reindex(sorted(df.columns), axis=1).itertuples(index=False)
+    )
+    assert (got["n_duplicate"] > 0).any()  # the corpus really has dups
+    assert norm(got) == norm(want)

@@ -99,3 +99,59 @@ def test_dedup_aggregations_combine_map_side(spark, docs):
     # repetition stats: both aggregation levels partial-combine
     plan2 = plan_of(repetition_stats(docs))
     assert "partial_count" in plan2
+
+
+def test_top_ngrams_takes_ordered_no_full_sort(spark, docs):
+    from dbt_scd2_utils_spark.operators.text import top_ngrams
+
+    plan = plan_of(top_ngrams(docs, n=2, k=10))
+    assert "TakeOrderedAndProject" in plan  # local-k merge, not a global Sort
+    for bad in BAD_NODES:
+        assert bad not in plan
+
+
+def test_asof_union_window_has_no_join(spark):
+    from dbt_scd2_utils_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 2))], "event_id long, k long, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 9.0)], "k long, vts timestamp, x double"
+    )
+    plan = plan_of(asof_join(l, r, on="k", left_ts="ts", right_ts="vts"))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bitmap_prefilter_broadcasts_word_table(spark, docs):
+    from dbt_scd2_utils_spark.operators.dedup import ngram_decontaminate_prefiltered
+
+    bench = docs.limit(5)
+    plan = plan_of(ngram_decontaminate_prefiltered(docs, bench, n=2))
+    assert "BroadcastHashJoin" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
+
+
+def test_salted_join_is_equi_on_key_and_salt(spark):
+    from dbt_scd2_utils_spark.functions.skew import salted_join
+
+    l = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("a"))
+    r = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("b"))
+    plan = plan_of(salted_join(l, r, "k", salts=4))
+    for bad in BAD_NODES:
+        assert bad not in plan
+    assert "__salt" in plan  # the salt is part of the join key
+
+
+def test_quality_filter_single_window_pass(spark):
+    from dbt_scd2_utils_spark.operators.text import quality_percentile_filter
+
+    df = spark.createDataFrame(
+        [(i, "en", i * 7) for i in range(40)], "doc_id long, lang string, n_chars long"
+    )
+    plan = plan_of(quality_percentile_filter(df, group_cols=("lang",)))
+    assert plan.count("Window") == 1
+    for bad in BAD_NODES:
+        assert bad not in plan
