@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "events_json_extract",
     "events_sessionize",
     "events_asof_latest_order",
+    "jsonl_roundtrip",
+    "events_partition_pruned",
     "text_stats",
     "text_repetition_stats",
     "decontaminate_benchmark",

@@ -837,6 +837,41 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events through the JSONL interchange path (write → schema-explicit
+    PERMISSIVE read, microsecond-preserving timestamp format) — the
+    corpus-file format a real LLM pipeline ingests; byte-equality with
+    the parquet source is the oracle (sources/formats.py)."""
+    prepare(spark)
+    import tempfile
+
+    from .sources.formats import CORRUPT_COL, read_jsonl, write_jsonl
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="scd_jsonl_") + "/events"
+    write_jsonl(ev, path)
+    return read_jsonl(spark, path, ev.schema).drop(CORRUPT_COL)
+
+
+def q_events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day read from a hive-partitioned daily layout: the partition
+    filter prunes at directory-listing time (PartitionFilters in the
+    scan — asserted in tests/test_formats.py), so 1 day of a 100 TB
+    stream costs 1/365th, not a full scan."""
+    prepare(spark)
+    import tempfile
+
+    from .sources.formats import read_date_partition, write_date_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="scd_part_") + "/events"
+    write_date_partitioned(ev, path)
+    return read_date_partition(spark, path, "2024-01-16").select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("event_date").cast("string").alias("event_date"),
+    )
+
+
 def q_events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time enrichment: each event picks up the user's latest
     order as of the event timestamp (inclusive).  Runs the union+window
@@ -1449,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof_latest_order": q_events_asof_latest_order,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "events_partition_pruned": q_events_partition_pruned,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_enrich": q_streaming_enrich,
@@ -1641,6 +1678,13 @@ def oracle_sql() -> dict[str, str]:
             group by 1, 2
         """,
         "events_sessionize": session_stats_sql("select * from events"),
+        "jsonl_roundtrip": "select * from events",
+        "events_partition_pruned": """
+            select event_id, user_id, event_type, value,
+                   cast(cast(ts as date) as varchar) as event_date
+            from events
+            where cast(ts as date) = date '2024-01-16'
+        """,
         "events_asof_latest_order": """
             with latest as (
                 select o_custkey as user_id, o_orderdate,
