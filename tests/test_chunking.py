@@ -116,3 +116,39 @@ def test_paragraph_dedup_matches_duckdb(spark):
     )
     assert (got["n_duplicate"] > 0).any()  # the corpus really has dups
     assert norm(got) == norm(want)
+
+
+def test_chunking_invariants_random(spark):
+    """Random docs: every token covered, no chunk exceeds max_tokens,
+    consecutive chunks overlap by exactly `overlap` (except the final
+    short chunk), and reassembly without overlap restores the doc."""
+    import random
+
+    from dbt_scd2_utils_spark.operators.text import chunk_documents
+
+    rng = random.Random(99)
+    texts = [
+        " ".join(f"t{rng.randrange(1000)}_{i}_{j}" for j in range(rng.randint(1, 90)))
+        for i in range(25)
+    ]
+    df = _df(spark, texts)
+    for max_tokens, overlap in [(7, 0), (10, 3), (16, 8)]:
+        stride = max_tokens - overlap
+        rows = (
+            chunk_documents(df, max_tokens=max_tokens, overlap=overlap)
+            .orderBy("doc_id", "chunk_idx")
+            .collect()
+        )
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, text in enumerate(texts):
+            words = text.split()
+            chunks = [r["chunk_text"].split() for r in by_doc[i]]
+            assert all(len(c) <= max_tokens for c in chunks)
+            # start offsets step by stride; chunk c equals the source slice
+            for ci, c in enumerate(chunks):
+                assert c == words[ci * stride : ci * stride + max_tokens]
+            # full coverage: the last chunk reaches the end of the doc
+            last_start = (len(chunks) - 1) * stride
+            assert last_start + len(chunks[-1]) == len(words)
