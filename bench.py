@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ann_quantized_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "knn_graph",
     "multimodal_decode",
     "multimodal_frame_sample",
     "scd2_bucketed_temporal_join",

@@ -70,6 +70,7 @@ from .operators.similarity import (
     ivf_ann_topk,
     ivf_ann_topk_sql,
     kmeans_centroids_sql,
+    knn_graph_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
 )
@@ -1341,6 +1342,17 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, orders, "l_orderkey", salts=8)
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the embeddings corpus (SemDeDup-style
+    input): banded-LSH candidates → exact cosine → per-source top-5 via
+    one row_number window with a total (cosine desc, id asc) order
+    (operators/similarity.py::knn_graph)."""
+    prepare(spark)
+    from .operators.similarity import knn_graph
+
+    return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-paragraph measurement (C4-style): 16-token
     paragraphs, corpus-wide first occurrence canonical, duplicated
@@ -1501,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_pack_pipeline": q_chunk_pack_pipeline,
         "paragraph_dedup": q_paragraph_dedup,
+        "knn_graph": q_knn_graph,
         "top_ngrams": q_top_ngrams,
         "quality_percentile_filter": q_quality_percentile_filter,
         "salted_join": q_salted_join,
@@ -1755,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
         "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
+        "knn_graph": knn_graph_sql("select * from embeddings", k=5),
         "salted_join": """
             select l.l_orderkey, l.l_quantity, o.o_totalprice
             from lineitem l

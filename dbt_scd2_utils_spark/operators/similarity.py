@@ -987,3 +987,84 @@ from (
 )
 where rank <= {k}
 """
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate k-NN graph over an embedding corpus: for every vector,
+    its top-``k`` most-cosine-similar neighbors among the banded-LSH
+    candidates — the input structure for SemDeDup-style semantic
+    clustering and graph-based curation.
+
+    Same blocking as :func:`embedding_cosine_dedup` (per-band bucket size
+    ∝ n/2^rows_per_band; never the n² all-pairs), but the reduction is a
+    per-source top-k window instead of a global threshold: candidates
+    dedup across bands first, then ONE row_number window per source
+    ordered by (cosine desc, neighbor id asc) — a total order, so rank
+    assignment is engine-exact.  Approximate by construction: a true
+    neighbor hashing into no shared band is unseen (recall tunes with
+    ``bands``), identical to the recall story of ``lsh_ann_topk``."""
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    e = _barrier(_banded(df, "id", "v", id_col, vec_col, bhp))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.round(
+                F.expr(unrolled_dot_sql("a.v", "b.v", dims))
+                / (F.col("a.v_nrm") * F.col("b.v_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def knn_graph_sql(
+    source_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    dims: int = 64,
+) -> str:
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    cos = "round(list_dot_product(a.v, b.v) / (a.v_nrm * b.v_nrm), 6)"
+    return f"""
+with e as (
+{_banded_sql(source_sql, "id", "v", id_col, vec_col, bhp)}
+),
+pairs as (
+  select distinct a.id as src, b.id as dst, {cos} as cosine_sim
+  from e a join e b on a.band = b.band and a.sig = b.sig and a.id <> b.id
+)
+select src, dst, cosine_sim,
+  cast(row_number() over (
+    partition by src order by cosine_sim desc, dst asc
+  ) as bigint) as rank
+from pairs
+qualify rank <= {k}
+"""

@@ -232,3 +232,24 @@ def test_ann_quantized_topk_matches_bruteforce_top1(spark, corpus):
         for r in ann_quantized_topk(corpus, q, k=1).collect()
     }
     assert exact == approx
+
+
+def test_knn_graph_ranks_and_recall(spark):
+    from dbt_scd2_utils_spark.operators.similarity import knn_graph
+    from dbt_scd2_utils_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    g = knn_graph(emb, k=3).persist()
+    rows = g.collect()
+    assert rows, "graph must be non-empty on the near-dup-bearing corpus"
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, nbrs in by_src.items():
+        ranks = sorted(n["rank"] for n in nbrs)
+        assert ranks == list(range(1, len(ranks) + 1))  # dense 1..k
+        assert len(nbrs) <= 3
+        sims = [n["cosine_sim"] for n in sorted(nbrs, key=lambda n: n["rank"])]
+        assert sims == sorted(sims, reverse=True)  # rank follows cosine
+        assert all(n["dst"] != src for n in nbrs)
+    g.unpersist()
