@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "knn_graph",
+    "semantic_dedup",
     "multimodal_decode",
     "multimodal_frame_sample",
     "scd2_bucketed_temporal_join",

@@ -1353,6 +1353,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embedding corpus: k-NN
+    graph edges above a cosine threshold → connected components → one
+    canonical vector per semantic cluster.  Pure composition of
+    knn_graph + dedup_clusters — banded blocking keeps the edge
+    generation sub-quadratic; the component loop is O(E) per round."""
+    prepare(spark)
+    from .operators.clustering import dedup_clusters
+    from .operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(emb, k=5)
+        .filter(F.col("cosine_sim") >= 0.93)
+        .filter(F.col("src") < F.col("dst"))  # undirected, once per pair
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .distinct()
+    )
+    return dedup_clusters(emb, edges, id_col="vec_id")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-paragraph measurement (C4-style): 16-token
     paragraphs, corpus-wide first occurrence canonical, duplicated
@@ -1514,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack_pipeline": q_chunk_pack_pipeline,
         "paragraph_dedup": q_paragraph_dedup,
         "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
         "top_ngrams": q_top_ngrams,
         "quality_percentile_filter": q_quality_percentile_filter,
         "salted_join": q_salted_join,
@@ -1769,6 +1791,13 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
         "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
         "knn_graph": knn_graph_sql("select * from embeddings", k=5),
+        "semantic_dedup": dedup_clusters_sql(
+            "select * from embeddings",
+            f"""select src as id_a, dst as id_b
+                from ({knn_graph_sql("select * from embeddings", k=5)})
+                where cosine_sim >= 0.93 and src < dst""",
+            id_col="vec_id",
+        ),
         "salted_join": """
             select l.l_orderkey, l.l_quantity, o.o_totalprice
             from lineitem l
