@@ -903,6 +903,51 @@ def q_events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_run_start_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + S4 together: watermark scan AND the run-start cutoff
+    (exclude_data_after_run_start) — rows that arrived after the run
+    began are deferred to the next run for cross-table consistency
+    (sources/incremental.py; reference builtin_overrides/source.sql:47-49)."""
+    prepare(spark)
+    from datetime import datetime
+
+    from .sources.incremental import incremental_source
+
+    events = load_table(spark, sf_dir, "events")
+    target = events.filter(F.col("ts") <= F.lit(SPLIT).cast("timestamp"))
+    return incremental_source(
+        events,
+        target,
+        loaded_at_col="ts",
+        target_loaded_at_col="ts",
+        exclude_data_after_run_start=True,
+        run_started_at=datetime(2024, 1, 24, 0, 0, 0),
+    )
+
+
+def q_invariant_store_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 store_failures through the driver gate: corrupt a built SCD2
+    table with a duplicated current row, run the one-current-per-key
+    test with store_failures, and return the PERSISTED failure table —
+    what the oracle sees is what was written to disk
+    (operators/invariants.py::store_failures)."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.invariants import one_current_per_key, store_failures
+
+    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
+    dup = built.filter((F.col("user_id") == 0) & F.col("_is_current"))
+    corrupted = built.unionByName(dup)
+    base = tempfile.mkdtemp(prefix="scd_failures_")
+    counts = store_failures(
+        {"one_current_per_key": one_current_per_key(corrupted, ["user_id"])},
+        base,
+    )
+    assert counts["one_current_per_key"] > 0
+    return spark.read.parquet(f"{base}/one_current_per_key")
+
+
 def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
@@ -1525,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join": q_streaming_stream_join,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
+        "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
+        "invariant_store_failures": q_invariant_store_failures,
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
@@ -1754,6 +1801,28 @@ def oracle_sql() -> dict[str, str]:
         "invariant_one_current_per_key": f"""
             select user_id, count(*) as current_record_count
             from ({scd2_built})
+            where _is_current = true
+            group by user_id
+            having count(*) != 1
+        """,
+        "incremental_run_start_cutoff": f"""
+            with hwm as (
+                select max(ts) as c from events
+                where ts <= timestamp '{SPLIT}'
+            )
+            select * from events
+            where ts > (select c from hwm)
+              and ts <= timestamp '2024-01-24 00:00:00'
+        """,
+        "invariant_store_failures": f"""
+            with corrupted as (
+                select * from ({scd2_built})
+                union all
+                select * from ({scd2_built})
+                where user_id = 0 and _is_current
+            )
+            select user_id, count(*) as current_record_count
+            from corrupted
             where _is_current = true
             group by user_id
             having count(*) != 1
