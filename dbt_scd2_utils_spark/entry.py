@@ -1388,14 +1388,16 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN graph over the embeddings corpus (SemDeDup-style
-    input): banded-LSH candidates → exact cosine → per-source top-5 via
-    one row_number window with a total (cosine desc, id asc) order
-    (operators/similarity.py::knn_graph)."""
+    """Approximate k-NN graph over the near-dup-bearing corpus
+    (SemDeDup-style input): banded-LSH candidates → exact cosine →
+    per-source top-5 via one row_number window with a total
+    (cosine desc, id asc) order (operators/similarity.py::knn_graph).
+    Uses emb_corpus (planted twins) so the graph contains genuinely
+    close edges, not just band-coincidence ones."""
     prepare(spark)
     from .operators.similarity import knn_graph
 
-    return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+    return knn_graph(emb_corpus(spark, sf_dir), k=5, id_col="vec_id", vec_col="v")
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,15 +1410,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import dedup_clusters
     from .operators.similarity import knn_graph
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb_corpus(spark, sf_dir)
     edges = (
-        knn_graph(emb, k=5)
-        .filter(F.col("cosine_sim") >= 0.93)
+        knn_graph(emb, k=5, id_col="vec_id", vec_col="v")
+        .filter(F.col("cosine_sim") >= 0.9)
         .filter(F.col("src") < F.col("dst"))  # undirected, once per pair
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
         .distinct()
     )
-    return dedup_clusters(emb, edges, id_col="vec_id")
+    return dedup_clusters(emb.select("vec_id"), edges, id_col="vec_id")
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1859,12 +1861,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
         "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
-        "knn_graph": knn_graph_sql("select * from embeddings", k=5),
+        "knn_graph": knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v"),
         "semantic_dedup": dedup_clusters_sql(
-            "select * from embeddings",
+            f"select vec_id from ({EMB_CORPUS_SQL})",
             f"""select src as id_a, dst as id_b
-                from ({knn_graph_sql("select * from embeddings", k=5)})
-                where cosine_sim >= 0.93 and src < dst""",
+                from ({knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v")})
+                where cosine_sim >= 0.9 and src < dst""",
             id_col="vec_id",
         ),
         "salted_join": """

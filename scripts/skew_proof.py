@@ -5,8 +5,8 @@ Synthesizes a probe relation where ONE key owns 94% of all rows (15M
 of 16M) joined to a small-but-unbroadcastable build side, with
 autoBroadcastJoinThreshold disabled so the join must shuffle — the
 cluster situation salting exists for.  Measures plain vs salted wall
-time and the max single-task input rows (the straggler).  Prints one
-JSON line; results recorded in BASELINE.md.
+time (the plain join's cost is one straggler task processing the hot
+key's 15M rows).  Prints one JSON line; results recorded in BASELINE.md.
 """
 
 from __future__ import annotations

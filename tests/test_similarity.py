@@ -253,3 +253,35 @@ def test_knn_graph_ranks_and_recall(spark):
         assert sims == sorted(sims, reverse=True)  # rank follows cosine
         assert all(n["dst"] != src for n in nbrs)
     g.unpersist()
+
+
+def test_knn_graph_recall_floor_vs_bruteforce(spark):
+    """Banded-LSH k-NN must find >=60% of the TRUE nearest neighbors for
+    vectors with a genuinely close neighbor (cosine >= 0.9) — the planted
+    twins of the driver corpus. Recall on far "neighbors" is meaningless
+    (hashing is designed to separate them)."""
+    import numpy as np
+
+    import dbt_scd2_utils_spark.entry as em
+    from dbt_scd2_utils_spark.operators.similarity import knn_graph
+
+    emb = em.emb_corpus(spark, "/root/testdata/sf0.01")
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -2.0)
+    true_nn = {
+        ids[i]: (ids[int(sims[i].argmax())], sims[i].max())
+        for i in range(len(ids))
+    }
+    close = {i: nn for i, (nn, s) in true_nn.items() if s >= 0.9}
+    assert len(close) >= 20, "planted twins must yield close pairs"
+
+    got = {}
+    for r in knn_graph(emb, k=5, id_col="vec_id", vec_col="v").collect():
+        got.setdefault(r["src"], set()).add(r["dst"])
+    hits = sum(1 for i, nn in close.items() if nn in got.get(i, set()))
+    recall = hits / len(close)
+    assert recall >= 0.6, f"recall {recall:.2f} over {len(close)} close vectors"
