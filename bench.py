@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "scd2_born_deleted",
     "scd2_temporal_join",
     "incremental_source_watermark",
+    "incremental_run_start_cutoff",
     "invariant_one_current_per_key",
     "events_daily_rollup",
     "events_json_extract",
