@@ -73,3 +73,44 @@ def test_insert_and_update_classification(spark):
         ).collect()
     }
     assert got == {1: ("U", "new"), 3: ("I", "born")}
+
+
+def test_diff_apply_equivalence_random_tables(spark):
+    """Random SCD2-shaped tables + random probe instants: applying the
+    diff to snapshot(t1) must always reconstruct snapshot(t2)."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(4321)
+    base = datetime(2024, 1, 1)
+    for trial in range(15):
+        rows = []
+        for k in range(rng.randint(1, 12)):
+            # contiguous version chain per key with random boundaries
+            cuts = sorted(rng.sample(range(1, 120), rng.randint(1, 4)))
+            bounds = [0] + cuts + [200 if rng.random() < 0.7 else cuts[-1] + 1]
+            for vi in range(len(bounds) - 1):
+                if bounds[vi] == bounds[vi + 1]:
+                    continue
+                rows.append(
+                    (
+                        k,
+                        f"v{vi}-{rng.randrange(3)}",
+                        base + timedelta(days=bounds[vi]),
+                        base + timedelta(days=bounds[vi + 1]),
+                    )
+                )
+        tbl = spark.createDataFrame(
+            rows, "k long, v string, _valid_from timestamp, _valid_to timestamp"
+        ).persist()
+        t1 = (base + timedelta(days=rng.randint(0, 60))).strftime("%Y-%m-%d %H:%M:%S")
+        t2 = (base + timedelta(days=rng.randint(61, 150))).strftime("%Y-%m-%d %H:%M:%S")
+        diff = scd2_diff(tbl, t1, t2, ["k"], ["v"])
+        a = snapshot_at(tbl, t1).select("k", "v")
+        b = snapshot_at(tbl, t2).select("k", "v")
+        keys = diff.select("k")
+        upserts = diff.filter(F.col("_change_type") != "D").select("k", "v")
+        applied = a.join(keys, "k", "left_anti").unionByName(upserts)
+        assert applied.exceptAll(b).count() == 0, f"trial {trial}"
+        assert b.exceptAll(applied).count() == 0, f"trial {trial}"
+        tbl.unpersist()
