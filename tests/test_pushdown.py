@@ -112,3 +112,26 @@ def test_newer_than_non_watermark_column(spark):
     got = load_table(spark, SF, "lineitem", newer_than=("l_shipdate", cut))
     want = base.filter(F.col("l_shipdate") > F.lit(cut))
     assert got.count() == want.count() > 0
+
+
+def test_nanos_watermark_correct_under_non_utc_session(spark, tmp_path):
+    """The ns-cutoff resolves a naive datetime through the SESSION
+    timezone (sources/tables.py::_epoch_micros) — under a non-UTC tz the
+    pushed-down raw-long filter must still select exactly the rows a
+    post-rebuild timestamp comparison would."""
+    sf_dir = _write_events(tmp_path, "ns")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = load_table(spark, sf_dir, "events")
+        want = ev.filter(F.col("ts") > F.lit(CUT))
+        got = load_table(spark, sf_dir, "events", newer_than=("ts", CUT))
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+        # fixed-offset spelling resolves too
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")
+        got2 = load_table(spark, sf_dir, "events", newer_than=("ts", CUT))
+        want2 = load_table(spark, sf_dir, "events").filter(F.col("ts") > F.lit(CUT))
+        assert got2.count() == want2.count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
