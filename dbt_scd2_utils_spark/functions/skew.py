@@ -12,8 +12,13 @@ runtime re-optimization.
 
 ``salted_join`` spreads each key across ``salts`` sub-partitions:
 
-- the PROBE side gets a deterministic per-row salt — a hash of the whole
-  row, so a hot key's rows fan out uniformly over ``salts`` tasks;
+- the PROBE side gets a per-row salt — a hash of the whole row mixed
+  with a per-row unique id, so a hot key's rows fan out uniformly over
+  ``salts`` tasks even when the rows are byte-identical duplicates
+  (e.g. a probe projected down to just the join key).  The id component
+  makes the salt nondeterministic across retries/layouts, which is safe
+  here: every salt value yields the same join output, only the task
+  placement differs;
 - the BUILD side is replicated once per salt (explode over
   ``sequence(0, salts-1)``) — its shuffle volume grows ``salts``×, which
   is the explicit price of cutting the hot partition ``salts``×; keep
@@ -54,8 +59,16 @@ def salted_join(
         raise ValueError("salts must be >= 2 (1 would be a plain join)")
     keys = [on] if isinstance(on, str) else list(on)
 
+    # Row-hash alone would send IDENTICAL duplicate rows of a hot key to
+    # one sub-partition (the straggler reborn); mixing in a per-row
+    # unique id spreads them.  Any salt value is output-equivalent, so
+    # the id's retry nondeterminism cannot corrupt results.
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salts)
+        F.xxhash64(
+            *[F.col(c) for c in probe.columns],
+            F.monotonically_increasing_id(),
+        ),
+        F.lit(salts),
     ).cast("int")
     p = probe.withColumn("__salt", salt)
     b = build.withColumn(

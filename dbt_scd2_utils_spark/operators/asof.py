@@ -23,6 +23,11 @@ payload forward with ``last(..., ignorenulls=True)`` over
 - the window frame is running (rows-based), so Spark evaluates it in a
   single streaming pass per partition, no frame re-scan.
 
+NULL keys never match (DuckDB ``ASOF JOIN`` equality semantics: NULL =
+NULL is not a match): right rows with any NULL key column are dropped
+before the union, so a NULL-key left row's running ``last()`` sees only
+NULLs and emits a no-match row.  Left rows are always preserved.
+
 Equal instants: a right row AT the left row's timestamp matches
 (inclusive, same as DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``), enforced
 by sorting right rows before left rows within a timestamp.  Right-side
@@ -83,6 +88,12 @@ def asof_join(
         F.col(right_ts).cast("timestamp").alias("__rts"),
         *[F.col(c) for c in payload],
     )
+    # NULL join keys never match (SQL equality): a NULL-key right row
+    # could only ever be seen by NULL-key left rows via partitionBy's
+    # NULL-groups-together behavior — drop them so those left rows
+    # fall through as no-match instead.
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).cast("timestamp").alias("__ts"),

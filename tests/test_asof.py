@@ -99,6 +99,45 @@ def test_right_order_tiebreak(spark):
     assert got[0]["v"] == "high"  # last in ascending x order wins
 
 
+def test_null_keys_never_match(spark):
+    # DuckDB ASOF JOIN equality semantics: NULL = NULL is NOT a match.
+    # A NULL-key left row must come through as no-match even when
+    # NULL-key right rows exist at-or-before its timestamp.
+    left = spark.createDataFrame(
+        [(1, None, datetime(2024, 1, 5)), (2, 100, datetime(2024, 1, 5))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (None, datetime(2024, 1, 1), "nullmatch", 0.0),
+            (100, datetime(2024, 1, 2), "a", 1.0),
+        ],
+        "k long, vts timestamp, v string, x double",
+    )
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="vts").collect()
+    }
+    assert got[1] is None  # NULL key: preserved, but never matched
+    assert got[2] == "a"
+
+    con = duckdb.connect()
+    con.execute(
+        "create table l(event_id bigint, k bigint, ts timestamp);"
+        "create table r(k bigint, vts timestamp, v varchar, x double)"
+    )
+    con.executemany("insert into l values (?,?,?)", [list(x) for x in left.collect()])
+    con.executemany("insert into r values (?,?,?,?)", [list(x) for x in right.collect()])
+    want = {
+        row[0]: row[1]
+        for row in con.execute(
+            "select l.event_id, r.v from l asof left join r "
+            "on l.k = r.k and l.ts >= r.vts"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_payload_collision_raises(spark):
     with pytest.raises(ValueError, match="collides"):
         asof_join(

@@ -19,17 +19,20 @@ BASE = datetime(2024, 1, 1)
 
 def _feeds(rng):
     n_keys = rng.randint(1, 6)
+    # ~1 in 8 keys is NULL on each side: pins the SQL-equality rule that
+    # NULL keys never match (NULL-key left rows emit no-match).
+    nullable = lambda k: None if rng.random() < 0.125 else k  # noqa: E731
     left = [
         (
             i,
-            rng.randrange(n_keys + 2),  # keys beyond right's range too
+            nullable(rng.randrange(n_keys + 2)),  # keys beyond right's range too
             BASE + timedelta(minutes=rng.randrange(2000)),
         )
         for i in range(rng.randint(1, 40))
     ]
     right = [
         (
-            rng.randrange(n_keys),
+            nullable(rng.randrange(n_keys)),
             BASE + timedelta(minutes=rng.randrange(2000)),
             rng.randrange(5),
         )

@@ -33,14 +33,36 @@ def test_equals_plain_join(spark, how):
     assert want.exceptAll(got).count() == 0
 
 
+def _salt_expr(probe, salts):
+    # mirror of salted_join's internal salt expression
+    return F.pmod(
+        F.xxhash64(
+            *[F.col(c) for c in probe.columns], F.monotonically_increasing_id()
+        ),
+        F.lit(salts),
+    ).cast("int")
+
+
 def test_hot_key_spreads_over_salts(spark):
     probe, build = _hot(spark)
-    p = probe.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(8)).cast("int"),
-    )
+    p = probe.withColumn("__salt", _salt_expr(probe, 8))
     n = p.filter(F.col("k") == 7).select("__salt").distinct().count()
     assert n == 8  # the hot key's rows occupy every salt sub-partition
+
+
+def test_identical_duplicate_rows_still_spread(spark):
+    # A probe projected down to just the join key: every row of the hot
+    # key is byte-identical.  A pure row-hash salt would send all of
+    # them to ONE sub-partition (the straggler reborn); the unique-id
+    # component spreads them.
+    probe = spark.range(5000).select(F.lit(7).alias("k"))
+    build = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    p = probe.withColumn("__salt", _salt_expr(probe, 8))
+    assert p.select("__salt").distinct().count() == 8
+    got = salted_join(probe, build, "k", salts=8)
+    want = probe.join(build, ["k"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
 
 
 def test_rejects_right_joins(spark):

@@ -41,8 +41,19 @@ def test_top_ngrams_counts_occurrences(spark):
 def test_top_ngrams_deterministic_tiebreak(spark):
     df = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
     out = [r["gram"] for r in top_ngrams(df, n=2, k=2).collect()]
-    # all counts equal -> lexicographic gram order decides
-    assert out == ["w", "x w"] or out == sorted(out)
+    # grams are 'z y','y x','x w', all count 1 -> lexicographic gram
+    # order decides the top-2 exactly
+    assert out == ["x w", "y x"]
+
+
+def test_top_ngrams_drops_short_docs(spark):
+    # a document shorter than n tokens contributes NO gram (no truncated
+    # unigram leaks into the bigram vocabulary)
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["gram"]: r["n_occurrences"] for r in top_ngrams(df, n=2, k=10).collect()}
+    assert got == {"a b": 1}
 
 
 def test_top_ngrams_matches_duckdb(spark):
