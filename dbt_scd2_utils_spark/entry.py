@@ -949,16 +949,30 @@ def q_invariant_store_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous gate: a correctly built table has ZERO violations, so
+    comparing clean outputs proves nothing (0 rows == 0 rows).  Plant
+    duplicate current rows for every user_id % 100 == 0 key and assert
+    the check FINDS them — the oracle corrupts identically
+    (reference tests/generic/test_one_current_per_key.sql:3-9)."""
     prepare(spark)
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG)
-    return one_current_per_key(built, ["user_id"])
+    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
+    dup = built.filter((F.col("user_id") % 100 == 0) & F.col("_is_current"))
+    return one_current_per_key(built.unionByName(dup), ["user_id"])
 
 
 def q_invariant_no_validity_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous gate (see q_invariant_one_current_per_key): plant an
+    overlapping window — a copy of each user_id % 100 == 0 current row
+    with _valid_from pulled 1 hour earlier — and assert the theta-join
+    surfaces the overlap pairs
+    (reference tests/generic/test_no_validity_overlaps.sql:10-17)."""
     prepare(spark)
     # persisted: both sides of the self theta-join read the built table
     built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
-    return no_validity_overlaps(built, ["user_id"])
+    bad = built.filter(
+        (F.col("user_id") % 100 == 0) & F.col("_is_current")
+    ).withColumn("_valid_from", F.col("_valid_from") - F.expr("interval 1 hour"))
+    return no_validity_overlaps(built.unionByName(bad), ["user_id"])
 
 
 # --------------------------------------------------------------------------
@@ -1801,8 +1815,14 @@ def oracle_sql() -> dict[str, str]:
              and p.ts <= v.ts + interval 30 minute
         """,
         "invariant_one_current_per_key": f"""
+            with corrupted as (
+                select * from ({scd2_built})
+                union all
+                select * from ({scd2_built})
+                where user_id % 100 = 0 and _is_current
+            )
             select user_id, count(*) as current_record_count
-            from ({scd2_built})
+            from corrupted
             where _is_current = true
             group by user_id
             having count(*) != 1
@@ -1830,7 +1850,13 @@ def oracle_sql() -> dict[str, str]:
             having count(*) != 1
         """,
         "invariant_no_validity_overlaps": f"""
-            with m as ({scd2_built})
+            with m as (
+                select * from ({scd2_built})
+                union all
+                select * replace (_valid_from - interval 1 hour as _valid_from)
+                from ({scd2_built})
+                where user_id % 100 = 0 and _is_current
+            )
             select a.user_id,
                    a._valid_from as a_valid_from, a._valid_to as a_valid_to,
                    b._valid_from as b_valid_from, b._valid_to as b_valid_to
