@@ -51,6 +51,7 @@ from .operators.invariants import no_validity_overlaps, one_current_per_key
 from .operators.multimodal import (
     attach_binary_payload,
     decode_media_real,
+    decode_media_real_sql,
     decode_media_scalars,
     decode_media_sql,
     resize_media,
@@ -1527,23 +1528,22 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec path (no SQL oracle possible — DuckDB cannot parse
-    PPM/WAV, so this row is rows-only gated; pytest checks exact
-    pixel/sample values): synthesize genuine P6 PPM images + PCM WAV clips
-    from the documents ids, then decode them with the pure-Python/numpy
-    codecs — real header parsing, real pixel means, real RMS/zero-crossing
-    features.  Features flattened to scalars like q_multimodal_decode."""
+    """REAL codec path, value-gated via checksum: synthesize genuine P6
+    PPM images + PCM WAV clips from the documents ids, decode them with
+    the pure-Python/numpy codecs (real header parsing, real pixel/sample
+    math), and project an exact positional checksum of the DECODED
+    payload.  The DuckDB oracle re-derives every column — including the
+    checksum — arithmetically from doc_id without touching any binary,
+    so a header-parse or byte-order bug anywhere in encode→decode flips
+    the hash.  Float features stay pytest-gated
+    (tests/test_multimodal_real.py) to keep this row libm-free."""
     prepare(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media_corpus(docs)
     out = decode_media_real(media)
     return out.select(
-        "doc_id",
-        "media_type",
-        "byte_len",
-        "width",
-        "height",
-        *[F.col("features")[i].alias(f"feat_{i}") for i in range(4)],
+        "doc_id", "media_type", "byte_len", "width", "height",
+        "decoded_checksum",
     )
 
 
@@ -1629,9 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        # rows-only (no oracle_sql entry): real PPM/WAV codec decode —
-        # DuckDB cannot parse binary media; exact values pytest-gated in
-        # tests/test_multimodal_real.py.
+        # real PPM/WAV codec decode, value-gated via an exact integer
+        # checksum of the decoded payload (the oracle re-derives the
+        # synthetic corpus arithmetically); float features pytest-gated
+        # in tests/test_multimodal_real.py.
         "multimodal_decode_real": q_multimodal_decode_real,
     }
 
@@ -2011,6 +2012,11 @@ where r.top_gram_bp < 3000 and not d.is_contaminated
         "multimodal_resize": resize_media_sql("select * from documents"),
         "multimodal_frame_sample": sample_frames_sql(
             "select * from documents", n_frames=3
+        ),
+        # Real-codec path: value-gated via the integer checksum of the
+        # DECODED payload (promoted from rows-only in round 4).
+        "multimodal_decode_real": decode_media_real_sql(
+            "select * from documents"
         ),
     }
 

@@ -50,6 +50,13 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
+# Real-codec decode adds an exact integer checksum of the decoded payload
+# (position-weighted, mod 1e9+7) so the driver can value-gate it via a SQL
+# oracle that re-derives the synthetic corpus arithmetically.
+DECODED_REAL_SCHEMA = StructType(
+    [*DECODED_SCHEMA.fields, StructField("decoded_checksum", LongType())]
+)
+
 
 def attach_binary_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -299,10 +306,12 @@ from f
 # libraries needed — so this path retires the "stub decoder" caveat for
 # users whose media is PPM/PNM or PCM WAV, and serves as the worked example
 # of swapping _fake_decode_batch for an actual decoder: same mapInPandas
-# plumbing, same schema contract, different per-batch function.  There is
-# deliberately NO SQL oracle for these (DuckDB cannot parse PPM/WAV); the
-# driver gates the query rows-only and pytest checks exact pixel/sample
-# values against independently-computed expectations.
+# plumbing, same schema contract, different per-batch function.  DuckDB
+# cannot parse PPM/WAV binaries, but the synthetic corpus is pure integer
+# arithmetic on doc_id, so the decode emits an exact positional checksum
+# of the decoded bytes/samples that a SQL oracle re-derives without ever
+# touching the binary — the driver value-gates the path via that checksum;
+# pytest additionally checks exact pixel/sample values and float features.
 # ---------------------------------------------------------------------------
 
 
@@ -439,11 +448,15 @@ def synthesize_media_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     mtypes.append("image/ppm")
                     payloads.append(encode_ppm(img))
                 else:
+                    # Integer sawtooth (NOT a float sine): every sample is
+                    # exact integer arithmetic on (t, doc_id), so a SQL
+                    # oracle can re-derive the decoded samples bit-for-bit
+                    # — transcendental libm calls differ in the last ulp
+                    # across engines and would poison an exact checksum.
                     n = 64 + i % 129
-                    t = np.arange(n)
-                    samples = (
-                        12000 * np.sin(2 * np.pi * t * (1 + i % 7) / 32.0)
-                    ).astype(np.int16)
+                    t = np.arange(n, dtype=np.int64)
+                    k = 1 + i % 7
+                    samples = ((t * k * 2557) % 24001 - 12000).astype(np.int16)
                     mtypes.append("audio/wav")
                     payloads.append(encode_wav(samples))
                 ids.append(i)
@@ -461,18 +474,26 @@ def synthesize_media_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def decode_media_real(media: DataFrame) -> DataFrame:
     """REAL decode dispatching on media_type (same output contract as the
-    stub :func:`decode_media`):
+    stub :func:`decode_media`, plus an exact integer checksum):
 
     * ``image/ppm`` → width/height from the parsed header, features =
       [mean_r, mean_g, mean_b, luma_std] over the actual pixels (/255).
     * ``audio/wav`` → width = sample_rate, height = n_samples, features =
       [duration_s, rms, zero_crossing_rate, peak] over the actual samples.
 
-    All values rounded to 6 decimals for cross-run stability."""
+    Float features are rounded to 6 decimals for cross-run stability.
+    ``decoded_checksum`` is a position-weighted integer checksum of the
+    DECODED payload — Σ value[j]·(j+1) mod 1e9+7 over raw pixel bytes
+    (images) or Σ (sample[t]+32768)·(t+1) mod 1e9+7 over int16 samples
+    (audio).  Pure integer arithmetic end-to-end, so a SQL oracle that
+    re-derives the synthetic corpus can predict it exactly — this is what
+    lets the driver gate the real-codec path by value hash instead of
+    rows-only."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        mod = 1_000_000_007
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -488,6 +509,8 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     feats = [
                         round(float(px[:, :, c].mean()), 6) for c in range(3)
                     ] + [round(float(luma.std()), 6)]
+                    flat = arr.reshape(-1).astype(np.int64)
+                    cksum = int(np.dot(flat, np.arange(1, flat.size + 1)) % mod)
                 elif mtype == "audio/wav":
                     rate, _ch, s = decode_wav(p)
                     w, h = rate, len(s)
@@ -498,14 +521,74 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                         round(zc, 6),
                         round(float(np.abs(s).max()), 6),
                     ]
+                    # /32768.0 is exact for int16 inputs, so rint recovers
+                    # the original integer samples bit-for-bit
+                    ints = np.rint(s * 32768.0).astype(np.int64) + 32768
+                    cksum = int(np.dot(ints, np.arange(1, ints.size + 1)) % mod)
                 else:
                     raise ValueError(f"unsupported media_type {mtype!r}")
-                rows.append((int(doc_id), mtype, len(p), int(w), int(h), feats))
+                rows.append(
+                    (int(doc_id), mtype, len(p), int(w), int(h), feats, cksum)
+                )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "byte_len", "width", "height", "features"]
+                rows,
+                columns=[
+                    "doc_id", "media_type", "byte_len", "width", "height",
+                    "features", "decoded_checksum",
+                ],
             )
 
-    return media.mapInPandas(gen, schema=DECODED_SCHEMA)
+    return media.mapInPandas(gen, schema=DECODED_REAL_SCHEMA)
+
+
+def decode_media_real_sql(source_sql: str, id_col: str = "doc_id") -> str:
+    """Oracle twin of synthesize_media_corpus → decode_media_real's
+    checksum projection.  DuckDB never parses a binary: the synthetic
+    corpus is pure integer arithmetic on doc_id, so the oracle re-derives
+    the PPM header length, WAV chunk sizes, and the position-weighted
+    checksum of the decoded pixel bytes / int16 samples directly — a
+    constant-bound ``range()`` cross join filtered to each doc's true
+    dims plays the role of the pixel/sample loop (this DuckDB build does
+    not take lateral column parameters in ``range``).
+    A bug anywhere in the engine's encode→parse→decode round trip
+    (header grammar, byte order, truncation) diverges the checksum."""
+    return f"""
+with ids as (select cast({id_col} as bigint) as i from ({source_sql})),
+img as (
+  select i, 4 + i % 13 as w, 4 + (i // 2) % 11 as h
+  from ids where i % 2 = 0
+),
+img_out as (
+  select i as doc_id,
+         'image/ppm' as media_type,
+         cast(9 + length(cast(w as varchar)) + length(cast(h as varchar))
+              + w * h * 3 as int) as byte_len,
+         cast(w as int) as width,
+         cast(h as int) as height,
+         cast(sum(((x * 7 + y * 13 + i * 31 + c * 5) % 256)
+                  * ((y * w + x) * 3 + c + 1)) % 1000000007 as bigint)
+           as decoded_checksum
+  from img, range(0, 14) ty(y), range(0, 16) tx(x), range(0, 3) tc(c)
+  where y < h and x < w
+  group by i, w, h
+),
+aud as (
+  select i, 64 + i % 129 as n, 1 + i % 7 as k from ids where i % 2 = 1
+),
+aud_out as (
+  select i as doc_id,
+         'audio/wav' as media_type,
+         cast(44 + 2 * n as int) as byte_len,
+         cast(8000 as int) as width,
+         cast(n as int) as height,
+         cast(sum((((t * k * 2557) % 24001 - 12000) + 32768) * (t + 1))
+              % 1000000007 as bigint) as decoded_checksum
+  from aud, range(0, 193) tt(t)
+  where t < n
+  group by i, n, k
+)
+select * from img_out union all select * from aud_out
+"""
 
 
 def resize_media_real(media: DataFrame, max_dim: int = 16) -> DataFrame:

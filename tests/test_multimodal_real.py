@@ -95,8 +95,8 @@ def test_decode_real_audio_exact(decoded):
     assert set(rows) == {i for i in range(40) if i % 2 == 1}
     for i, r in rows.items():
         n = 64 + i % 129
-        t = np.arange(n)
-        s = (12000 * np.sin(2 * np.pi * t * (1 + i % 7) / 32.0)).astype(np.int16)
+        t = np.arange(n, dtype=np.int64)
+        s = ((t * (1 + i % 7) * 2557) % 24001 - 12000).astype(np.int16)
         sf = s.astype(np.float64) / 32768.0
         assert (r["width"], r["height"]) == (8000, n)  # sample_rate, n_samples
         zc = float(np.mean(np.signbit(sf[1:]) != np.signbit(sf[:-1])))
@@ -107,6 +107,25 @@ def test_decode_real_audio_exact(decoded):
             round(float(np.abs(sf).max()), 6),
         ]
         assert r["features"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_decode_real_checksums_exact(decoded):
+    # the positional checksum of the DECODED payload, recomputed here
+    # independently from the raw encoded bytes
+    media, out = decoded
+    mod = 1_000_000_007
+    got = {r["doc_id"]: r["decoded_checksum"] for r in out.collect()}
+    for r in media.collect():
+        p = bytes(r["payload"])
+        if r["media_type"] == "image/ppm":
+            _w, _h, arr = decode_ppm(p)
+            flat = arr.reshape(-1).astype(np.int64)
+            want = int(np.dot(flat, np.arange(1, flat.size + 1)) % mod)
+        else:
+            _rate, _ch, s = decode_wav(p)
+            ints = np.rint(s * 32768.0).astype(np.int64) + 32768
+            want = int(np.dot(ints, np.arange(1, ints.size + 1)) % mod)
+        assert got[r["doc_id"]] == want, r["doc_id"]
 
 
 def test_resize_real_resamples_pixels(decoded):
