@@ -1553,11 +1553,56 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is load-bearing: the driver's correctness gate runs the
+    first ~50 entries per round (r3 gated exactly entries 1-50), so the
+    surface ROTATES — queries whose last green row is oldest, that have
+    never been gated, or whose semantics changed this round come FIRST;
+    queries with a fresh green row from the previous round on the current
+    testdata close the list.  Every oracle-backed query gets a driver row
+    at least every other round."""
     return {
+        # -- never driver-gated before round 4 --------------------------
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "dedup_incremental_novelty": q_dedup_incremental_novelty,
+        "domain_mixture_sample": q_domain_mixture_sample,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        # -- last green row predates the r3 testdata regeneration -------
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "train_val_test_split": q_train_val_test_split,
+        "token_shards": q_token_shards,
+        "epoch_weighted_repeat": q_epoch_weighted_repeat,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        # real PPM/WAV codec decode, value-gated via an exact integer
+        # checksum of the decoded payload (the oracle re-derives the
+        # synthetic corpus arithmetically); float features pytest-gated
+        # in tests/test_multimodal_real.py.
+        "multimodal_decode_real": q_multimodal_decode_real,
+        # -- semantics changed in round 4: must re-gate ------------------
+        "invariant_one_current_per_key": q_invariant_one_current_per_key,
+        "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
+        "top_ngrams": q_top_ngrams,
+        "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
+        "events_asof_latest_order": q_events_asof_latest_order,
+        "salted_join": q_salted_join,
+        # -- core reference-parity surface (r3-green, kept in-gate) ------
         "scd2_initial_load": q_scd2_initial_load,
-        "scd2_current_snapshot": q_scd2_current_snapshot,
-        "scd2_snapshot_asof": q_scd2_snapshot_asof,
-        "scd2_diff_cdc": q_scd2_diff_cdc,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
         "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
@@ -1567,17 +1612,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_change_columns_exclude": q_scd2_change_columns_exclude,
         "scd2_change_columns_include": q_scd2_change_columns_include,
         "scd2_incremental_predicates": q_scd2_incremental_predicates,
-        "scd1_initial_load": q_scd1_initial_load,
         "scd1_incremental_merge": q_scd1_incremental_merge,
-        "scd0_initial_load": q_scd0_initial_load,
         "scd0_incremental_merge": q_scd0_incremental_merge,
         "scd2_temporal_join": q_scd2_temporal_join,
         "scd2_bucketed_temporal_join": q_scd2_bucketed_temporal_join,
+        "scd2_diff_cdc": q_scd2_diff_cdc,
         "incremental_source_watermark": q_incremental_source_watermark,
+        "invariant_store_failures": q_invariant_store_failures,
+        # ---------------------------------------------------------------
+        # Entries below carry a fresh r3 green row on the CURRENT
+        # (post-regeneration) testdata and are unchanged in round 4 —
+        # they rotate back to the front next round.
+        # ---------------------------------------------------------------
+        "scd2_current_snapshot": q_scd2_current_snapshot,
+        "scd2_snapshot_asof": q_scd2_snapshot_asof,
+        "scd1_initial_load": q_scd1_initial_load,
+        "scd0_initial_load": q_scd0_initial_load,
+        "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
-        "events_asof_latest_order": q_events_asof_latest_order,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_partition_pruned": q_events_partition_pruned,
         "streaming_daily_rollup": q_streaming_daily_rollup,
@@ -1586,10 +1640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stream_join": q_streaming_stream_join,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
-        "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
-        "invariant_store_failures": q_invariant_store_failures,
-        "invariant_one_current_per_key": q_invariant_one_current_per_key,
-        "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "text_stats": q_text_stats,
         "text_repetition_stats": q_text_repetition_stats,
         "decontaminate_benchmark": q_decontaminate_benchmark,
@@ -1597,43 +1647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "chunk_pack_pipeline": q_chunk_pack_pipeline,
         "paragraph_dedup": q_paragraph_dedup,
-        "knn_graph": q_knn_graph,
-        "semantic_dedup": q_semantic_dedup,
-        "top_ngrams": q_top_ngrams,
         "quality_percentile_filter": q_quality_percentile_filter,
-        "salted_join": q_salted_join,
         "profile_lineitem": q_profile_lineitem,
         "scrub_pii": q_scrub_pii,
-        "token_count": q_token_count,
-        "language_id": q_language_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental_novelty": q_dedup_incremental_novelty,
-        "train_val_test_split": q_train_val_test_split,
-        "domain_mixture_sample": q_domain_mixture_sample,
-        "token_shards": q_token_shards,
-        "epoch_weighted_repeat": q_epoch_weighted_repeat,
-        "curation_pipeline": q_curation_pipeline,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "multimodal_decode": q_multimodal_decode,
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        # real PPM/WAV codec decode, value-gated via an exact integer
-        # checksum of the decoded payload (the oracle re-derives the
-        # synthetic corpus arithmetically); float features pytest-gated
-        # in tests/test_multimodal_real.py.
-        "multimodal_decode_real": q_multimodal_decode_real,
     }
 
 
