@@ -994,7 +994,7 @@ def knn_graph(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 8,
+    bands: int = 16,
     rows_per_band: int = 8,
     dims: int = 64,
 ) -> DataFrame:
@@ -1010,7 +1010,14 @@ def knn_graph(
     ordered by (cosine desc, neighbor id asc) — a total order, so rank
     assignment is engine-exact.  Approximate by construction: a true
     neighbor hashing into no shared band is unseen (recall tunes with
-    ``bands``), identical to the recall story of ``lsh_ann_topk``."""
+    ``bands``), identical to the recall story of ``lsh_ann_topk``.
+
+    Default ``bands=16``: on the planted-twin corpus (scripts/
+    recall_curve.py, BASELINE.md §knn-recall) measured recall of the true
+    nearest neighbor for cosine>=0.9 pairs is 1.00 at 16 bands vs 0.83 at
+    8, for 2× the candidate pairs (28k vs 14k on 600 vectors — still ~8%
+    of the 360k all-pairs); the sign-LSH theory curve at the 0.9 boundary
+    is 1-(1-p^8)^16 ≈ 0.996 with p = 1 - arccos(0.9)/π ≈ 0.856."""
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     e = _barrier(_banded(df, "id", "v", id_col, vec_col, bhp))
     a, b = e.alias("a"), e.alias("b")
@@ -1047,7 +1054,7 @@ def knn_graph_sql(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 8,
+    bands: int = 16,
     rows_per_band: int = 8,
     dims: int = 64,
 ) -> str:

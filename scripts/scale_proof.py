@@ -85,11 +85,43 @@ def gen_events(n: int, seed: int) -> "pyarrow.Table":
     )
 
 
+def gen_embeddings(n: int, seed: int) -> "pyarrow.Table":
+    """64-dim float vectors with a ~20% planted-twin tail (copy an earlier
+    vector, nudge one coordinate) so knn_graph/semantic_dedup find real
+    clusters at both scales."""
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    vecs: list[list[float]] = []
+    for i in range(n):
+        if i > 0 and rng.random() < 0.2:
+            v = list(vecs[rng.randrange(max(1, i - 500), i)])
+            v[rng.randrange(64)] += 0.3
+        else:
+            v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        vecs.append(v)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+
+
+GENERATORS = {
+    "documents": gen_documents,
+    "events": gen_events,
+    "embeddings": gen_embeddings,
+}
+
+
 def ensure_data() -> dict[str, dict[str, str]]:
     import pyarrow.parquet as pq
 
-    scales = {"s0.1": {"documents": 5_000, "events": 100_000},
-              "s1": {"documents": 50_000, "events": 1_000_000}}
+    scales = {
+        "s0.1": {"documents": 5_000, "events": 100_000, "embeddings": 5_000},
+        "s1": {"documents": 50_000, "events": 1_000_000, "embeddings": 50_000},
+    }
     out: dict[str, dict[str, str]] = {}
     for scale, tables in scales.items():
         d = os.path.join(DATA_DIR, scale)
@@ -98,8 +130,7 @@ def ensure_data() -> dict[str, dict[str, str]]:
         for name, n in tables.items():
             path = os.path.join(d, f"{name}.parquet")
             if not os.path.exists(path):
-                gen = gen_documents if name == "documents" else gen_events
-                pq.write_table(gen(n, seed=42), path)
+                pq.write_table(GENERATORS[name](n, seed=42), path)
                 print(f"generated {path} ({n} rows)", file=sys.stderr)
             out[scale][name] = path
     return out
@@ -183,6 +214,35 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     ).write.format("noop").mode("overwrite").save()
     times["scd2_incremental_merge"] = round(time.perf_counter() - t0, 2)
     state.unpersist()
+
+    # Graph operators.  Production LSH tuning holds the expected BUCKET size
+    # constant as n grows (rows_per_band ≈ log2(n) - log2(bucket)), so the
+    # candidate-pair count — the verification work — stays ∝ n·bands·bucket
+    # instead of n²/2^rpb; the curve below runs each scale at its tuned rpb
+    # (5k → rpb 10, 50k → rpb 13: ~5-6 vectors/bucket at both).
+    from dbt_scd2_utils_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(paths["embeddings"])
+    rpb = 10 if emb.count() <= 10_000 else 13
+    t0 = time.perf_counter()
+    graph = knn_graph(
+        emb, k=5, id_col="vec_id", vec_col="embedding", rows_per_band=rpb
+    ).persist()
+    graph.write.format("noop").mode("overwrite").save()
+    times["knn_graph"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    edges = (
+        graph.filter(F.col("cosine_sim") >= 0.9)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .distinct()
+    )
+    dedup_clusters(emb.select("vec_id"), edges, id_col="vec_id").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    times["semantic_dedup"] = round(time.perf_counter() - t0, 2)
+    graph.unpersist()
     return times
 
 

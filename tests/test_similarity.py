@@ -256,10 +256,12 @@ def test_knn_graph_ranks_and_recall(spark):
 
 
 def test_knn_graph_recall_floor_vs_bruteforce(spark):
-    """Banded-LSH k-NN must find >=60% of the TRUE nearest neighbors for
+    """Banded-LSH k-NN must find >=90% of the TRUE nearest neighbors for
     vectors with a genuinely close neighbor (cosine >= 0.9) — the planted
-    twins of the driver corpus. Recall on far "neighbors" is meaningless
-    (hashing is designed to separate them)."""
+    twins of the driver corpus (a missed twin is a kept duplicate for the
+    semantic-dedup consumer). Recall on far "neighbors" is meaningless
+    (hashing is designed to separate them). The default 16-band config
+    measures 1.00 here (scripts/recall_curve.py; BASELINE.md §knn-recall)."""
     import numpy as np
 
     import dbt_scd2_utils_spark.entry as em
@@ -284,4 +286,4 @@ def test_knn_graph_recall_floor_vs_bruteforce(spark):
         got.setdefault(r["src"], set()).add(r["dst"])
     hits = sum(1 for i, nn in close.items() if nn in got.get(i, set()))
     recall = hits / len(close)
-    assert recall >= 0.6, f"recall {recall:.2f} over {len(close)} close vectors"
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(close)} close vectors"
