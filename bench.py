@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "chunk_pack_pipeline",
     "paragraph_dedup",
     "top_ngrams",
+    "bm25_search",
+    "ngram_lm_quality",
     "quality_percentile_filter",
     "salted_join",
     "scd2_snapshot_asof",

@@ -1583,6 +1583,36 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval (operators/search.py): queries are
+    every 50th document's first five words, scored against the corpus in
+    integer micros (order-independent sums — the oracle is value-exact).
+    max_df_frac=0.8 exercises stopword pruning without emptying results
+    on the 31-word synthetic vocabulary (most terms sit at 75-85% df)."""
+    prepare(spark)
+    from .operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5),
+        ).alias("query_text"),
+    )
+    return bm25_topk(docs, queries_df, k=10, max_df_frac=0.8)
+
+
+def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy gate: per-document NLL under an
+    add-0.5 bigram LM trained on the corpus itself, in exact integer
+    micros (operators/search.py::ngram_lm_score)."""
+    prepare(spark)
+    from .operators.search import ngram_lm_score
+
+    return ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1597,6 +1627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     testdata close the list.  Every oracle-backed query gets a driver row
     at least every other round."""
     return {
+        # -- new in round 4 ----------------------------------------------
+        "bm25_search": q_bm25_search,
+        "ngram_lm_quality": q_ngram_lm_quality,
         # -- never driver-gated before round 4 --------------------------
         "ann_quantized_topk": q_ann_quantized_topk,
         "curation_pipeline_v2": q_curation_pipeline_v2,
@@ -1690,6 +1723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .operators.search import bm25_topk_sql as _bm25_topk_sql
+    from .operators.search import ngram_lm_score_sql as _ngram_lm_score_sql
+
     scd2_built = scd2_initial_load_sql(FEED_SQL, SCD2_SPEC)
     rel_sql = lambda et, v, p: scd2_initial_load_sql(  # noqa: E731
         f"select user_id, value as {v}, props as {p}, ts as _updated_at "
@@ -1939,6 +1975,15 @@ def oracle_sql() -> dict[str, str]:
             buckets=16,
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
+        "bm25_search": _bm25_topk_sql(
+            "select * from documents",
+            "select doc_id as query_id, array_to_string(list_slice("
+            "string_split_regex(lower(trim(text)), '\\s+'), 1, 5), ' ') "
+            "as query_text from documents where doc_id % 50 = 0",
+            k=10,
+            max_df_frac=0.8,
+        ),
+        "ngram_lm_quality": _ngram_lm_score_sql("select * from documents"),
         "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
         "knn_graph": knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v"),
         "semantic_dedup": dedup_clusters_sql(

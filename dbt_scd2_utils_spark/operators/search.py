@@ -1,0 +1,331 @@
+"""Keyword search and statistical language-model scoring over a document
+corpus — the retrieval half of a training-data curation stack (find
+eval-set leaks by keyword, rank documents for a topic mix, CCNet-style
+LM-quality gating).
+
+Engine extension beyond the reference surface (the reference is an SCD
+compiler; these operators serve the same ``documents`` corpus the dedup /
+decontamination family curates).  Both operators follow the repo-wide
+cross-engine exactness rule: every floating-point SCORE is quantized to
+integer micro-units PER TERM before any aggregation, so sums are
+order-independent integer arithmetic and the DuckDB oracle twin matches
+hash-for-hash (same trick as text.py's basis points; see
+``text_stats``).  The only cross-engine float risk left is a <=1-ulp
+``ln`` difference landing exactly on a .5 micro boundary — measure-zero
+in practice.
+
+Scale design (100 TB corpus):
+- tokenize → one (doc, term) explode; tf/df/dl all derive from ONE
+  map-side-combined groupBy of that explode (no second corpus pass).
+- corpus scalars (N docs, total token count, vocabulary size) ride a
+  broadcast 1-row cross join — never a driver collect.
+- the query side of BM25 is broadcast (queries ≪ corpus); candidate rows
+  per query = Σ df(term) over its terms, bounded by ``max_df_frac``
+  stopword pruning (a term in more than that fraction of documents
+  scores ~0 anyway — its idf → ln(1+ε) — but its posting list is the
+  entire corpus: pruning it is the difference between top-k in seconds
+  and a full-corpus join).
+- per-query top-k is one row_number window over a total order
+  (score desc, doc_id asc) — deterministic under ties (duplicate
+  documents score exactly equal and tiebreak by id in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Same whitespace tokenization as operators/text.py (TOKEN_SPLIT), plus
+# case folding: keyword retrieval is conventionally case-insensitive.
+_SPARK_TOKENS = "split(lower(trim({col})), '\\\\s+')"
+_DUCK_TOKENS = "string_split_regex(lower(trim({col})), '\\s+')"
+
+
+def _search_tokens(col: str) -> Column:
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+# BM25 (Okapi, Robertson idf with the +1 floor so idf is always positive):
+#   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+#   tfn     = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * N / total_len))
+# dl/avgdl is expressed as dl * N / total_len so every input is an exact
+# integer and the double expression tree is IDENTICAL in both engines.
+# Every fractional literal is exponent-form (1.0e0): a bare `0.5` types as
+# DECIMAL in BOTH engines, and their DECIMAL division-scale rules differ —
+# measured ~1e-8 relative divergence, enough to flip ~2% of micro
+# roundings.  Exponent literals are DOUBLE everywhere, so the whole tree
+# is IEEE arithmetic.
+_CONTRIB = (
+    "cast(round(1.0e6 * "
+    "ln(1.0e0 + (({N} - df + 0.5e0) / (df + 0.5e0))) * "
+    "(tf * ({k1} + 1.0e0)) / "
+    "(tf + {k1} * (1.0e0 - {b} + {b} * dl * {N} / {total_len}))"
+    ") as bigint)"
+)
+
+
+def _dbl(x: float) -> str:
+    """Render a Python float as a DOUBLE-typed SQL literal (see _CONTRIB)."""
+    return f"cast({float(x)!r} as double)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query_text",
+    max_df_frac: float | None = 0.5,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25, scored in integer micros.
+
+    Returns (query_id, rank, doc_id, score_micro): ``score_micro`` is the
+    sum over the query's matched terms of round(idf·tfn · 1e6) — exact
+    integers, so the DuckDB twin (:func:`bm25_topk_sql`) is
+    value-identical.  ``max_df_frac`` drops terms present in more than
+    that fraction of documents (stopword pruning; see module docstring) —
+    pass None to rank with every term.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_search_tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+
+    postings = (
+        tf.join(dl, "doc_id")
+        .join(dft, "term")
+        .crossJoin(F.broadcast(scalars))
+    )
+    if max_df_frac is not None:
+        postings = postings.filter(
+            F.expr(f"cast(df as double) <= {_dbl(max_df_frac)} * n_docs")
+        )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_search_tokens(query_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+    contrib = _CONTRIB.format(
+        N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .withColumn("contrib_micro", F.expr(contrib))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+def bm25_topk_sql(
+    docs_sql: str,
+    queries_sql: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query_text",
+    max_df_frac: float | None = 0.5,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (identical expression tree)."""
+    dtoks = _DUCK_TOKENS.format(col=text_col)
+    qtoks = _DUCK_TOKENS.format(col=query_col)
+    df_filter = (
+        f"where cast(df as double) <= {_dbl(max_df_frac)} * n_docs"
+        if max_df_frac is not None
+        else ""
+    )
+    contrib = _CONTRIB.format(
+        N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
+    )
+    return f"""
+with toks as (
+  select doc_id, term from (
+    select {id_col} as doc_id, unnest({dtoks}) as term from ({docs_sql})
+  ) where term <> ''
+),
+tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+dl as (select doc_id, sum(tf) as dl from tf group by 1),
+dft as (select term, count(*) as df from tf group by 1),
+scalars as (select count(*) as n_docs, sum(dl) as total_len from dl),
+postings as (
+  select * from tf join dl using (doc_id) join dft using (term), scalars
+  {df_filter}
+),
+qterms as (
+  select distinct query_id, term from (
+    select {query_id_col} as query_id, unnest({qtoks}) as term
+    from ({queries_sql})
+  ) where term <> ''
+),
+scored as (
+  select query_id, doc_id, sum({contrib}) as score_micro
+  from postings join qterms using (term)
+  group by 1, 2
+)
+select query_id,
+       cast(row_number() over (
+         partition by query_id order by score_micro desc, doc_id asc
+       ) as bigint) as rank,
+       doc_id, score_micro
+from scored
+qualify rank <= {k}
+"""
+
+
+# Bigram LM: P(w2 | w1) = (c(w1,w2) + a) / (c(w1·) + a·V), add-a smoothing
+# over the corpus's own bigram counts; per-position negative log likelihood
+# quantized to micros.  c(w1·) sums bigram counts by prefix (NOT the
+# unigram count: the last token of a document has no successor), V = corpus
+# vocabulary size, so probabilities sum to 1 over the vocabulary.
+_NLL = (
+    "cast(round(-1.0e6 * "
+    "ln((c2 + {a}) / (c1 + {a} * vocab))"
+    ") as bigint)"
+)
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style LM quality signal: per-document negative log likelihood
+    under an add-``alpha`` bigram model trained on the corpus itself
+    (boilerplate and in-distribution text scores low, gibberish and
+    outlier text high — the standard perplexity-bucket gate, with the
+    corpus standing in for the reference LM since external model files
+    are out of scope).
+
+    Returns one row per document: (doc_id, n_bigrams,
+    nll_micro = Σ positions round(-ln P · 1e6),
+    avg_nll_micro = nll_micro / n_bigrams floor-divided) — all exact
+    integers.  Documents with fewer than two tokens score (0, 0, 0).
+
+    Scale: one explode → groupBy(doc, w1, w2) with map-side combine;
+    corpus bigram and prefix counts re-aggregate THAT result (rows ∝
+    distinct bigrams, not positions).  The (w1, w2)-keyed join is
+    shuffle-combinable; prefix-key hot spots ("the …") arrive
+    pre-aggregated per document, and AQE skew-splitting covers the rest.
+    """
+    ws = _search_tokens(text_col)
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({_SPARK_TOKENS.format(col=text_col)}) - 1), "
+            f"i -> struct({_SPARK_TOKENS.format(col=text_col)}[i-1] as w1, "
+            f"{_SPARK_TOKENS.format(col=text_col)}[i] as w2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+    doc_bi = base.select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+
+    c2 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        docs.select(F.explode(_search_tokens(text_col)).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.count_distinct("t").alias("vocab"))
+    )
+
+    nll = _NLL.format(a=_dbl(alpha))
+    scored = (
+        doc_bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("nll_pos_micro", F.expr(nll))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("nll_pos_micro")).alias("nll_micro"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
+            # `div`: exact int64 division (a double round-trip could round
+            # across the floor boundary at extreme magnitudes)
+            F.coalesce(
+                F.expr("nll_micro div n_bigrams"), F.lit(0)
+            ).cast("long").alias("avg_nll_micro"),
+        )
+    )
+
+
+def ngram_lm_score_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`ngram_lm_score`."""
+    toks = _DUCK_TOKENS.format(col=text_col)
+    pairs = (
+        f"case when len({toks}) >= 2 then "
+        f"list_transform(range(1, len({toks})), "
+        f"i -> struct_pack(w1 := {toks}[i], w2 := {toks}[i + 1])) "
+        f"else [] end"
+    )
+    nll = _NLL.format(a=_dbl(alpha))
+    return f"""
+with base as (
+  select doc_id, p.w1 as w1, p.w2 as w2 from (
+    select {id_col} as doc_id, unnest({pairs}) as p from ({docs_sql})
+  )
+),
+doc_bi as (select doc_id, w1, w2, count(*) as tf from base group by 1, 2, 3),
+c2 as (select w1, w2, sum(tf) as c2 from doc_bi group by 1, 2),
+c1 as (select w1, sum(c2) as c1 from c2 group by 1),
+vocab as (
+  select count(distinct t) as vocab from (
+    select unnest({toks}) as t from ({docs_sql})
+  ) where t <> ''
+),
+scored as (
+  select doc_id, sum(tf) as n_bigrams,
+         sum(tf * {nll}) as nll_micro
+  from doc_bi join c2 using (w1, w2) join c1 using (w1), vocab
+  group by 1
+)
+select d.doc_id,
+       cast(coalesce(s.n_bigrams, 0) as bigint) as n_bigrams,
+       cast(coalesce(s.nll_micro, 0) as bigint) as nll_micro,
+       cast(coalesce(s.nll_micro // s.n_bigrams, 0) as bigint) as avg_nll_micro
+from (select {id_col} as doc_id from ({docs_sql})) d
+left join scored s using (doc_id)
+"""

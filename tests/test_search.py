@@ -1,0 +1,127 @@
+"""Semantic tests for operators/search.py (BM25 retrieval + bigram-LM
+quality scoring) on hand-built corpora — oracle parity is covered by
+tests/test_oracle_parity.py; these pin the retrieval/LM behavior itself."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.search import bm25_topk, ngram_lm_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A document matching the query's RARE term must outrank one matching
+    only the ubiquitous term (the idf core of BM25)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "common zebra common common"),
+            (2, "common common common common"),
+            (3, "common common common common"),
+            (4, "common common common common"),
+        ],
+    )
+    qs = _queries(spark, [(10, "zebra common")])
+    out = bm25_topk(docs, qs, k=4, max_df_frac=None).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1
+    # identical docs 2/3/4 score exactly equal -> deterministic id tiebreak
+    assert ranked[1:] == [2, 3, 4]
+
+
+def test_bm25_score_matches_closed_form(spark):
+    """score_micro equals the hand-computed Okapi formula, per term
+    quantized to micros then integer-summed."""
+    docs = _docs(spark, [(1, "a b b"), (2, "a a c c")])
+    qs = _queries(spark, [(7, "b c")])
+    out = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25_topk(docs, qs, k=10, max_df_frac=None).collect()
+    }
+    # N=2, total_len=7; doc1: dl=3, tf(b)=2, df(b)=1; doc2: dl=4, tf(c)=2, df(c)=1
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dl, df, N=2, total_len=7):
+        idf = math.log(1.0 + ((N - df + 0.5) / (df + 0.5)))
+        tfn = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl * N / total_len))
+        return round(1e6 * idf * tfn)
+
+    assert out[1] == contrib(2, 3, 1)
+    assert out[2] == contrib(2, 4, 1)
+
+
+def test_bm25_max_df_prunes_stopword(spark):
+    """With max_df_frac=0.5 a term in every document contributes nothing:
+    a doc matching ONLY the stopword drops out of the results."""
+    docs = _docs(
+        spark,
+        [
+            (1, "the zebra"),
+            (2, "the cat"),
+            (3, "the dog"),
+        ],
+    )
+    qs = _queries(spark, [(1, "the zebra")])
+    out = bm25_topk(docs, qs, k=10, max_df_frac=0.5).collect()
+    assert {r["doc_id"] for r in out} == {1}  # docs 2/3 matched only "the"
+
+
+def test_bm25_case_insensitive(spark):
+    docs = _docs(spark, [(1, "Zebra Stripes"), (2, "plain horse")])
+    qs = _queries(spark, [(1, "zebra")])
+    out = bm25_topk(docs, qs, k=1, max_df_frac=None).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_lm_score_zeros_for_short_docs(spark):
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "a b a b")])
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    assert len(out) == 3  # one row per input document
+    for d in (1, 2):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["nll_micro"] == 0
+        assert out[d]["avg_nll_micro"] == 0
+    assert out[3]["n_bigrams"] == 3
+
+
+def test_lm_score_matches_closed_form(spark):
+    """NLL equals the hand-computed add-0.5 bigram model: repeated
+    in-corpus bigrams score lower (more likely) than a one-off."""
+    docs = _docs(spark, [(1, "a b a b"), (2, "a c")])
+    out = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    # corpus bigrams: doc1 -> (a,b)x2, (b,a)x1; doc2 -> (a,c)x1
+    # prefix counts: c1(a)=3, c1(b)=1; vocab = {a,b,c} -> V=3
+    a = 0.5
+
+    def nll(c2, c1, V=3):
+        return round(-1e6 * math.log((c2 + a) / (c1 + a * V)))
+
+    exp1 = 2 * nll(2, 3) + 1 * nll(1, 1)
+    exp2 = 1 * nll(1, 3)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["nll_micro"] == exp1
+    assert out[1]["avg_nll_micro"] == exp1 // 3
+    assert out[2]["nll_micro"] == exp2
+    # the common bigram (a,b| seen twice) is more likely than the one-off
+    # (a,c): per-position NLL ordering sanity
+    assert nll(2, 3) < nll(1, 3)
+
+
+def test_lm_score_flags_gibberish_vs_template(spark):
+    """The curation use: documents made of corpus-typical bigrams score a
+    lower avg NLL than a document of never-repeated transitions."""
+    template = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, template) for i in range(10)]
+    rows.append((99, "zxq plormf wibble the snarf quux"))
+    out = {r["doc_id"]: r["avg_nll_micro"] for r in ngram_lm_score(_docs(spark, rows)).collect()}
+    assert out[99] > out[0]
