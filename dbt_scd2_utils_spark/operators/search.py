@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import parallelize_narrow
+
 # Same whitespace tokenization as operators/text.py (TOKEN_SPLIT), plus
 # case folding: keyword retrieval is conventionally case-insensitive.
 _SPARK_TOKENS = "split(lower(trim({col})), '\\\\s+')"
@@ -91,13 +93,22 @@ def bm25_topk(
     pass None to rank with every term.
     """
     toks = (
-        docs.select(
+        parallelize_narrow(docs)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.explode(_search_tokens(text_col)).alias("term"),
         )
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf is the inverted index every downstream piece reads (dl,
+    # df, corpus scalars, the postings join) — without the barrier the
+    # tokenize+combine pass re-runs four times.  At scale this is the
+    # postings table you would materialize anyway.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = dl.agg(
@@ -236,30 +247,46 @@ def ngram_lm_score(
     shuffle-combinable; prefix-key hot spots ("the …") arrive
     pre-aggregated per document, and AQE skew-splitting covers the rest.
     """
-    ws = _search_tokens(text_col)
-    pairs = F.when(
-        F.size(ws) >= 2,
-        F.expr(
-            f"transform(sequence(1, size({_SPARK_TOKENS.format(col=text_col)}) - 1), "
-            f"i -> struct({_SPARK_TOKENS.format(col=text_col)}[i-1] as w1, "
-            f"{_SPARK_TOKENS.format(col=text_col)}[i] as w2))"
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # zip_with over two slices, NOT transform(sequence, i -> ws[i]): an
+    # array expression referenced INSIDE an index lambda re-evaluates per
+    # element (the regex split ran O(tokens²) per document — measured
+    # 9.3 s vs 0.9 s at sf0.1); slices keep the split per-row.
+    tok = _SPARK_TOKENS.format(col=text_col)
+    pairs = F.expr(
+        f"case when size({tok}) >= 2 then "
+        f"zip_with(slice({tok}, 1, size({tok}) - 1), "
+        f"slice({tok}, 2, size({tok}) - 1), "
+        f"(a, b) -> struct(a as w1, b as w2)) "
+        f"else array() end"
+    )
 
-    base = docs.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
-    doc_bi = base.select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    ).groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    src = parallelize_narrow(docs)
+    base = src.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p"))
+    # persist: the per-document bigram table feeds the corpus counts (c2,
+    # and c1 through it) AND the scored join — the explode+combine pass
+    # would otherwise run once per consumer.
+    doc_bi = (
+        base.select(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
 
     c2 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
-        docs.select(F.explode(_search_tokens(text_col)).alias("t"))
+        src.select(F.explode(_search_tokens(text_col)).alias("t"))
         .filter(F.col("t") != "")
         .agg(F.count_distinct("t").alias("vocab"))
     )
 
     nll = _NLL.format(a=_dbl(alpha))
+    # c2/c1 joins stay UN-hinted: at 100 TB the distinct-bigram table can
+    # be far too large to broadcast (the join must shuffle on its key),
+    # while on small corpora AQE converts both to broadcast at runtime —
+    # the adaptive plan is the right one at every scale.
     scored = (
         doc_bi.join(c2, ["w1", "w2"])
         .join(c1, "w1")
