@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "dedup_incremental_novelty",
     "train_val_test_split",
     "domain_mixture_sample",
+    "temperature_mixture_sample",
+    "cluster_balanced_sample",
     "token_shards",
     "epoch_weighted_repeat",
     "curation_pipeline",
@@ -109,21 +111,11 @@ def main() -> None:
         _ident, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Compile every query's plan once at the smallest SF (same expressions
-    # + schema -> identical generated code -> Janino/JIT cache hits) so the
-    # timed numbers measure steady-state data throughput, not one-time
-    # whole-stage-codegen compilation (~4-7 s for the join-heavy plans —
-    # irrelevant at cluster scale, dominant at sf0.1).  Same rationale as
-    # the python-worker warm above; data work at sf0.001 is negligible.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir):
-        for name in names:
-            try:
-                qs[name](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as exc:  # pragma: no cover - warm is best-effort
-                print(f"warm {name}: {exc}", file=sys.stderr)
+    # NOTE on a rejected idea: pre-compiling every plan at sf0.001 to strip
+    # whole-stage-codegen time from the numbers was measured and reverted —
+    # the warm pass's accumulated caches/persists cost MORE than the ~5 s
+    # of compile it saved (112 s -> 139 s total), and per-query compile is
+    # at least charged consistently to every query since r1.
 
     # Materialize the staged merge targets outside the timings: the merge
     # queries measure the MERGE (the recurring cost of an incremental run),

@@ -1583,6 +1583,39 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture (p_d ∝ n_d^0.5, target 30% of the corpus):
+    rates derived in-plan from domain counts — one map-side-combined agg +
+    a broadcast rate join, zero corpus shuffle, stable hashed-id keeps
+    (operators/sampling.py::temperature_mixture_sample)."""
+    prepare(spark)
+    from .operators.sampling import temperature_mixture_sample
+
+    return temperature_mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (DataComp-style): at most 2 vectors per
+    semantic cluster, smallest ids first — semantic_dedup's component
+    table capped by one per-group window
+    (operators/sampling.py::per_group_cap)."""
+    prepare(spark)
+    from .operators.clustering import dedup_clusters
+    from .operators.sampling import per_group_cap
+    from .operators.similarity import knn_graph
+
+    emb = emb_corpus(spark, sf_dir)
+    edges = (
+        knn_graph(emb, k=5, id_col="vec_id", vec_col="v")
+        .filter(F.col("cosine_sim") >= 0.9)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .distinct()
+    )
+    clusters = dedup_clusters(emb.select("vec_id"), edges, id_col="vec_id")
+    return per_group_cap(clusters, "cluster_rep", "vec_id", k=2)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 keyword retrieval (operators/search.py): queries are
     every 50th document's first five words, scored against the corpus in
@@ -1630,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 ----------------------------------------------
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
+        "temperature_mixture_sample": q_temperature_mixture_sample,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         # -- never driver-gated before round 4 --------------------------
         "ann_quantized_topk": q_ann_quantized_topk,
         "curation_pipeline_v2": q_curation_pipeline_v2,
@@ -1723,6 +1758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
+    from .operators.sampling import (
+        temperature_mixture_sample_sql as _temperature_mixture_sample_sql,
+    )
     from .operators.search import bm25_topk_sql as _bm25_topk_sql
     from .operators.search import ngram_lm_score_sql as _ngram_lm_score_sql
 
@@ -2027,6 +2066,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_val_test_split": hash_split_sql("select * from documents"),
         "domain_mixture_sample": mixture_sample_sql("select * from documents"),
+        "temperature_mixture_sample": _temperature_mixture_sample_sql(
+            "select * from documents"
+        ),
+        "cluster_balanced_sample": _per_group_cap_sql(
+            dedup_clusters_sql(
+                f"select vec_id from ({EMB_CORPUS_SQL})",
+                f"""select src as id_a, dst as id_b
+                    from ({knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v")})
+                    where cosine_sim >= 0.9 and src < dst""",
+                id_col="vec_id",
+            ),
+            group_col="cluster_rep",
+            order_col="vec_id",
+            k=2,
+        ),
         "epoch_weighted_repeat": weighted_repeat_sql(
             "select * from documents", weight=1.3
         ),

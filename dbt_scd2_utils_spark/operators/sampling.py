@@ -276,3 +276,134 @@ from (
 )
 where mix_bp < keep_bp
 """
+
+
+# Shared keep-rate expression for temperature mixture sampling — ONE format
+# string rendered into both engines so the double tree is identical (all
+# fractional literals exponent-form DOUBLE; see operators/search.py for the
+# DECIMAL-literal divergence this avoids).  Inputs n_d/total/sum_pow are
+# exact integers/doubles from counts.
+#   w_d      = n_d^alpha / sum_pow          (temperature-flattened weight)
+#   keep_d   = target_frac * total * w_d / n_d
+#   keep_bp  = clamp(round(1e4 * keep_d), 0, 10000)
+_TEMP_KEEP_BP = (
+    "least(10000, greatest(0, cast(round("
+    "1.0e4 * {tf} * total * power(cast(n_d as double), {a}) / (sum_pow * n_d)"
+    ") as int)))"
+)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac_bp: int = 3_000,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based mixture sampling: per-domain keep rates computed
+    IN-PLAN from domain sizes, p_d ∝ n_d^alpha (alpha<1 flattens the
+    mixture toward small domains — the multilingual/low-resource
+    upweighting scheme), scaled so the expected kept total is
+    ``target_frac_bp`` of the corpus.  A rate clamping at 10000 bp means
+    "keep the whole domain" (no oversampling here — compose
+    :func:`epoch_weighted_repeat` for fractional epochs above 1.0).
+
+    Unlike :func:`mixture_sample` the rates are data-derived: one
+    domain-count aggregate (map-side combined), a 1-row scalar agg, a
+    broadcast rate join — no driver collect, no shuffle of the corpus —
+    then the same stable hashed-id Bernoulli keep as ``hash_split``.
+
+    Returns kept rows: (id, domain, mix_bp, keep_bp)."""
+    if not 0 <= target_frac_bp <= 10_000:
+        raise ValueError(f"target_frac_bp must be in [0, 10000], got {target_frac_bp}")
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_d")
+    )
+    totals = sizes.agg(
+        F.sum("n_d").alias("total"),
+        F.sum(F.expr(f"power(cast(n_d as double), {_sql_dbl(alpha)})")).alias(
+            "sum_pow"
+        ),
+    )
+    keep_bp = _TEMP_KEEP_BP.format(
+        tf=f"(cast({target_frac_bp} as double) / 1.0e4)", a=_sql_dbl(alpha)
+    )
+    rates = (
+        sizes.crossJoin(F.broadcast(totals))
+        .select("domain", F.expr(keep_bp).alias("keep_bp"))
+    )
+    bp = _hash_bp(id_col, salt, 10_000)
+    return (
+        df.select(
+            F.col(id_col), F.col(domain_col).alias("domain"), bp.alias("mix_bp")
+        )
+        .join(F.broadcast(rates), "domain")
+        .filter(F.col("mix_bp") < F.col("keep_bp"))
+        .select(id_col, "domain", "mix_bp", "keep_bp")
+    )
+
+
+def _sql_dbl(x: float) -> str:
+    return f"cast({float(x)!r} as double)"
+
+
+def temperature_mixture_sample_sql(
+    source_sql: str,
+    alpha: float = 0.5,
+    target_frac_bp: int = 3_000,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> str:
+    bp = _hash_bp_sql(id_col, salt, 10_000)
+    keep_bp = _TEMP_KEEP_BP.format(
+        tf=f"(cast({target_frac_bp} as double) / 1.0e4)", a=_sql_dbl(alpha)
+    )
+    return f"""
+with sizes as (
+  select {domain_col} as domain, count(*) as n_d from ({source_sql}) group by 1
+),
+totals as (
+  select sum(n_d) as total,
+         sum(power(cast(n_d as double), {_sql_dbl(alpha)})) as sum_pow
+  from sizes
+),
+rates as (select domain, {keep_bp} as keep_bp from sizes, totals)
+select {id_col}, domain, mix_bp, keep_bp
+from (
+  select {id_col}, {domain_col} as domain, {bp} as mix_bp from ({source_sql})
+) join rates using (domain)
+where mix_bp < keep_bp
+"""
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by the smallest
+    ``order_col`` (a total (order, group) order — deterministic under any
+    ties in practice because order_col is an id).  The generic cap behind
+    cluster-balanced sampling (≤k documents per semantic/near-dup cluster,
+    DataComp-style) and per-domain document caps.  One shuffle on the
+    group key; rank is a single streaming window pass per group."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("grp_rank") <= k)
+    )
+
+
+def per_group_cap_sql(source_sql: str, group_col: str, order_col: str, k: int) -> str:
+    return f"""
+select *, cast(row_number() over (
+  partition by {group_col} order by {order_col} asc
+) as bigint) as grp_rank
+from ({source_sql})
+qualify grp_rank <= {k}
+"""

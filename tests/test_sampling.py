@@ -113,3 +113,70 @@ def test_mixture_sample_rejects_bad_rate(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError, match="mixture rate"):
         mixture_sample(df, rates=(("a", 10_001),))
+
+
+# ---- round-4 additions: temperature mixture + per-group cap ---------------
+
+
+def test_temperature_alpha1_keeps_target_rate_everywhere(spark):
+    """alpha=1 collapses the temperature to proportional sampling: every
+    domain's keep_bp equals the global target."""
+    from dbt_scd2_utils_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(df, alpha=1.0, target_frac_bp=2_000)
+    kept = out.collect()
+    assert {r["keep_bp"] for r in kept} == {2000}
+    # hashed Bernoulli at 20% over 1000 ids: loose band
+    assert 100 <= len(kept) <= 320
+
+
+def test_temperature_alpha0_equalizes_domain_totals(spark):
+    """alpha=0 gives every domain the same weight: expected kept COUNT per
+    domain is equal, so the small domain's keep_bp is ~9x the big one's
+    (900 vs 100 rows)."""
+    from dbt_scd2_utils_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(df, alpha=0.0, target_frac_bp=2_000)
+    bp = {r["domain"]: r["keep_bp"] for r in out.collect()}
+    # target total 200; per-domain 100 -> big: 100/900=11.1% -> 1111 bp,
+    # small: 100/100 -> 10000 bp (clamped exact fit)
+    assert bp["big"] == 1111
+    assert bp["small"] == 10000
+
+
+def test_temperature_rejects_bad_target(spark):
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.operators.sampling import temperature_mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="target_frac_bp"):
+        temperature_mixture_sample(df, target_frac_bp=10_001)
+
+
+def test_per_group_cap_keeps_k_smallest(spark):
+    from dbt_scd2_utils_spark.operators.sampling import per_group_cap
+
+    rows = [(1, "c1"), (2, "c1"), (3, "c1"), (9, "c2"), (4, "c2"), (7, "c3")]
+    df = spark.createDataFrame(rows, "vec_id long, cluster string")
+    out = per_group_cap(df, "cluster", "vec_id", k=2).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["cluster"], []).append((r["grp_rank"], r["vec_id"]))
+    assert sorted(by_c["c1"]) == [(1, 1), (2, 2)]  # 3 dropped
+    assert sorted(by_c["c2"]) == [(1, 4), (2, 9)]  # rank follows order_col
+    assert sorted(by_c["c3"]) == [(1, 7)]
+
+
+def test_per_group_cap_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.operators.sampling import per_group_cap
+
+    df = spark.createDataFrame([(1, "a")], "vec_id long, cluster string")
+    with _pytest.raises(ValueError, match="k must be"):
+        per_group_cap(df, "cluster", "vec_id", k=0)
