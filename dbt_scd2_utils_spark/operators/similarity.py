@@ -1021,31 +1021,35 @@ def knn_graph(
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     e = _barrier(_banded(df, "id", "v", id_col, vec_col, bhp))
     a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.round(
-                F.expr(unrolled_dot_sql("a.v", "b.v", dims))
-                / (F.col("a.v_nrm") * F.col("b.v_nrm")),
-                6,
-            ).alias("cosine_sim"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        F.round(
+            F.expr(unrolled_dot_sql("a.v", "b.v", dims))
+            / (F.col("a.v_nrm") * F.col("b.v_nrm")),
+            6,
+        ).alias("cosine_sim"),
     )
+    # A pair sharing j bands appears j times.  dense_rank over the RAW
+    # pair stream ≡ row_number over the deduped stream — duplicates of
+    # (src, dst) carry the identical cosine, and within a src the
+    # (cosine desc, dst asc) key is unique per distinct dst — so the
+    # corpus-sized distinct (a full extra exchange+hashagg of every
+    # candidate pair, measured 13 s of a 27 s query at 8.3M pairs) moves
+    # AFTER the rank filter, where ≤ k·n·(1+dup rate) rows survive.
     w = Window.partitionBy("src").orderBy(
         F.col("cosine_sim").desc(), F.col("dst").asc()
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.dense_rank().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+        .distinct()
     )
 
 
