@@ -469,15 +469,18 @@ def lsh_ann_topk(
                 6,
             ).alias("cosine_sim"),
         )
-        .distinct()
     )
+    # dense_rank tolerates the multi-band duplicates (identical cosine per
+    # (query, neighbor)), so the candidate-sized distinct moves after the
+    # rank filter — see knn_graph for the measured rationale.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .distinct()
     )
 
 
@@ -576,14 +579,19 @@ def ivf_ann_topk(
         "query_id",
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"),
-    ).distinct()
+    )
+    # dense_rank over the raw multi-probe stream: duplicate (query,
+    # neighbor) rows from overlapping probe cells carry identical cosine,
+    # so the candidate-sized distinct defers past the rank filter (see
+    # knn_graph).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
+        .distinct()
     )
 
 
