@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "epoch_weighted_repeat",
     "curation_pipeline",
     "curation_pipeline_v2",
+    "curation_pipeline_v3",
     "streaming_dedup_exact",
     "ann_bruteforce_topk",
     "ann_quantized_topk",

@@ -1217,6 +1217,54 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation pipeline, composing the round-4
+    operators end-to-end: bigram-LM quality gate (keep each language's
+    LOW-NLL 70% — the CCNet head+middle) → retrieval-based eval-leak
+    removal (drop any document a benchmark query retrieves in its BM25
+    top-3 — catches paraphrased leaks exact n-gram overlap misses) →
+    temperature mixture (p_domain ∝ n^0.5, 60% target) → hard per-domain
+    cap (≤50 docs).  Every stage is an engine operator; the oracle
+    composes the same *_sql builders over one CTE chain."""
+    prepare(spark)
+    from .operators.sampling import per_group_cap, temperature_mixture_sample
+    from .operators.search import bm25_topk, ngram_lm_score
+    from .operators.text import quality_percentile_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = ngram_lm_score(docs)
+    base = (
+        docs.select("doc_id", "lang", "source")
+        .join(lm, "doc_id")
+        .filter(F.col("n_bigrams") > 0)
+        .withColumn("lm_score", -F.col("avg_nll_micro"))
+    )
+    gated = quality_percentile_filter(
+        base, score_col="lm_score", group_cols=("lang",), min_percentile=0.3
+    )
+    bench_q = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5),
+        ).alias("query_text"),
+    )
+    leaks = (
+        bm25_topk(docs, bench_q, k=3, max_df_frac=0.8)
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        gated.select("doc_id")
+        .join(leaks, "doc_id", "left_anti")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    mixed = temperature_mixture_sample(
+        kept, alpha=0.5, target_frac_bp=6_000, domain_col="source"
+    )
+    return per_group_cap(mixed, "domain", "doc_id", k=50)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return exact_dedup(doc_corpus(spark, sf_dir))
@@ -1665,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
         # -- never driver-gated before round 4 --------------------------
         "ann_quantized_topk": q_ann_quantized_topk,
         "curation_pipeline_v2": q_curation_pipeline_v2,
@@ -1764,6 +1813,16 @@ def oracle_sql() -> dict[str, str]:
     )
     from .operators.search import bm25_topk_sql as _bm25_topk_sql
     from .operators.search import ngram_lm_score_sql as _ngram_lm_score_sql
+    from .operators.text import quality_percentile_filter_sql as _qpf_sql
+
+    bm25_bench_queries_sql = (
+        "select doc_id as query_id, array_to_string(list_slice("
+        "string_split_regex(lower(trim(text)), '\\s+'), 1, 5), ' ') "
+        "as query_text from documents where doc_id % 20 = 0"
+    )
+    v3_leaks_sql = _bm25_topk_sql(
+        "select * from documents", bm25_bench_queries_sql, k=3, max_df_frac=0.8
+    )
 
     scd2_built = scd2_initial_load_sql(FEED_SQL, SCD2_SPEC)
     rel_sql = lambda et, v, p: scd2_initial_load_sql(  # noqa: E731
@@ -2118,6 +2177,30 @@ join cc using (doc_id)
 join sp using (doc_id)
 where r.top_gram_bp < 3000 and not d.is_contaminated
   and cc.is_canonical and sp.split = 'train'
+""",
+        "curation_pipeline_v3": f"""
+with lm as ({_ngram_lm_score_sql('select * from documents')}),
+base as (
+  select d.doc_id, d.lang, d.source, -lm.avg_nll_micro as lm_score
+  from documents d join lm using (doc_id)
+  where lm.n_bigrams > 0
+),
+gated as ({_qpf_sql('select * from base', score_col='lm_score',
+                    group_cols=('lang',), min_percentile=0.3)}),
+leaks as (
+  select distinct doc_id from ({v3_leaks_sql})
+),
+kept as (
+  select g.doc_id, d.source
+  from gated g
+  join documents d using (doc_id)
+  where g.doc_id not in (select doc_id from leaks)
+),
+mixed as ({_temperature_mixture_sample_sql(
+    'select * from kept', alpha=0.5, target_frac_bp=6_000,
+    domain_col='source')})
+{_per_group_cap_sql('select * from mixed', group_col='domain',
+                    order_col='doc_id', k=50)}
 """,
         "token_shards": shard_by_token_budget_sql(
             "select doc_id, bpe_tokens as n_tokens from ("
