@@ -197,7 +197,9 @@ qterms as (
   ) where term <> ''
 ),
 scored as (
-  select query_id, doc_id, sum({contrib}) as score_micro
+  -- cast: DuckDB sum(BIGINT) is HUGEINT, which pandas floats — the
+  -- engine side is int64
+  select query_id, doc_id, cast(sum({contrib}) as bigint) as score_micro
   from postings join qterms using (term)
   group by 1, 2
 )
