@@ -155,3 +155,75 @@ def test_quality_filter_single_window_pass(spark):
     assert plan.count("Window") == 1
     for bad in BAD_NODES:
         assert bad not in plan
+
+
+# ---- round-4 operators -----------------------------------------------------
+
+
+def test_bm25_plan_broadcasts_queries_no_unbounded_nested_loop(spark):
+    """The query-terms side must broadcast (queries ≪ corpus) and the only
+    nested-loop join allowed is the 1-row corpus-scalars cross join."""
+    from dbt_scd2_utils_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "alpha")], "query_id long, query_text string")
+    plan = plan_of(bm25_topk(docs, qs, k=3))
+    assert "CartesianProduct" not in plan
+    # scalars ride ONE BroadcastNestedLoopJoin (1-row side); a second one
+    # would mean the postings join degenerated.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan  # qterms join
+
+
+def test_knn_graph_plan_keeps_window_group_limit(spark):
+    """The deferred-dedup shape: dense_rank + rank filter must plan a
+    WindowGroupLimit (map-side top-k pruning BEFORE the exchange) and no
+    aggregate may run on the full candidate-pair stream (the distinct
+    runs on the ≤ k·n survivors AFTER the window)."""
+    from dbt_scd2_utils_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7)] * 64) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = plan_of(knn_graph(emb, k=3, id_col="vec_id", vec_col="embedding"))
+    assert "WindowGroupLimit" in plan
+    # the dedup HashAggregate must sit ABOVE the Window, not below it
+    win = plan.index("Window ") if "Window " in plan else plan.index("Window")
+    agg = plan.index("HashAggregate")
+    assert agg < win, "pair dedup should run after the rank filter"
+
+
+def test_lm_score_plan_no_cartesian_and_single_bigram_agg(spark):
+    from dbt_scd2_utils_spark.operators.search import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(30)], "doc_id long, text string"
+    )
+    plan = plan_of(ngram_lm_score(docs))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row vocab scalar
+
+
+def test_temperature_mixture_plan_broadcasts_rates(spark):
+    """The corpus must NOT shuffle: domain rates arrive via broadcast."""
+    from dbt_scd2_utils_spark.operators.sampling import temperature_mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(50)], "doc_id long, source string"
+    )
+    plan = plan_of(temperature_mixture_sample(docs))
+    assert "CartesianProduct" not in plan
+    # exactly the 1-row totals scalar may ride a nested-loop cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan  # rates reach the corpus broadcast
+    # the corpus side of the rate join must be Exchange-free: every
+    # Exchange in the plan belongs to the (tiny) sizes aggregation chain,
+    # which sits under a BroadcastExchange — so each hash Exchange must
+    # appear after the LAST BroadcastExchange in the plan text's
+    # depth-first order (the broadcast subtree), never on the probe side.
+    probe_region = plan[: plan.index("BroadcastExchange")]
+    assert "Exchange hashpartitioning" not in probe_region
