@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "text_repetition_stats",
     "decontaminate_benchmark",
     "decontaminate_benchmark_bloom",
+    "decontaminate_containment",
     "chunk_documents",
     "chunk_pack_pipeline",
     "paragraph_dedup",

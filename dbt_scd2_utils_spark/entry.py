@@ -1456,6 +1456,24 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_decontaminate(docs, bench, n=4)
 
 
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination by n-gram CONTAINMENT (|doc∩bench| / |bench|,
+    GPT-3/PaLM-style overlap fraction): flags corpus documents that contain
+    ≥50% of some benchmark item's distinct word 3-grams, with boilerplate
+    grams (corpus df > 2000) pruned from both sides
+    (operators/dedup.py::containment_decontaminate).  Corpus and benchmark
+    are disjoint slices (real decontamination never self-compares)."""
+    prepare(spark)
+    from .operators.dedup import containment_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return containment_decontaminate(
+        corpus, bench, shingle_n=3, threshold=0.5, max_df=2000
+    )
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profile (count / nulls / exact distinct /
     min / max) of four lineitem columns — one scan however many columns
@@ -1709,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at least every other round."""
     return {
         # -- new in round 4 ----------------------------------------------
+        "decontaminate_containment": q_decontaminate_containment,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1807,6 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .operators.dedup import (
+        containment_decontaminate_sql as _containment_sql,
+    )
     from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
     from .operators.sampling import (
         temperature_mixture_sample_sql as _temperature_mixture_sample_sql,
@@ -2053,6 +2075,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": text_stats_sql("select * from documents"),
         "text_repetition_stats": repetition_stats_sql("select * from documents"),
+        "decontaminate_containment": _containment_sql(
+            "select * from documents where doc_id % 20 != 0",
+            "select * from documents where doc_id % 20 = 0",
+            shingle_n=3,
+            threshold=0.5,
+            max_df=2000,
+        ),
         "decontaminate_benchmark": (decon_oracle := ngram_decontaminate_sql(
             "select * from documents",
             "select * from documents where doc_id % 20 = 0",

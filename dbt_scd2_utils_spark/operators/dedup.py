@@ -805,3 +805,168 @@ select {id_col},
 from tagged
 group by {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment decontamination (fuzzy benchmark-overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def containment_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 2000,
+) -> DataFrame:
+    """Fuzzy eval-set decontamination by n-gram CONTAINMENT, the semantics
+    real decontamination pipelines use (GPT-3 App. C / PaLM-style overlap
+    fraction): a corpus document is contaminated when it contains a large
+    fraction of some benchmark item's distinct word ``shingle_n``-grams —
+    |doc ∩ bench| / |bench|, NOT Jaccard, because a long training document
+    that embeds a short eval item has near-zero Jaccard but containment ≈ 1.
+
+    Output: one row per corpus document,
+    ``(id, max_containment_micro, n_bench_hits, is_contaminated)`` —
+    ``max_containment_micro`` = round(1e6 · best containment) as an exact
+    integer (cross-engine hashable), ``n_bench_hits`` = #benchmark items
+    with containment ≥ ``threshold``.
+
+    Scale shape: inverted-index equi-join on the gram — per-gram work ∝ the
+    gram's posting-list sizes, never corpus × benchmark.  ``max_df`` drops
+    grams whose CORPUS document frequency exceeds it (boilerplate grams like
+    'terms of service apply' would otherwise create quadratic hot posting
+    lists); the containment denominator counts only the benchmark grams that
+    survive pruning, so pruning never deflates the score — documented
+    deviation: a benchmark item whose every gram is boilerplate (all pruned)
+    can no longer be matched.  The DuckDB twin
+    (:func:`containment_decontaminate_sql`) applies identical pruning.
+    """
+    from ..functions.partitioning import parallelize_narrow
+
+    bid = bench_id_col or id_col
+    bcol = bench_text_col or text_col
+
+    doc_grams = parallelize_narrow(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("g"),
+    )
+    if max_df is not None:
+        keep = (
+            doc_grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("gdf"))
+            .filter(F.col("gdf") <= max_df)
+            .select("g")
+        )
+        doc_grams = doc_grams.join(keep, "g", "left_semi")
+        bench_grams = (
+            parallelize_narrow(benchmark)
+            .select(
+                F.col(bid).alias("bench_id"),
+                F.explode(word_shingles(bcol, shingle_n)).alias("g"),
+            )
+            .join(keep, "g", "left_semi")
+        )
+    else:
+        bench_grams = parallelize_narrow(benchmark).select(
+            F.col(bid).alias("bench_id"),
+            F.explode(word_shingles(bcol, shingle_n)).alias("g"),
+        )
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_kept")
+    )
+    shared = (
+        doc_grams.join(bench_grams, "g")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    contain = shared.join(F.broadcast(bench_sizes), "bench_id").select(
+        "id",
+        "bench_id",
+        F.expr(
+            "cast(round(1.0e6 * shared / bench_kept) as bigint)"
+        ).alias("containment_micro"),
+    )
+    thr_micro = int(round(threshold * 1_000_000))
+    per_doc = contain.groupBy("id").agg(
+        F.max("containment_micro").alias("max_containment_micro"),
+        F.sum(
+            (F.col("containment_micro") >= thr_micro).cast("long")
+        ).alias("n_bench_hits"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            F.coalesce("max_containment_micro", F.lit(0))
+            .cast("long")
+            .alias("max_containment_micro"),
+            F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias("n_bench_hits"),
+            (F.coalesce("n_bench_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def containment_decontaminate_sql(
+    source_sql: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 2000,
+) -> str:
+    """DuckDB twin of :func:`containment_decontaminate` (identical pruning,
+    identical integer-micro rounding)."""
+    bid = bench_id_col or id_col
+    bcol = bench_text_col or text_col
+    thr_micro = int(round(threshold * 1_000_000))
+    prune_keep = (
+        f"keep as (select g from dg group by g having count(*) <= {max_df}),"
+        if max_df is not None
+        else "keep as (select distinct g from dg),"
+    )
+    return f"""
+with dg as (
+  select {id_col} as id, unnest({word_shingles_sql(text_col, shingle_n)}) as g
+  from ({source_sql})
+),
+{prune_keep}
+dgk as (select id, g from dg where g in (select g from keep)),
+bg as (
+  select {bid} as bench_id,
+         unnest({word_shingles_sql(bcol, shingle_n)}) as g
+  from ({bench_sql})
+),
+bgk as (select bench_id, g from bg where g in (select g from keep)),
+bsz as (select bench_id, count(*) as bench_kept from bgk group by bench_id),
+shared as (
+  select d.id, b.bench_id, count(*) as shared
+  from dgk d join bgk b using (g)
+  group by d.id, b.bench_id
+),
+contain as (
+  select id, s.bench_id,
+    cast(round(1.0e6 * shared / bench_kept) as bigint) as containment_micro
+  from shared s join bsz using (bench_id)
+),
+per_doc as (
+  select id,
+    max(containment_micro) as max_containment_micro,
+    sum(case when containment_micro >= {thr_micro} then 1 else 0 end)
+      as n_bench_hits
+  from contain group by id
+)
+select s.{id_col},
+  cast(coalesce(p.max_containment_micro, 0) as bigint) as max_containment_micro,
+  cast(coalesce(p.n_bench_hits, 0) as bigint) as n_bench_hits,
+  coalesce(p.n_bench_hits, 0) > 0 as is_contaminated
+from ({source_sql}) s left join per_doc p on s.{id_col} = p.id
+"""
