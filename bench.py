@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "top_ngrams",
     "bm25_search",
+    "hybrid_search_rrf",
     "ngram_lm_quality",
     "quality_percentile_filter",
     "salted_join",

@@ -1702,6 +1702,42 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries_df, k=10, max_df_frac=0.8)
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-20 and int8-quantized vector
+    top-20 over the SAME indexed collection (documents that have an
+    embedding, doc_id = vec_id), fused by reciprocal-rank fusion
+    (operators/search.py::rrf_fuse) into a final top-10 per query — the
+    standard two-tower retrieval stack, score-calibration-free."""
+    prepare(spark)
+    from .operators.search import bm25_topk, rrf_fuse
+    from .operators.similarity import ann_quantized_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"], "inner"
+    ).select("doc_id", "text", "embedding")
+    qdocs = corpus.filter(F.col("doc_id") % 50 == 0)
+    qtext = qdocs.select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5),
+        ).alias("query_text"),
+    )
+    bm = bm25_topk(
+        corpus.select("doc_id", "text"), qtext, k=20, max_df_frac=0.8
+    ).select("query_id", "doc_id", "rank")
+    vec = ann_quantized_topk(
+        corpus.select("doc_id", "embedding"),
+        qdocs.select("doc_id", "embedding"),
+        k=20,
+        id_col="doc_id",
+        vec_col="embedding",
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([bm, vec], k=10)
+
+
 def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy gate: per-document NLL under an
     add-0.5 bigram LM trained on the corpus itself, in exact integer
@@ -1728,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 ----------------------------------------------
         "decontaminate_containment": q_decontaminate_containment,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1835,6 +1872,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from .operators.search import bm25_topk_sql as _bm25_topk_sql
     from .operators.search import ngram_lm_score_sql as _ngram_lm_score_sql
+    from .operators.search import rrf_fuse_sql as _rrf_fuse_sql
+
+    _HYBRID_CORPUS_SQL = (
+        "select d.doc_id, d.text, e.embedding "
+        "from documents d join embeddings e on d.doc_id = e.vec_id"
+    )
     from .operators.text import quality_percentile_filter_sql as _qpf_sql
 
     bm25_bench_queries_sql = (
@@ -2111,6 +2154,32 @@ def oracle_sql() -> dict[str, str]:
             max_df_frac=0.8,
         ),
         "ngram_lm_quality": _ngram_lm_score_sql("select * from documents"),
+        "hybrid_search_rrf": _rrf_fuse_sql(
+            [
+                "select query_id, doc_id, rank from ("
+                + _bm25_topk_sql(
+                    f"select doc_id, text from ({_HYBRID_CORPUS_SQL})",
+                    "select doc_id as query_id, array_to_string(list_slice("
+                    "string_split_regex(lower(trim(text)), '\\s+'), 1, 5), ' ') "
+                    f"as query_text from ({_HYBRID_CORPUS_SQL}) "
+                    "where doc_id % 50 = 0",
+                    k=20,
+                    max_df_frac=0.8,
+                )
+                + ")",
+                "select query_id, neighbor_id as doc_id, rank from ("
+                + ann_quantized_topk_sql(
+                    f"select doc_id, embedding from ({_HYBRID_CORPUS_SQL})",
+                    f"select doc_id, embedding from ({_HYBRID_CORPUS_SQL}) "
+                    "where doc_id % 50 = 0",
+                    k=20,
+                    id_col="doc_id",
+                    vec_col="embedding",
+                )
+                + ")",
+            ],
+            k=10,
+        ),
         "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
         "knn_graph": knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v"),
         "semantic_dedup": dedup_clusters_sql(

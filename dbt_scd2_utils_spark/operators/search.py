@@ -358,3 +358,92 @@ select d.doc_id,
 from (select {id_col} as doc_id from ({docs_sql})) d
 left join scored s using (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of ranked lists
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: score(q, d) = Σ_lists 1/(k0 + rank), re-ranked top-``k`` per
+    query.  The standard way to combine keyword (BM25) and vector (ANN)
+    retrieval without score calibration — ranks are comparable across
+    retrievers even when raw scores are not.
+
+    Each input must carry (query_id, doc_id, rank).  Per-list
+    contributions are quantized to round(1e6/(k0+rank)) BEFORE summation
+    (exact integers from exact integer ranks → order-independent sums,
+    hash-identical to the DuckDB twin :func:`rrf_fuse_sql`).
+
+    Scale shape: union of top-k lists is tiny next to the corpora that
+    produced them (≤ queries × k_list × n_lists rows) — one groupBy on
+    (query, doc) with map-side partials, one per-query window.  The
+    expensive work stays in the upstream retrievers, which keep their own
+    scale paths (banded LSH / IVF for vectors, df-pruned postings for
+    BM25)."""
+    u = None
+    for df in ranked_lists:
+        part = df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"cast(round(1.0e6 / ({k0} + {rank_col})) as bigint)"
+            ).alias("contrib_micro"),
+        )
+        u = part if u is None else u.unionAll(part)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_micro").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_micro", "n_lists")
+    )
+
+
+def rrf_fuse_sql(
+    list_sqls: list[str],
+    k: int = 10,
+    k0: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse` (identical micro quantization)."""
+    union = "\n  union all\n".join(
+        f"  select {query_id_col} as query_id, {id_col} as doc_id, "
+        f"cast(round(1.0e6 / ({k0} + {rank_col})) as bigint) as contrib_micro "
+        f"from (({s}))"
+        for s in list_sqls
+    )
+    return f"""
+with u as (
+{union}
+),
+scored as (
+  select query_id, doc_id,
+         cast(sum(contrib_micro) as bigint) as rrf_micro,
+         cast(count(*) as bigint) as n_lists
+  from u group by 1, 2
+)
+select query_id,
+       cast(row_number() over (
+         partition by query_id order by rrf_micro desc, doc_id asc
+       ) as bigint) as rank,
+       doc_id, rrf_micro, n_lists
+from scored
+qualify rank <= {k}
+"""
