@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_survivor_quality",
     "dedup_incremental_novelty",
     "train_val_test_split",
     "domain_mixture_sample",

@@ -1326,6 +1326,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(corpus, minhash_lsh_pairs(corpus))
 
 
+def q_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: LSH pairs → connected components
+    → keep the LONGEST member of each duplicate cluster (token count as
+    the quality signal) instead of the min id — so the planted truncated
+    near-duplicates lose to their originals
+    (operators/clustering.py::dedup_survivors)."""
+    prepare(spark)
+    from .operators.clustering import dedup_survivors
+
+    corpus = doc_corpus(spark, sf_dir).withColumn(
+        "n_tokens",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long"),
+    )
+    return dedup_survivors(
+        corpus.select("doc_id", "n_tokens"),
+        minhash_lsh_pairs(corpus),
+        quality_col="n_tokens",
+    )
+
+
 NEW_BATCH_SQL = """
 select doc_id, text from documents where doc_id % 10 = 7
 union all
@@ -1765,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 ----------------------------------------------
         "decontaminate_containment": q_decontaminate_containment,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_survivor_quality": q_dedup_survivor_quality,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1863,6 +1884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .operators.clustering import (
+        dedup_survivors_sql as _dedup_survivors_sql,
+    )
     from .operators.dedup import (
         containment_decontaminate_sql as _containment_sql,
     )
@@ -2217,6 +2241,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": simhash_sql("select * from documents"),
         "dedup_clusters": dedup_clusters_sql(
             DOC_CORPUS_SQL, minhash_lsh_pairs_sql(DOC_CORPUS_SQL)
+        ),
+        "dedup_survivor_quality": _dedup_survivors_sql(
+            "select doc_id, "
+            "cast(len(string_split_regex(trim(text), '\\s+')) as bigint) "
+            f"as n_tokens from ({DOC_CORPUS_SQL})",
+            minhash_lsh_pairs_sql(DOC_CORPUS_SQL),
+            quality_col="n_tokens",
         ),
         "dedup_incremental_novelty": minhash_novelty_sql(
             NEW_BATCH_SQL, CORPUS_MINUS_BATCH_SQL, threshold=0.5

@@ -26,7 +26,7 @@ scale) strictly decreases until the fixpoint; one tiny agg job per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -159,4 +159,67 @@ select d.{id_col} as {id_col},
        coalesce(cc.component, d.{id_col}) as cluster_rep,
        coalesce(cc.component, d.{id_col}) = d.{id_col} as is_canonical
 from ({source_sql}) d left join cc on d.{id_col} = cc.id
+"""
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware survivorship: like :func:`dedup_clusters`, but the
+    per-cluster survivor is the member with the HIGHEST ``quality_col``
+    (tie → min id) instead of blindly the min id — the policy real
+    curation pipelines want ("of N near-duplicate crawls keep the
+    longest / highest-LM-scored one", cf. the best-copy selection in
+    C4/RefinedWeb-style dedup).
+
+    Output: ``(id_col, cluster_rep, quality_col, is_survivor)`` over the
+    whole corpus; singletons survive trivially.  ``quality_col`` must be
+    engine-exact (an integer count or micro-quantized score) for the
+    cross-engine twin :func:`dedup_survivors_sql` to tiebreak
+    identically.
+
+    Scale shape: component resolution is :func:`connected_components`
+    (rounds = cluster diameter); the survivor pick is ONE window over
+    ``cluster_rep`` — cluster sizes are duplicate-group sizes (small by
+    construction after LSH banding), so the window never sees a
+    corpus-sized partition."""
+    clustered = dedup_clusters(df, pairs, id_col, id_a, id_b, max_iter)
+    joined = clustered.select(id_col, "cluster_rep").join(
+        df.select(id_col, quality_col), id_col
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        id_col,
+        "cluster_rep",
+        quality_col,
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+def dedup_survivors_sql(
+    source_sql: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`dedup_survivors`."""
+    clusters = dedup_clusters_sql(source_sql, pairs_sql, id_col, id_a, id_b)
+    return f"""
+with clustered as ({clusters})
+select s.{id_col}, c.cluster_rep, s.{quality_col},
+       row_number() over (
+         partition by c.cluster_rep
+         order by s.{quality_col} desc, s.{id_col} asc
+       ) = 1 as is_survivor
+from clustered c join ({source_sql}) s on c.{id_col} = s.{id_col}
 """
