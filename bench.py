@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v2",
     "curation_pipeline_v3",
     "streaming_dedup_exact",
+    "embedding_pool",
     "ann_bruteforce_topk",
     "ann_quantized_topk",
     "ann_lsh_topk",

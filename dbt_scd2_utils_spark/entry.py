@@ -1758,6 +1758,18 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, vec], k=10)
 
 
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled, L2-normalized centroid embeddings in exact
+    integer micros (operators/similarity.py::pool_embeddings) — the
+    chunk→document pooling / cluster-centroid step of an embedding
+    pipeline, posexplode + one (group, pos) groupBy, no per-group vector
+    collect."""
+    prepare(spark)
+    from .operators.similarity import pool_embeddings
+
+    return pool_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy gate: per-document NLL under an
     add-0.5 bigram LM trained on the corpus itself, in exact integer
@@ -1786,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_containment": q_decontaminate_containment,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_survivor_quality": q_dedup_survivor_quality,
+        "embedding_pool": q_embedding_pool,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1897,6 +1910,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.search import bm25_topk_sql as _bm25_topk_sql
     from .operators.search import ngram_lm_score_sql as _ngram_lm_score_sql
     from .operators.search import rrf_fuse_sql as _rrf_fuse_sql
+    from .operators.similarity import (
+        pool_embeddings_sql as _pool_embeddings_sql,
+    )
 
     _HYBRID_CORPUS_SQL = (
         "select d.doc_id, d.text, e.embedding "
@@ -2340,6 +2356,9 @@ mixed as ({_temperature_mixture_sample_sql(
         ),
         "dedup_embedding_cosine": embedding_cosine_dedup_sql(
             EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"
+        ),
+        "embedding_pool": _pool_embeddings_sql(
+            "select * from embeddings", dim=64
         ),
         "ann_bruteforce_topk": brute_force_topk_sql(
             "select * from embeddings",

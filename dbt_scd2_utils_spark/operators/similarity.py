@@ -1087,3 +1087,98 @@ select src, dst, cosine_sim,
 from pairs
 qualify rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Group pooling: many vectors → one L2-normalized centroid per group
+# ---------------------------------------------------------------------------
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool the vectors of each group into one L2-NORMALIZED centroid
+    — the chunk-embeddings→document-embedding (or cluster-centroid) step
+    of an embedding pipeline.  Output: ``(group_col, n_vecs, pooled)``
+    with ``pooled`` an array<bigint> of micro-quantized unit-vector
+    components.
+
+    Cross-engine exactness: each component is quantized to integer micros
+    BEFORE summation, so group sums are order-independent int64 arithmetic;
+    and because L2 normalization is scale-invariant, normalize(mean) ≡
+    normalize(sum) — the ÷n never happens, so no intermediate float sum
+    exists anywhere.  norm² = Σ_pos (Σ_rows micro)² stays exact int64
+    (|component sums| ≤ ~1e10 even at million-row groups squares to < 2^63
+    per term only for sums < 3e9 — micro-quantized unit-scale embeddings
+    keep component sums ~1e6·√n, safe past 1e6-row groups).
+
+    Scale shape: posexplode → ONE groupBy on (group, pos) with map-side
+    partials (never a per-group collect of vectors), then a (group)-keyed
+    reassembly window.  Skewed group sizes combine map-side before the
+    shuffle."""
+    vm = "cast(round(cast(v as double) * 1.0e6) as bigint)"
+    comp = (
+        df.select(F.col(group_col).alias("g"), F.posexplode(vec_col).alias("pos", "v"))
+        .select("g", "pos", F.expr(vm).alias("vm"))
+        .groupBy("g", "pos")
+        .agg(F.sum("vm").alias("s"))
+    )
+    norms = comp.groupBy("g").agg(F.sum(F.col("s") * F.col("s")).alias("norm_sq"))
+    out_expr = (
+        "case when norm_sq = 0 then cast(0 as bigint) "
+        "else cast(round(1.0e6 * s / sqrt(norm_sq)) as bigint) end"
+    )
+    pooled = (
+        comp.join(norms, "g")
+        .select("g", "pos", F.expr(out_expr).alias("o"))
+        .groupBy("g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "o"))),
+                lambda st: st["o"],
+            ).alias("pooled")
+        )
+    )
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return pooled.join(counts, "g").select(
+        F.col("g").alias(group_col), "n_vecs", "pooled"
+    )
+
+
+def pool_embeddings_sql(
+    source_sql: str,
+    dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pool_embeddings` (``dim`` must match the
+    vector length; the engine side infers it per row)."""
+    return f"""
+with ex as (
+  select {group_col} as g, pos,
+         cast(round(cast({vec_col} as double[])[pos + 1] * 1.0e6) as bigint)
+           as vm
+  from ({source_sql}), (select unnest(range({dim})) as pos)
+),
+comp as (select g, pos, cast(sum(vm) as bigint) as s from ex group by 1, 2),
+norms as (
+  select g, cast(sum(s * s) as bigint) as norm_sq from comp group by 1
+),
+pooled as (
+  select g,
+         list(case when norm_sq = 0 then cast(0 as bigint)
+              else cast(round(1.0e6 * s / sqrt(norm_sq)) as bigint) end
+              order by pos) as pooled
+  from comp join norms using (g)
+  group by g
+),
+counts as (
+  select {group_col} as g, count(*) as n_vecs from ({source_sql}) group by 1
+)
+select g as {group_col}, cast(n_vecs as bigint) as n_vecs, pooled
+from pooled join counts using (g)
+"""
