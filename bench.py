@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v3",
     "streaming_dedup_exact",
     "embedding_pool",
+    "embedding_random_projection",
     "ann_bruteforce_topk",
     "ann_quantized_topk",
     "ann_lsh_topk",

@@ -1770,6 +1770,18 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 signed random projection 64→16 dims in exact integer micros
+    (operators/similarity.py::random_projection) — JL-preserving cheap
+    vectors for coarse blocking; a pure narrow codegen map, no shuffle."""
+    prepare(spark)
+    from .operators.similarity import random_projection
+
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), dim_in=64, dim_out=16
+    )
+
+
 def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy gate: per-document NLL under an
     add-0.5 bigram LM trained on the corpus itself, in exact integer
@@ -1799,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "dedup_survivor_quality": q_dedup_survivor_quality,
         "embedding_pool": q_embedding_pool,
+        "embedding_random_projection": q_embedding_random_projection,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1912,6 +1925,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.search import rrf_fuse_sql as _rrf_fuse_sql
     from .operators.similarity import (
         pool_embeddings_sql as _pool_embeddings_sql,
+    )
+    from .operators.similarity import (
+        random_projection_sql as _random_projection_sql,
     )
 
     _HYBRID_CORPUS_SQL = (
@@ -2359,6 +2375,9 @@ mixed as ({_temperature_mixture_sample_sql(
         ),
         "embedding_pool": _pool_embeddings_sql(
             "select * from embeddings", dim=64
+        ),
+        "embedding_random_projection": _random_projection_sql(
+            "select * from embeddings", dim_in=64, dim_out=16
         ),
         "ann_bruteforce_topk": brute_force_topk_sql(
             "select * from embeddings",
