@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "dedup_incremental_novelty",
     "train_val_test_split",
     "domain_mixture_sample",
+    "corpus_mixture_report",
     "temperature_mixture_sample",
     "cluster_balanced_sample",
     "token_shards",

@@ -1758,6 +1758,17 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, vec], k=10)
 
 
+def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus composition with exact basis-point
+    token shares, cumulative concentration, and rank — the planning
+    table mixture weights are derived from
+    (operators/sampling.py::mixture_report)."""
+    prepare(spark)
+    from .operators.sampling import mixture_report
+
+    return mixture_report(load_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-pooled, L2-normalized centroid embeddings in exact
     integer micros (operators/similarity.py::pool_embeddings) — the
@@ -1812,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivor_quality": q_dedup_survivor_quality,
         "embedding_pool": q_embedding_pool,
         "embedding_random_projection": q_embedding_random_projection,
+        "corpus_mixture_report": q_corpus_mixture_report,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1916,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators.dedup import (
         containment_decontaminate_sql as _containment_sql,
     )
+    from .operators.sampling import mixture_report_sql as _mixture_report_sql
     from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
     from .operators.sampling import (
         temperature_mixture_sample_sql as _temperature_mixture_sample_sql,
@@ -2286,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_val_test_split": hash_split_sql("select * from documents"),
         "domain_mixture_sample": mixture_sample_sql("select * from documents"),
+        "corpus_mixture_report": _mixture_report_sql("select * from documents"),
         "temperature_mixture_sample": _temperature_mixture_sample_sql(
             "select * from documents"
         ),

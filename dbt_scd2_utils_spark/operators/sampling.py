@@ -407,3 +407,84 @@ select *, cast(row_number() over (
 from ({source_sql})
 qualify grp_rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Mixture report: the planning table a mixture sampler consumes
+# ---------------------------------------------------------------------------
+
+
+def mixture_report(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus composition: ``(group_cols…, n_docs, n_tokens,
+    token_share_bp, cum_share_bp, token_rank)`` — the table you read
+    before deciding mixture weights (what share of the training mix is
+    each (language, domain) cell, and how concentrated is the corpus).
+
+    Exact integers throughout: shares in basis points via integer
+    division (``div``, truncating in BOTH engines), cumulative share by
+    an integer running sum over the deterministic (n_tokens desc,
+    group_cols asc) total order.
+
+    Scale shape: one map-side-combined groupBy over (group_cols) — token
+    counts reduce before the shuffle; the windowed cumulative runs over
+    the AGGREGATED table (rows = distinct groups, thousands at most), so
+    the single-partition window is deliberate and cheap."""
+    gcols = [F.col(c) for c in group_cols]
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("_total"))
+    order = [F.col("n_tokens").desc()] + [F.col(c).asc() for c in group_cols]
+    w = Window.orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn(
+            "token_share_bp", F.expr("n_tokens * 10000 div _total")
+        )
+        .withColumn("_cum", F.sum("n_tokens").over(wsum))
+        .withColumn("cum_share_bp", F.expr("_cum * 10000 div _total"))
+        .withColumn("token_rank", F.row_number().over(w).cast("long"))
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_tokens",
+            "token_share_bp",
+            "cum_share_bp",
+            "token_rank",
+        )
+    )
+
+
+def mixture_report_sql(
+    source_sql: str,
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`mixture_report`."""
+    gl = ", ".join(group_cols)
+    order = "n_tokens desc, " + ", ".join(f"{c} asc" for c in group_cols)
+    return f"""
+with agg as (
+  select {gl}, count(*) as n_docs,
+         sum(len(string_split_regex(trim({text_col}), '\\s+'))) as n_tokens
+  from ({source_sql})
+  group by {gl}
+),
+tot as (select sum(n_tokens) as _total from agg)
+select {gl},
+  cast(n_docs as bigint) as n_docs,
+  cast(n_tokens as bigint) as n_tokens,
+  cast(n_tokens * 10000 // _total as bigint) as token_share_bp,
+  cast(sum(n_tokens) over (order by {order}
+       rows between unbounded preceding and current row)
+       * 10000 // _total as bigint) as cum_share_bp,
+  cast(row_number() over (order by {order}) as bigint) as token_rank
+from agg, tot
+"""
