@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "profile_lineitem",
     "scrub_pii",
     "dedup_exact",
+    "dedup_normalized",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

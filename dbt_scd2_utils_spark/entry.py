@@ -1270,6 +1270,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(doc_corpus(spark, sf_dir))
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup (operators/dedup.py::
+    normalized_exact_dedup): reformatted copies planted as
+    UPPERCASED-plus-punctuation variants (every 5th doc) collapse into
+    their originals — byte-exact dedup would keep them all."""
+    prepare(spark)
+    from .operators.dedup import normalized_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shouting = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    return normalized_exact_dedup(docs.unionByName(shouting))
+
+
 def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup driven to completion: the dup-planted corpus
     is re-written as multiple files and streamed with maxFilesPerTrigger=1,
@@ -1824,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pool": q_embedding_pool,
         "embedding_random_projection": q_embedding_random_projection,
         "corpus_mixture_report": q_corpus_mixture_report,
+        "dedup_normalized": q_dedup_normalized,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1927,6 +1944,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from .operators.dedup import (
         containment_decontaminate_sql as _containment_sql,
+    )
+    from .operators.dedup import (
+        normalized_exact_dedup_sql as _normalized_exact_dedup_sql,
     )
     from .operators.sampling import mixture_report_sql as _mixture_report_sql
     from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
@@ -2276,6 +2296,12 @@ def oracle_sql() -> dict[str, str]:
         "language_id": language_id_sql("select * from documents"),
         "doc_fingerprint": fingerprint_sql("select * from documents"),
         "dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),
+        "dedup_normalized": _normalized_exact_dedup_sql(
+            """select doc_id, text from documents
+               union all
+               select doc_id + 4000000 as doc_id, upper(text) || '!!' as text
+               from documents where doc_id % 5 = 0"""
+        ),
         # order-independent survivor (min id) ⇒ the stream's complete-mode
         # state equals the batch dedup exactly; same oracle.
         "streaming_dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),

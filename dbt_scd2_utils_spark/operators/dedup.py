@@ -970,3 +970,67 @@ select s.{id_col},
   coalesce(p.n_bench_hits, 0) > 0 as is_contaminated
 from ({source_sql}) s left join per_doc p on s.{id_col} = p.id
 """
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup (C4-style canonical-form hashing)
+# ---------------------------------------------------------------------------
+
+# lowercase → map every non-letter/digit/whitespace char to a SPACE (not
+# the empty string: "déjà-vu" must stay two tokens, not fuse to "déjàvu")
+# → collapse whitespace runs → trim.  Both engines run the same
+# RE2/Java-compatible character classes, so canonical forms are
+# byte-identical.
+_NORM_STRIP = r"[^\p{L}\p{N}\s]"
+
+
+def normalize_text(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), _NORM_STRIP, " "), r"\s+", " "
+        )
+    )
+
+
+def normalize_text_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'{_NORM_STRIP}', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def normalized_exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over the CANONICAL text form — lowercased, punctuation
+    stripped, whitespace collapsed — so trivially-reformatted copies
+    ("Hello, World!" vs "hello world") collapse into one group, the way
+    C4's three-sentence-span dedup and most crawl pipelines canonicalize
+    before hashing.  Output shape matches :func:`exact_dedup`:
+    one survivor (min id) per canonical form with the duplicate count.
+
+    Same scale shape as exact_dedup: the normalization chain is three
+    codegen'd regexp passes in the scan projection; one map-side-combined
+    groupBy on the md5 of the canonical form."""
+    h = F.md5(normalize_text(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def normalized_exact_dedup_sql(
+    source_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    h = f"md5({normalize_text_sql(text_col)})"
+    return f"""
+select min({id_col}) as {id_col}, {h} as content_hash, count(*) as dup_count
+from ({source_sql})
+group by {h}
+"""
