@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_survivor_quality",
+    "dup_rate_by_source",
     "dedup_incremental_novelty",
     "train_val_test_split",
     "domain_mixture_sample",

@@ -1270,6 +1270,26 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(doc_corpus(spark, sf_dir))
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication observability over the dup-planted corpus
+    (operators/clustering.py::dup_rate_report): LSH pairs → components →
+    basis-point duplicate share per origin domain — the report that says
+    which crawls to fix upstream."""
+    prepare(spark)
+    from .operators.clustering import dup_rate_report
+
+    corpus = doc_corpus(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    withsrc = (
+        corpus.withColumn("base_id", F.col("doc_id") % 1_000_000)
+        .join(src, "base_id")
+        .select("doc_id", "text", "source")
+    )
+    return dup_rate_report(withsrc, minhash_lsh_pairs(withsrc))
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form exact dedup (operators/dedup.py::
     normalized_exact_dedup): reformatted copies planted as
@@ -1841,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": q_embedding_random_projection,
         "corpus_mixture_report": q_corpus_mixture_report,
         "dedup_normalized": q_dedup_normalized,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -1941,6 +1962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from .operators.clustering import (
         dedup_survivors_sql as _dedup_survivors_sql,
+    )
+    from .operators.clustering import (
+        dup_rate_report_sql as _dup_rate_report_sql,
     )
     from .operators.dedup import (
         containment_decontaminate_sql as _containment_sql,
@@ -2312,6 +2336,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": simhash_sql("select * from documents"),
         "dedup_clusters": dedup_clusters_sql(
             DOC_CORPUS_SQL, minhash_lsh_pairs_sql(DOC_CORPUS_SQL)
+        ),
+        "dup_rate_by_source": _dup_rate_report_sql(
+            f"""select c.doc_id, c.text, d.source
+                from ({DOC_CORPUS_SQL}) c
+                join documents d on c.doc_id % 1000000 = d.doc_id""",
+            minhash_lsh_pairs_sql(DOC_CORPUS_SQL),
         ),
         "dedup_survivor_quality": _dedup_survivors_sql(
             "select doc_id, "

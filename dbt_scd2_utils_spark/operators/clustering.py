@@ -223,3 +223,63 @@ select s.{id_col}, c.cluster_rep, s.{quality_col},
        ) = 1 as is_survivor
 from clustered c join ({source_sql}) s on c.{id_col} = s.{id_col}
 """
+
+
+def dup_rate_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-``group_col`` duplication observability: how much of each
+    domain/source is near-duplicate mass — ``(group_col, n_docs,
+    n_duplicates, dup_bp)`` where ``n_duplicates`` counts non-canonical
+    cluster members and ``dup_bp`` is exact basis points (integer div,
+    identical truncation in both engines).  The table that tells you
+    WHICH crawls/domains to fix upstream, before paying to dedup them
+    forever.
+
+    Scale shape: :func:`dedup_clusters` resolution + one
+    map-side-combined groupBy on the group key."""
+    clustered = dedup_clusters(df, pairs, id_col, id_a, id_b)
+    return (
+        clustered.join(df.select(id_col, group_col), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("is_canonical")).cast("long")).alias(
+                "n_duplicates"
+            ),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_duplicates",
+            F.expr("n_duplicates * 10000 div n_docs").alias("dup_bp"),
+        )
+    )
+
+
+def dup_rate_report_sql(
+    source_sql: str,
+    pairs_sql: str,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> str:
+    """DuckDB twin of :func:`dup_rate_report`."""
+    clusters = dedup_clusters_sql(source_sql, pairs_sql, id_col, id_a, id_b)
+    return f"""
+with clustered as ({clusters})
+select s.{group_col},
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(case when c.is_canonical then 0 else 1 end) as bigint)
+         as n_duplicates,
+       cast(sum(case when c.is_canonical then 0 else 1 end) * 10000
+            // count(*) as bigint) as dup_bp
+from clustered c join ({source_sql}) s on c.{id_col} = s.{id_col}
+group by s.{group_col}
+"""
