@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v2",
     "curation_pipeline_v3",
     "streaming_dedup_exact",
+    "streaming_novelty",
     "embedding_pool",
     "embedding_random_projection",
     "ann_bruteforce_topk",

@@ -1425,6 +1425,45 @@ def q_dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_novelty(_new_batch(spark, sf_dir), corpus, threshold=0.5)
 
 
+def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest novelty: the new batch arrives as multiple files
+    streamed one per trigger; each micro-batch probes the PERSISTED
+    banded MinHash index of the static corpus via foreachBatch
+    (streaming/dedup_stream.py::streaming_minhash_novelty).  Per-doc
+    novelty depends only on the static index, so the drained union
+    equals the batch operator — the batch SQL twin gates the stream."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.dedup import (
+        banded_minhash_index,
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from .streaming.dedup_stream import streaming_minhash_novelty
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).persist()
+    base = tempfile.mkdtemp(prefix="scd_stream_novelty_")
+    idx_path, src, out = f"{base}/idx", f"{base}/src", f"{base}/out"
+    save_minhash_index(banded_minhash_index(corpus), idx_path)
+    _new_batch(spark, sf_dir).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_novelty(
+        stream,
+        corpus,
+        out,
+        corpus_index=load_minhash_index(spark, idx_path),
+        threshold=0.5,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return embedding_cosine_dedup(
@@ -1862,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture_report": q_corpus_mixture_report,
         "dedup_normalized": q_dedup_normalized,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "streaming_novelty": q_streaming_novelty,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2350,9 +2390,13 @@ def oracle_sql() -> dict[str, str]:
             minhash_lsh_pairs_sql(DOC_CORPUS_SQL),
             quality_col="n_tokens",
         ),
-        "dedup_incremental_novelty": minhash_novelty_sql(
+        "dedup_incremental_novelty": (novelty_oracle := minhash_novelty_sql(
             NEW_BATCH_SQL, CORPUS_MINUS_BATCH_SQL, threshold=0.5
-        ),
+        )),
+        # The streamed union equals the batch operator by construction
+        # (per-doc novelty vs a STATIC index is batch-order-independent)
+        # — same oracle, independently gated.
+        "streaming_novelty": novelty_oracle,
         "train_val_test_split": hash_split_sql("select * from documents"),
         "domain_mixture_sample": mixture_sample_sql("select * from documents"),
         "corpus_mixture_report": _mixture_report_sql("select * from documents"),

@@ -63,3 +63,56 @@ def streaming_dedup_within_watermark(
     return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_minhash_novelty(
+    stream: DataFrame,
+    corpus_df: DataFrame,
+    out_path: str,
+    corpus_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+):
+    """Streaming ingest novelty check: every micro-batch of NEW documents
+    probes the STATIC corpus's banded MinHash index and appends one
+    ``(id, n_dup_matches, is_novel)`` row per document to ``out_path``.
+
+    ``foreachBatch`` is deliberate — it reuses the batch
+    :func:`operators.dedup.minhash_novelty` verbatim per micro-batch (the
+    standard Structured-Streaming pattern for batch-operator reuse), and
+    because each document's novelty depends ONLY on the static index,
+    the union of per-batch outputs is IDENTICAL to running the batch
+    operator on the whole feed — arrival order and batch boundaries
+    can't change it, which is what makes the stream oracle-checkable
+    against the batch SQL twin.
+
+    At deployment ``corpus_index`` is :func:`operators.dedup.load_minhash_index`
+    read from its persisted parquet (band-partitioned); pass ``corpus_df``
+    persisted so the exact-verification side doesn't recompute shingles
+    per batch.  Returns the started StreamingQuery; await it, then read
+    ``out_path``."""
+    from ..operators.dedup import minhash_novelty
+
+    def _probe(batch_df: DataFrame, _epoch: int) -> None:
+        out = minhash_novelty(
+            batch_df,
+            corpus_df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            k=k,
+            bands=bands,
+            threshold=threshold,
+            corpus_index=corpus_index,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(_probe)
+        .trigger(availableNow=True)
+        .start()
+    )

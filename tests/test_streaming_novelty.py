@@ -1,0 +1,57 @@
+"""Streaming novelty ≡ batch novelty regardless of batch boundaries
+(streaming/dedup_stream.py::streaming_minhash_novelty)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.dedup import (
+    banded_minhash_index,
+    load_minhash_index,
+    minhash_novelty,
+    save_minhash_index,
+)
+from dbt_scd2_utils_spark.sources.tables import load_table
+from dbt_scd2_utils_spark.streaming.dedup_stream import (
+    streaming_minhash_novelty,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch_across_batch_splits(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).persist()
+    newb = docs.filter(F.col("doc_id") % 10 == 7).unionByName(
+        corpus.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+    )
+    base = tempfile.mkdtemp(prefix="t_stream_novelty_")
+    save_minhash_index(banded_minhash_index(corpus), f"{base}/idx")
+    # 6 files → 6 micro-batches at maxFilesPerTrigger=1
+    newb.repartition(6).write.parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(newb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = streaming_minhash_novelty(
+        stream,
+        corpus,
+        f"{base}/out",
+        corpus_index=load_minhash_index(spark, f"{base}/idx"),
+        threshold=0.5,
+    )
+    q.awaitTermination(600)
+    streamed = spark.read.parquet(f"{base}/out")
+    batch = minhash_novelty(newb, corpus, threshold=0.5)
+    assert streamed.count() == newb.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # exact copies of corpus docs must be flagged, held-out docs novel
+    flagged = {r.id for r in streamed.filter(~F.col("is_novel")).collect()}
+    assert any(i >= 900000 for i in flagged)
+    corpus.unpersist()
