@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "ngram_lm_quality",
     "quality_percentile_filter",
+    "quality_classifier",
     "salted_join",
     "scd2_snapshot_asof",
     "profile_lineitem",

@@ -1833,6 +1833,17 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, vec], k=10)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: linear-logistic classifier over the
+    engineered text features with integer-micro weights
+    (operators/text.py::quality_classifier) — the fastText-shaped web
+    quality filter, as literals in a narrow codegen plan."""
+    prepare(spark)
+    from .operators.text import quality_classifier
+
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus composition with exact basis-point
     token shares, cumulative concentration, and rank — the planning
@@ -1902,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": q_dedup_normalized,
         "dup_rate_by_source": q_dup_rate_by_source,
         "streaming_novelty": q_streaming_novelty,
+        "quality_classifier": q_quality_classifier,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2031,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "select d.doc_id, d.text, e.embedding "
         "from documents d join embeddings e on d.doc_id = e.vec_id"
     )
+    from .operators.text import quality_classifier_sql as _quality_classifier_sql
     from .operators.text import quality_percentile_filter_sql as _qpf_sql
 
     bm25_bench_queries_sql = (
@@ -2354,6 +2367,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_percentile_filter": quality_percentile_filter_sql(
             "select * from documents", group_cols=("lang", "source")
+        ),
+        "quality_classifier": _quality_classifier_sql(
+            "select * from documents"
         ),
         "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
         "token_count": token_count_sql("select * from documents"),
