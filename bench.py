@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "chunk_pack_pipeline",
     "paragraph_dedup",
     "top_ngrams",
+    "top_ngrams_by_lang",
     "bm25_search",
     "hybrid_search_rrf",
     "ngram_lm_quality",

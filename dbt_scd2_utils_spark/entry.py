@@ -1833,6 +1833,19 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, vec], k=10)
 
 
+def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-20 bigram vocabulary
+    (operators/text.py::top_ngrams_by_group): one (group, gram) hash
+    aggregate with map-side partials, then a per-group rank window over
+    the aggregated vocabulary."""
+    prepare(spark)
+    from .operators.text import top_ngrams_by_group
+
+    return top_ngrams_by_group(
+        load_table(spark, sf_dir, "documents"), group_col="lang", n=2, k=20
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: linear-logistic classifier over the
     engineered text features with integer-micro weights
@@ -1914,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "streaming_novelty": q_streaming_novelty,
         "quality_classifier": q_quality_classifier,
+        "top_ngrams_by_lang": q_top_ngrams_by_lang,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2044,6 +2058,9 @@ def oracle_sql() -> dict[str, str]:
         "from documents d join embeddings e on d.doc_id = e.vec_id"
     )
     from .operators.text import quality_classifier_sql as _quality_classifier_sql
+    from .operators.text import (
+        top_ngrams_by_group_sql as _top_ngrams_by_group_sql,
+    )
     from .operators.text import quality_percentile_filter_sql as _qpf_sql
 
     bm25_bench_queries_sql = (
@@ -2311,6 +2328,9 @@ def oracle_sql() -> dict[str, str]:
             buckets=16,
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
+        "top_ngrams_by_lang": _top_ngrams_by_group_sql(
+            "select * from documents", group_col="lang", n=2, k=20
+        ),
         "bm25_search": _bm25_topk_sql(
             "select * from documents",
             "select doc_id as query_id, array_to_string(list_slice("

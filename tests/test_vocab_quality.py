@@ -100,3 +100,26 @@ def test_quality_filter_matches_duckdb(spark):
     ).df()
     assert len(got) > 0
     assert _norm(got) == _norm(want)
+
+
+def test_top_ngrams_by_group_isolated_per_group(spark):
+    from dbt_scd2_utils_spark.operators.text import top_ngrams_by_group
+
+    df = spark.createDataFrame(
+        [
+            ("en", "a b a b a b"),
+            ("en", "a b c d"),
+            ("fr", "x y x y"),
+            ("fr", "z"),          # shorter than n → contributes nothing
+        ],
+        "lang string, text string",
+    )
+    rows = top_ngrams_by_group(df, n=2, k=2).collect()
+    by = {(r.lang, r.rank): (r.gram, r.n_occurrences) for r in rows}
+    # en bigram occurrences: 'a b'×4 (3 + 1), 'b a'×2, 'b c'×1, 'c d'×1
+    assert by[("en", 1)] == ("a b", 4)
+    assert by[("en", 2)] == ("b a", 2)
+    # fr: 'x y'×2, 'y x'×1 — the singleton 'z' doc adds nothing
+    assert by[("fr", 1)] == ("x y", 2)
+    assert by[("fr", 2)] == ("y x", 1)
+    assert len(rows) == 4
