@@ -156,6 +156,21 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     dedup_clusters(docs, pairs).write.format("noop").mode("overwrite").save()
     times["dedup_clusters"] = round(time.perf_counter() - t0, 2)
 
+    from dbt_scd2_utils_spark.operators.clustering import dedup_survivors
+
+    t0 = time.perf_counter()
+    dedup_survivors(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+        pairs,
+        quality_col="n_tokens",
+    ).write.format("noop").mode("overwrite").save()
+    times["dedup_survivor_quality"] = round(time.perf_counter() - t0, 2)
+
     from dbt_scd2_utils_spark.operators.dedup import (
         ngram_decontaminate,
         ngram_decontaminate_prefiltered,
@@ -171,6 +186,14 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
         "overwrite"
     ).save()
     times["decontaminate_bitmap"] = round(time.perf_counter() - t0, 2)
+
+    from dbt_scd2_utils_spark.operators.dedup import containment_decontaminate
+
+    t0 = time.perf_counter()
+    containment_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0), bench, shingle_n=3, max_df=2000
+    ).write.format("noop").mode("overwrite").save()
+    times["containment_decontaminate"] = round(time.perf_counter() - t0, 2)
 
     from dbt_scd2_utils_spark.operators.asof import asof_join
     from dbt_scd2_utils_spark.operators.sessions import session_stats
@@ -243,6 +266,34 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     ).mode("overwrite").save()
     times["semantic_dedup"] = round(time.perf_counter() - t0, 2)
     graph.unpersist()
+
+    # Hybrid retrieval: BM25 keyword list + int8 vector list fused by RRF
+    # (the generated docs/embeddings share the id space, mirroring the
+    # entry query's doc_id = vec_id indexed collection).
+    from dbt_scd2_utils_spark.operators.search import bm25_topk, rrf_fuse
+    from dbt_scd2_utils_spark.operators.similarity import ann_quantized_topk
+
+    # Query count held CONSTANT across scales (a workload property, not a
+    # corpus property) — the curve isolates how cost grows with the CORPUS.
+    t0 = time.perf_counter()
+    qdocs = docs.filter(F.col("doc_id") < 50)
+    qtext = qdocs.select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5)
+        ).alias("query_text"),
+    )
+    bm = bm25_topk(docs, qtext, k=20, max_df_frac=0.8).select(
+        "query_id", "doc_id", "rank"
+    )
+    qvec = emb.join(
+        qdocs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vec = ann_quantized_topk(emb, qvec, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    rrf_fuse([bm, vec], k=10).write.format("noop").mode("overwrite").save()
+    times["hybrid_search_rrf"] = round(time.perf_counter() - t0, 2)
     return times
 
 
