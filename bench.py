@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "curation_pipeline_v2",
     "curation_pipeline_v3",
+    "curation_pipeline_v4",
     "streaming_dedup_exact",
     "streaming_novelty",
     "embedding_pool",

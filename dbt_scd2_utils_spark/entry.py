@@ -1265,6 +1265,47 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_cap(mixed, "domain", "doc_id", k=50)
 
 
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth-generation curation pipeline composing the round-4b
+    operators: canonical-form exact dedup (case/punct variants collapse)
+    → model-based quality scoring (linear-logistic classifier) →
+    quality-aware near-dup survivorship (keep each LSH cluster's
+    HIGHEST-scored member) → containment decontamination (≥50% of a
+    benchmark item's 3-grams ⇒ drop) → final keep gate.  One row per
+    surviving doc with its cluster, model score, and worst benchmark
+    containment; every stage is an engine operator and the oracle
+    composes the same *_sql builders."""
+    prepare(spark)
+    from .operators.clustering import dedup_survivors
+    from .operators.dedup import (
+        containment_decontaminate,
+        normalized_exact_dedup,
+    )
+    from .operators.text import quality_classifier
+
+    corpus = doc_corpus(spark, sf_dir)
+    canon_ids = normalized_exact_dedup(corpus).select("doc_id")
+    canon = corpus.join(canon_ids, "doc_id", "left_semi").persist()
+    scored = quality_classifier(canon)
+    surv = dedup_survivors(
+        scored.select("doc_id", "p_micro"),
+        minhash_lsh_pairs(canon),
+        quality_col="p_micro",
+    )
+    bench = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    contain = containment_decontaminate(
+        canon, bench, shingle_n=3, threshold=0.5, max_df=2000
+    )
+    return (
+        surv.join(contain.select("doc_id", "max_containment_micro", "is_contaminated"), "doc_id")
+        .join(scored.select("doc_id", "keep"), "doc_id")
+        .filter(F.col("is_survivor") & F.col("keep") & ~F.col("is_contaminated"))
+        .select("doc_id", "cluster_rep", "p_micro", "max_containment_micro")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return exact_dedup(doc_corpus(spark, sf_dir))
@@ -1928,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_novelty": q_streaming_novelty,
         "quality_classifier": q_quality_classifier,
         "top_ngrams_by_lang": q_top_ngrams_by_lang,
+        "curation_pipeline_v4": q_curation_pipeline_v4,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2512,6 +2554,27 @@ mixed as ({_temperature_mixture_sample_sql(
     domain_col='source')})
 {_per_group_cap_sql('select * from mixed', group_col='domain',
                     order_col='doc_id', k=50)}
+""",
+        "curation_pipeline_v4": f"""
+with canon as ({_normalized_exact_dedup_sql(DOC_CORPUS_SQL)}),
+canon_docs as (
+  select c.doc_id, c.text from ({DOC_CORPUS_SQL}) c
+  where c.doc_id in (select doc_id from canon)
+),
+scored as ({_quality_classifier_sql('select * from canon_docs')}),
+surv as ({_dedup_survivors_sql(
+    'select doc_id, p_micro from scored',
+    minhash_lsh_pairs_sql('select * from canon_docs'),
+    quality_col='p_micro')}),
+contain as ({_containment_sql(
+    'select * from canon_docs',
+    'select * from documents where doc_id % 20 = 0',
+    shingle_n=3, threshold=0.5, max_df=2000)})
+select s.doc_id, s.cluster_rep, s.p_micro, c.max_containment_micro
+from surv s
+join contain c using (doc_id)
+join scored q using (doc_id)
+where s.is_survivor and q.keep and not c.is_contaminated
 """,
         "token_shards": shard_by_token_budget_sql(
             "select doc_id, bpe_tokens as n_tokens from ("
