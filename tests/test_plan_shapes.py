@@ -227,3 +227,111 @@ def test_temperature_mixture_plan_broadcasts_rates(spark):
     # depth-first order (the broadcast subtree), never on the probe side.
     probe_region = plan[: plan.index("BroadcastExchange")]
     assert "Exchange hashpartitioning" not in probe_region
+
+
+# --- round-4b operators ----------------------------------------------------
+
+
+def test_containment_decontaminate_no_nested_loop(spark, docs):
+    from dbt_scd2_utils_spark.operators.dedup import containment_decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = plan_of(containment_decontaminate(docs, bench, max_df=50))
+    for bad in BAD_NODES:
+        assert bad not in plan, f"{bad} in containment plan"
+    # the per-pair shared-gram count must combine map-side
+    assert "partial_count" in plan
+
+
+def test_rrf_fusion_aggregates_map_side(spark):
+    from dbt_scd2_utils_spark.operators.search import rrf_fuse
+
+    lists = [
+        spark.createDataFrame(
+            [(1, d, r) for r, d in enumerate(range(5), 1)],
+            "query_id long, doc_id long, rank long",
+        )
+        for _ in range(2)
+    ]
+    plan = plan_of(rrf_fuse(lists))
+    assert "partial_sum" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
+
+
+def test_normalized_dedup_combines_map_side(spark, docs):
+    from dbt_scd2_utils_spark.operators.dedup import normalized_exact_dedup
+
+    plan = plan_of(normalized_exact_dedup(docs))
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_pool_embeddings_no_per_group_collect(spark):
+    from dbt_scd2_utils_spark.operators.similarity import pool_embeddings
+
+    emb = spark.range(50).select(
+        (F.col("id") % 3).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (i * F.col("id") % 13).cast("float"),
+        ).alias("embedding"),
+    )
+    plan = plan_of(pool_embeddings(emb))
+    # component sums combine map-side; vectors are never collect_list'd
+    # pre-aggregation (the only collect_list runs over the already-
+    # aggregated (group, pos) table)
+    assert "partial_sum" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
+
+
+def test_random_projection_single_shuffle_map_side(spark):
+    from dbt_scd2_utils_spark.operators.similarity import random_projection
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (i * F.col("id") % 13).cast("float"),
+        ).alias("embedding"),
+    )
+    plan = plan_of(random_projection(emb, dim_in=16, dim_out=8))
+    # one groupBy(id) shuffle at most (AQE may not have inserted it yet
+    # in the printed plan) and map-side partial sums
+    assert plan.count("Exchange") <= 1
+    assert "partial_sum" in plan
+    # the sign matrix must be constant-folded into ONE literal array —
+    # the plan prints it as a nested bracket literal, not CreateArray
+    assert "[[-1," in plan or "[[1," in plan
+
+
+def test_quality_classifier_is_narrow(spark, docs):
+    from dbt_scd2_utils_spark.operators.text import quality_classifier
+
+    plan = plan_of(quality_classifier(docs))
+    assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+def test_grouped_vocab_partials_and_window(spark, docs):
+    from dbt_scd2_utils_spark.operators.text import top_ngrams_by_group
+
+    df = docs.withColumn("lang", (F.col("doc_id") % 2).cast("string"))
+    plan = plan_of(top_ngrams_by_group(df, group_col="lang", n=2, k=3))
+    assert "partial_count" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
+
+
+def test_mixture_report_single_agg_pass(spark, docs):
+    from dbt_scd2_utils_spark.operators.sampling import mixture_report
+
+    df = docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", (F.col("doc_id") % 3).cast("string")
+    )
+    plan = plan_of(mixture_report(df))
+    assert "partial_count" in plan and "partial_sum" in plan
+    # the corpus-total scalar rides a 1-ROW broadcast cross join (the
+    # same deliberate pattern as BM25's scalars) — only an unbounded
+    # cartesian would be a defect
+    assert "CartesianProduct" not in plan
