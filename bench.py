@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "salted_join",
     "scd2_snapshot_asof",
     "profile_lineitem",
+    "profile_quantiles",
     "scrub_pii",
     "dedup_exact",
     "dedup_normalized",

@@ -1610,6 +1610,19 @@ def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles of lineitem numerics by pure integer
+    rank selection — no interpolation, so doubles hash-match across
+    engines (operators/profile.py::numeric_quantiles)."""
+    prepare(spark)
+    from .operators.profile import numeric_quantiles
+
+    return numeric_quantiles(
+        load_table(spark, sf_dir, "lineitem"),
+        ("l_quantity", "l_extendedprice", "l_discount"),
+    )
+
+
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass column profile (count / nulls / exact distinct /
     min / max) of four lineitem columns — one scan however many columns
@@ -1970,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "top_ngrams_by_lang": q_top_ngrams_by_lang,
         "curation_pipeline_v4": q_curation_pipeline_v4,
+        "profile_quantiles": q_profile_quantiles,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2079,6 +2093,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from .operators.dedup import (
         normalized_exact_dedup_sql as _normalized_exact_dedup_sql,
+    )
+    from .operators.profile import (
+        numeric_quantiles_sql as _numeric_quantiles_sql,
     )
     from .operators.sampling import mixture_report_sql as _mixture_report_sql
     from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
@@ -2423,6 +2440,10 @@ def oracle_sql() -> dict[str, str]:
             join (select o_orderkey as l_orderkey, o_totalprice from orders) o
               using (l_orderkey)
         """,
+        "profile_quantiles": _numeric_quantiles_sql(
+            "select * from lineitem",
+            ("l_quantity", "l_extendedprice", "l_discount"),
+        ),
         "profile_lineitem": profile_columns_sql(
             "select * from lineitem",
             ("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate"),

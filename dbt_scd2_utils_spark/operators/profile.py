@@ -90,3 +90,85 @@ def profile_columns_sql(source_sql: str, cols: Sequence[str]) -> str:
         for c in cols
     ]
     return " union all ".join(parts)
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    q_bps: Sequence[int] = (2500, 5000, 7500, 9000),
+) -> DataFrame:
+    """Exact DISCRETE quantiles per column: one row per (column, q_bp)
+    with the actual data value at 0-based rank ``(q_bp · (n-1)) div
+    10000`` over the non-null ascending order.  No interpolation and no
+    float arithmetic anywhere — the result is a value that EXISTS in the
+    column, selected by pure integer rank, so the DuckDB twin
+    (:func:`numeric_quantiles_sql`, same rank formula) matches
+    bit-for-bit even on doubles.  (Spark's ``percentile``/DuckDB's
+    ``quantile_cont`` interpolate in engine-specific float code —
+    exactly the divergence this formulation removes.)
+
+    Scale shape, per column: groupBy(value) with map-side partials →
+    running-count window over the AGGREGATED distinct-value table
+    (distinct values ≪ rows for real numeric columns; for near-unique
+    doubles this window is the cost — use ``profile_columns`` +
+    approx_percentile reconnaissance first if that's your shape).
+    Columns are independent unioned branches of one job."""
+    from pyspark.sql import Window
+
+    q_bps = list(q_bps)
+    out = None
+    for c in cols:
+        vals = df.select(F.col(c).cast("double").alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+        counts = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = counts.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+            F.broadcast(vals.agg(F.count(F.lit(1)).alias("n")))
+        )
+        for q in q_bps:
+            # rank k is 0-based; the quantile is the first value whose
+            # cumulative count exceeds k
+            picked = (
+                cum.filter(F.expr(f"cum > ({q} * (n - 1)) div 10000"))
+                .orderBy("v")
+                .limit(1)
+                .select(
+                    F.lit(c).alias("column_name"),
+                    F.lit(q).cast("long").alias("q_bp"),
+                    F.col("v").alias("value"),
+                )
+            )
+            out = picked if out is None else out.unionByName(picked)
+    return out
+
+
+def numeric_quantiles_sql(
+    source_sql: str,
+    cols: Sequence[str],
+    q_bps: Sequence[int] = (2500, 5000, 7500, 9000),
+) -> str:
+    """DuckDB twin of :func:`numeric_quantiles` (identical rank math)."""
+    branches = []
+    for c in cols:
+        for q in q_bps:
+            branches.append(f"""
+select '{c}' as column_name, cast({q} as bigint) as q_bp, v as value
+from (
+  select v, sum(cnt) over (order by v
+           rows between unbounded preceding and current row) as cum, n
+  from (
+    select v, count(*) as cnt from (
+      select cast({c} as double) as v from ({source_sql})
+      where {c} is not null
+    ) group by v
+  ), (
+    select count(*) as n from ({source_sql}) where {c} is not null
+  )
+)
+where cum > ({q} * (n - 1)) // 10000
+order by v limit 1
+""")
+    return "\nunion all\n".join(f"({b})" for b in branches)

@@ -65,3 +65,42 @@ def test_matches_duckdb(spark):
         for r in df.reindex(sorted(df.columns), axis=1).itertuples(index=False)
     )
     assert norm(got) == norm(want)
+
+
+def test_numeric_quantiles_exact_rank_selection(spark):
+    from dbt_scd2_utils_spark.operators.profile import numeric_quantiles
+
+    # 11 values 0..10 → (n-1)·q/10000: q2500→rank 2 (value 2),
+    # q5000→rank 5, q9000→rank 9; nulls excluded from ranks entirely.
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(11)] + [(None,)], "x double"
+    )
+    out = {
+        r.q_bp: r.value
+        for r in numeric_quantiles(df, ["x"], (2500, 5000, 9000)).collect()
+    }
+    assert out == {2500: 2.0, 5000: 5.0, 9000: 9.0}
+
+
+def test_numeric_quantiles_duplicate_heavy_column(spark):
+    from dbt_scd2_utils_spark.operators.profile import numeric_quantiles
+
+    # 90 zeros + 10 ones: median rank 49 → 0.0; q9500 rank 94 → 1.0
+    df = spark.createDataFrame(
+        [(0.0,)] * 90 + [(1.0,)] * 10, "x double"
+    )
+    out = {
+        r.q_bp: r.value
+        for r in numeric_quantiles(df, ["x"], (5000, 9500)).collect()
+    }
+    assert out == {5000: 0.0, 9500: 1.0}
+
+
+def test_numeric_quantiles_value_exists_in_data(spark):
+    from dbt_scd2_utils_spark.operators.profile import numeric_quantiles
+    from dbt_scd2_utils_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = numeric_quantiles(li, ["l_extendedprice"], (5000,)).collect()
+    vals = {r.l_extendedprice for r in li.select("l_extendedprice").collect()}
+    assert float(rows[0].value) in {float(v) for v in vals}
