@@ -1999,6 +1999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
+        # moved up: probe-salt derivation changed this round (ADVICE fix)
+        # — must re-gate inside the ~50-row window
+        "salted_join": q_salted_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2025,11 +2028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "top_ngrams": q_top_ngrams,
+        "events_asof_latest_order": q_events_asof_latest_order,
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
-        "events_asof_latest_order": q_events_asof_latest_order,
-        "salted_join": q_salted_join,
-        # -- core reference-parity surface (r3-green, kept in-gate) ------
+        # -- core reference-parity surface (r3-green, kept in-gate; the
+        # exactly-50 must-gate set closes at semantic_dedup above) ------
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
