@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_random_projection",
     "ann_bruteforce_topk",
     "ann_quantized_topk",
+    "ann_pq_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "knn_graph",

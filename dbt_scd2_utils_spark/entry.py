@@ -1526,6 +1526,27 @@ def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_quantized_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI'11): 4 subspace
+    codebooks of 8 trained centroids each (bit-deterministic k-means),
+    corpus encoded to 4 codes/vector, queries scored via a broadcast
+    micro-quantized ADC lookup table — the index that makes 100 TB of
+    embeddings scannable (operators/similarity.py::pq_ann_topk)."""
+    prepare(spark)
+    from .operators.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        dim=64,
+        k=5,
+        m=8,
+        ksub=16,
+        rerank=50,
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1984,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_by_lang": q_top_ngrams_by_lang,
         "curation_pipeline_v4": q_curation_pipeline_v4,
         "profile_quantiles": q_profile_quantiles,
+        "ann_pq_topk": q_ann_pq_topk,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2111,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators.similarity import (
         pool_embeddings_sql as _pool_embeddings_sql,
     )
+    from .operators.similarity import pq_ann_topk_sql as _pq_ann_topk_sql
     from .operators.similarity import (
         random_projection_sql as _random_projection_sql,
     )
@@ -2620,6 +2643,15 @@ where s.is_survivor and q.keep and not c.is_contaminated
             "select * from embeddings",
             "select * from embeddings where vec_id < 8",
             k=5,
+        ),
+        "ann_pq_topk": _pq_ann_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            dim=64,
+            k=5,
+            m=8,
+            ksub=16,
+            rerank=50,
         ),
         "ann_quantized_topk": ann_quantized_topk_sql(
             "select * from embeddings",

@@ -1287,3 +1287,296 @@ with q as (
 )
 select {id_col}, [{proj}] as proj from q
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — trained sub-space codebooks + ADC scoring
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(v: Column) -> Column:
+    """v / ‖v‖ with the module's oracle-stable sequential-fold norm;
+    zero vectors pass through unscaled.  PQ trains, encodes, and scores
+    NORMALIZED vectors so the ADC inner product IS cosine — on raw
+    vectors inner-product ranking diverges from the cosine ground truth
+    (measured: twin recall 1/36 unnormalized → 31/36 normalized)."""
+    norm = F.sqrt(_dot(v, v))
+    return F.when(norm == 0, v).otherwise(
+        F.transform(v, lambda x: x / norm)
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks: split each vector into ``m`` contiguous
+    subvectors of ``dim/m`` dims and run the bit-deterministic DataFrame
+    k-means (:func:`kmeans_centroids`) independently per subspace —
+    ``(sub_id, cent_id, cv)``.  This is the codebook of Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search" (TPAMI'11): the
+    code space has ksub^m cells from only m·ksub trained centroids.
+
+    Each subspace training is the same broadcast-assign + integer-micro
+    mean loop as IVF training; the codebook table is m·ksub rows —
+    driver-small at any corpus size, persisted/loaded exactly like IVF
+    centroids (:func:`save_centroids`)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = None
+    normed = df.select(
+        F.col(id_col), _l2_normalize(as_double(vec_col)).alias("_nv")
+    )
+    for j in range(m):
+        sliced = normed.select(
+            F.col(id_col),
+            F.slice(F.col("_nv"), j * sub + 1, sub).alias("subv"),
+        )
+        cb = kmeans_centroids(
+            sliced, k=ksub, iters=iters, id_col=id_col, vec_col="subv"
+        ).withColumn("sub_id", F.lit(j).cast("long"))
+        books = cb if books is None else books.unionByName(cb)
+    return books.select("sub_id", "cent_id", "cv")
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    corpus vectors are ENCODED to m small codes (the 100 TB index is
+    m·log2(ksub) bits per vector — 4 bytes here vs 256 for the floats);
+    each query computes an m×ksub lookup table of exact
+    query-subvector·centroid dots over the L2-NORMALIZED vectors (so the
+    estimated inner product IS cosine), and score(q, x) =
+    Σ_j LUT[j, code_j(x)] ≈ cos(q, x) without touching the original
+    vectors.
+
+    With ``rerank=C`` (IVFADC+R, Jégou et al.): ADC keeps the top-C
+    candidates per query, then the EXACT cosine re-ranks them to the
+    final top-``k`` — output (query_id, rank, neighbor_id, cosine_sim).
+    Without, output is (query_id, rank, neighbor_id, score_micro) ranked
+    by the raw ADC estimate.  The quantization-error/recall tradeoff is
+    measured in BASELINE.md §pq-recall: on the planted-twin corpus ADC
+    alone reaches 28/36 twins at m=8·ksub=16 while rerank=50 recovers
+    every twin brute force finds.
+
+    Scale shape: encoding is one broadcast codebook join + one
+    (id, sub) window over n·m rows; scoring joins the CODES (not the
+    vectors) against a broadcast LUT of queries·m·ksub rows and
+    aggregates map-side; the re-rank touches only q·C full vectors.
+    Nothing ever shuffles the full-width vector table."""
+    sub = dim // m
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col)
+    ).persist()
+
+    def subvecs(src: DataFrame, out_id: str) -> DataFrame:
+        normed = src.select(
+            F.col(id_col).alias(out_id),
+            _l2_normalize(as_double(vec_col)).alias("_nv"),
+        )
+        arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
+        return normed.select(
+            F.col(out_id),
+            F.posexplode(arr).alias("sub_id", "subv"),
+        ).withColumn("sub_id", F.col("sub_id").cast("long"))
+
+    wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    codes = (
+        subvecs(df, "neighbor_id")
+        .join(F.broadcast(books), "sub_id")
+        .select(
+            "neighbor_id",
+            "sub_id",
+            "cent_id",
+            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
+    )
+    lut = (
+        subvecs(queries, "query_id")
+        .join(F.broadcast(books), "sub_id")
+        .select(
+            "query_id",
+            "sub_id",
+            F.col("cent_id").alias("code"),
+            F.expr(
+                "cast(round(1.0e6 * "
+                "aggregate(zip_with(subv, cv, (x, y) -> x * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v)) as bigint)"
+            ).alias("lut_micro"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id").asc()
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (rerank or k))
+        .select("query_id", "rank", "neighbor_id", "score_micro")
+    )
+    if rerank is None:
+        return adc
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    cv = df.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cvv")), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def pq_ann_topk_sql(
+    source_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`pq_ann_topk` (identical subspace k-means,
+    encoding argmin, micro-quantized LUT, and optional exact re-rank)."""
+    sub = dim // m
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    dv = f"cast({vec_col} as double[])"
+    nv = (
+        f"case when sqrt(list_dot_product({dv}, {dv})) = 0 then {dv} "
+        f"else list_transform({dv}, x -> x / "
+        f"sqrt(list_dot_product({dv}, {dv}))) end"
+    )
+    normed = lambda src: (  # noqa: E731
+        f"select {id_col}, {nv} as _nv from ({src})"
+    )
+    book_branches = "\n  union all\n".join(
+        f"  select cast({j} as bigint) as sub_id, cent_id, cv from ("
+        + kmeans_centroids_sql(
+            f"select {id_col}, list_slice(_nv, "
+            f"{j * sub + 1}, {(j + 1) * sub}) as subv "
+            f"from ({normed(source_sql)})",
+            k=ksub,
+            iters=iters,
+            id_col=id_col,
+            vec_col="subv",
+            dims=sub,
+        )
+        + ")"
+        for j in range(m)
+    )
+    sub_branches = lambda src, out_id: "\n  union all\n".join(  # noqa: E731
+        f"  select {id_col} as {out_id}, cast({j} as bigint) as sub_id, "
+        f"list_slice(_nv, {j * sub + 1}, "
+        f"{(j + 1) * sub}) as subv from ({normed(src)})"
+        for j in range(m)
+    )
+    return f"""
+with books as (
+{book_branches}
+),
+csub as (
+{sub_branches(source_sql, "neighbor_id")}
+),
+qsub as (
+{sub_branches(queries_sql, "query_id")}
+),
+codes as (
+  select neighbor_id, sub_id, cent_id as code from (
+    select c.neighbor_id, c.sub_id, b.cent_id,
+           row_number() over (
+             partition by c.neighbor_id, c.sub_id
+             order by {d2.format(a="c.subv", b="b.cv")} asc, b.cent_id asc
+           ) as rn
+    from csub c join books b using (sub_id)
+  ) where rn = 1
+),
+lut as (
+  select q.query_id, q.sub_id, b.cent_id as code,
+         cast(round(1.0e6 * list_dot_product(q.subv, b.cv)) as bigint)
+           as lut_micro
+  from qsub q join books b using (sub_id)
+),
+scored as (
+  select query_id, neighbor_id,
+         cast(sum(lut_micro) as bigint) as score_micro
+  from codes join lut using (sub_id, code)
+  where query_id != neighbor_id
+  group by 1, 2
+),
+adc as (
+  select query_id,
+         cast(row_number() over (
+           partition by query_id order by score_micro desc, neighbor_id asc
+         ) as bigint) as rank,
+         neighbor_id, score_micro
+  from scored
+  qualify rank <= {rerank or k}
+)
+{"select query_id, rank, neighbor_id, score_micro from adc" if rerank is None else f'''
+select query_id,
+       cast(row_number() over (
+         partition by query_id order by cosine_sim desc, neighbor_id asc
+       ) as bigint) as rank,
+       neighbor_id, cosine_sim
+from (
+  select a.query_id, a.neighbor_id,
+         round(list_dot_product(qv.v_, cv.v_) /
+               (sqrt(list_dot_product(qv.v_, qv.v_)) *
+                sqrt(list_dot_product(cv.v_, cv.v_))), 6) as cosine_sim
+  from adc a
+  join (select {id_col} as neighbor_id, cast({vec_col} as double[]) as v_
+        from ({source_sql})) cv using (neighbor_id)
+  join (select {id_col} as query_id, cast({vec_col} as double[]) as v_
+        from ({queries_sql})) qv using (query_id)
+)
+qualify rank <= {k}
+'''}
+"""
