@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "profile_lineitem",
     "profile_quantiles",
     "scrub_pii",
+    "blocklist_filter",
     "dedup_exact",
     "dedup_normalized",
     "dedup_minhash_lsh",
@@ -85,6 +86,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_quantized_topk",
     "ann_pq_topk",
+    "hard_negative_mining",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "knn_graph",

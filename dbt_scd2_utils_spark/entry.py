@@ -1547,6 +1547,28 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard negatives: for 16 (query, positive) pairs (the
+    positive = lowest-id same-label vector), the top-4 most-similar
+    corpus vectors that are neither the query nor its positive —
+    int8-quantized dot ranking (operators/similarity.py::hard_negatives)."""
+    prepare(spark)
+    from .operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qside = emb.filter(F.col("vec_id") < 16).alias("q")
+    positives = (
+        qside.join(
+            emb.alias("p"),
+            (F.col("p.label") == F.col("q.label"))
+            & (F.col("p.vec_id") != F.col("q.vec_id")),
+        )
+        .groupBy(F.col("q.vec_id").alias("query_id"))
+        .agg(F.min("p.vec_id").alias("positive_id"))
+    )
+    return hard_negatives(emb, positives, k=4)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1921,6 +1943,25 @@ def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source denylist stage (operators/text.py::blocklist_filter):
+    exact / prefix / suffix patterns held as broadcast DATA, corpus
+    streams once with no shuffle."""
+    prepare(spark)
+    from .operators.text import blocklist_filter
+
+    bl = spark.createDataFrame(
+        [("src3", "exact"), ("src1", "prefix"), ("7", "suffix")],
+        "pattern string, kind string",
+    )
+    return blocklist_filter(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        ),
+        bl,
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: linear-logistic classifier over the
     engineered text features with integer-micro weights
@@ -2006,6 +2047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v4": q_curation_pipeline_v4,
         "profile_quantiles": q_profile_quantiles,
         "ann_pq_topk": q_ann_pq_topk,
+        "blocklist_filter": q_blocklist_filter,
+        "hard_negative_mining": q_hard_negative_mining,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2135,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators.similarity import (
         pool_embeddings_sql as _pool_embeddings_sql,
     )
+    from .operators.similarity import hard_negatives_sql as _hard_negatives_sql
     from .operators.similarity import pq_ann_topk_sql as _pq_ann_topk_sql
     from .operators.similarity import (
         random_projection_sql as _random_projection_sql,
@@ -2144,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
         "select d.doc_id, d.text, e.embedding "
         "from documents d join embeddings e on d.doc_id = e.vec_id"
     )
+    from .operators.text import blocklist_filter_sql as _blocklist_filter_sql
     from .operators.text import quality_classifier_sql as _quality_classifier_sql
     from .operators.text import (
         top_ngrams_by_group_sql as _top_ngrams_by_group_sql,
@@ -2482,6 +2527,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(
             "select * from documents"
         ),
+        "blocklist_filter": _blocklist_filter_sql(
+            "select doc_id, source, lang from documents",
+            "select * from (values ('src3', 'exact'), ('src1', 'prefix'), "
+            "('7', 'suffix')) as t(pattern, kind)",
+        ),
         "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),
@@ -2645,6 +2695,16 @@ where s.is_survivor and q.keep and not c.is_contaminated
             "select * from embeddings",
             "select * from embeddings where vec_id < 8",
             k=5,
+        ),
+        "hard_negative_mining": _hard_negatives_sql(
+            "select * from embeddings",
+            """select q.vec_id as query_id, min(p.vec_id) as positive_id
+               from embeddings q
+               join embeddings p
+                 on p.label = q.label and p.vec_id != q.vec_id
+               where q.vec_id < 16
+               group by q.vec_id""",
+            k=4,
         ),
         "ann_pq_topk": _pq_ann_topk_sql(
             "select * from embeddings",

@@ -1580,3 +1580,107 @@ from (
 qualify rank <= {k}
 '''}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    df: DataFrame,
+    positives: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    positive_id_col: str = "positive_id",
+) -> DataFrame:
+    """DPR-style hard-negative mining: for each (query, positive) pair,
+    the top-``k`` corpus items MOST similar to the query that are
+    neither the query itself nor any of its positives — the negatives
+    that actually teach a contrastive model (random negatives are too
+    easy; the near-misses carry the gradient signal).
+
+    Scoring is the int8-quantized dot (:func:`quantize_embeddings` —
+    integer-exact ranking, and at 100 TB the quantized index IS what
+    you'd scan); output ``(query_id, rank, negative_id, qdot)``.
+
+    Scale shape: queries ⊂ corpus are broadcast (both the codes and the
+    positive-pair table); the corpus streams through one broadcast join,
+    the exclusion is a broadcast LEFT ANTI on (query, candidate), and
+    the per-query top-k is a row_number window over candidates."""
+    qids = positives.select(
+        F.col(query_id_col).alias(id_col)
+    ).distinct()
+    q = quantize_embeddings(
+        df.join(qids, id_col, "left_semi"), id_col, vec_col
+    ).select(F.col("id").alias("query_id"), F.col("code").alias("qc"))
+    c = quantize_embeddings(df, id_col, vec_col).select(
+        F.col("id").alias("negative_id"), F.col("code").alias("cc")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("negative_id")
+    ).select(
+        "query_id",
+        "negative_id",
+        _int_dot(F.col("qc"), F.col("cc")).alias("qdot"),
+    )
+    excl = positives.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(positive_id_col).alias("negative_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.join(F.broadcast(excl), ["query_id", "negative_id"], "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "negative_id", "qdot")
+    )
+
+
+def hard_negatives_sql(
+    source_sql: str,
+    positives_sql: str,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    positive_id_col: str = "positive_id",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives`."""
+    code = _quantize_sql(vec_col)
+    return f"""
+with pos as (
+  select {query_id_col} as query_id, {positive_id_col} as negative_id
+  from ({positives_sql})
+),
+q as (
+  select {id_col} as query_id, {code} as qc from ({source_sql})
+  where {id_col} in (select query_id from pos)
+),
+c as (
+  select {id_col} as negative_id, {code} as cc from ({source_sql})
+),
+scored as (
+  select query_id, negative_id,
+         cast(list_dot_product(qc, cc) as bigint) as qdot
+  from c join q on query_id != negative_id
+),
+kept as (
+  select s.* from scored s
+  where not exists (
+    select 1 from pos p
+    where p.query_id = s.query_id and p.negative_id = s.negative_id
+  )
+)
+select query_id,
+       cast(row_number() over (
+         partition by query_id order by qdot desc, negative_id asc
+       ) as bigint) as rank,
+       negative_id, qdot
+from kept
+qualify rank <= {k}
+"""
