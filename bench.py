@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "profile_quantiles",
     "scrub_pii",
     "blocklist_filter",
+    "remove_repeated_lines",
     "dedup_exact",
     "dedup_normalized",
     "dedup_minhash_lsh",

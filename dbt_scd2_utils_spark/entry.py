@@ -1331,6 +1331,19 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_report(withsrc, minhash_lsh_pairs(withsrc))
 
 
+def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide boilerplate removal over the dup-planted
+    corpus: any 16-token line occurring ≥2 times anywhere is cut from
+    every document and the survivors re-joined in order
+    (operators/text.py::remove_repeated_lines)."""
+    prepare(spark)
+    from .operators.text import remove_repeated_lines
+
+    return remove_repeated_lines(
+        doc_corpus(spark, sf_dir), line_tokens=16, min_count=2
+    )
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form exact dedup (operators/dedup.py::
     normalized_exact_dedup): reformatted copies planted as
@@ -2049,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "blocklist_filter": q_blocklist_filter,
         "hard_negative_mining": q_hard_negative_mining,
+        "remove_repeated_lines": q_remove_repeated_lines,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2189,6 +2203,9 @@ def oracle_sql() -> dict[str, str]:
         "from documents d join embeddings e on d.doc_id = e.vec_id"
     )
     from .operators.text import blocklist_filter_sql as _blocklist_filter_sql
+    from .operators.text import (
+        remove_repeated_lines_sql as _remove_repeated_lines_sql,
+    )
     from .operators.text import quality_classifier_sql as _quality_classifier_sql
     from .operators.text import (
         top_ngrams_by_group_sql as _top_ngrams_by_group_sql,
@@ -2537,6 +2554,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": language_id_sql("select * from documents"),
         "doc_fingerprint": fingerprint_sql("select * from documents"),
         "dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),
+        "remove_repeated_lines": _remove_repeated_lines_sql(
+            DOC_CORPUS_SQL, line_tokens=16, min_count=2
+        ),
         "dedup_normalized": _normalized_exact_dedup_sql(
             """select doc_id, text from documents
                union all
