@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v4",
     "streaming_dedup_exact",
     "streaming_novelty",
+    "streaming_curation_gate",
     "embedding_pool",
     "embedding_random_projection",
     "ann_bruteforce_topk",

@@ -1344,6 +1344,52 @@ def q_remove_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest curation: the planted-PII corpus streams in
+    micro-batches through scrub_pii → quality_classifier (per-row,
+    NARROW — no corpus statistics), keeping docs the model passes.
+    Row-local transforms are batch-boundary-invariant, so the drained
+    stream equals the batch composition exactly and the batch SQL twin
+    gates it."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.text import quality_classifier, scrub_pii
+
+    corpus = _planted(load_table(spark, sf_dir, "documents"))
+    base = tempfile.mkdtemp(prefix="scd_stream_curate_")
+    src, out = f"{base}/src", f"{base}/out"
+    corpus.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _gate(batch_df, _epoch: int) -> None:
+        scrubbed = scrub_pii(batch_df)
+        scored = quality_classifier(
+            scrubbed.select(
+                "doc_id", F.col("scrubbed_text").alias("text")
+            )
+        )
+        (
+            scrubbed.select("doc_id", "n_urls", "n_emails", "n_phones")
+            .join(scored.filter(F.col("keep")), "doc_id")
+            .select("doc_id", "n_urls", "n_emails", "n_phones", "p_micro")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form exact dedup (operators/dedup.py::
     normalized_exact_dedup): reformatted copies planted as
@@ -2063,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "hard_negative_mining": q_hard_negative_mining,
         "remove_repeated_lines": q_remove_repeated_lines,
+        "streaming_curation_gate": q_streaming_curation_gate,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2550,6 +2597,14 @@ def oracle_sql() -> dict[str, str]:
             "('7', 'suffix')) as t(pattern, kind)",
         ),
         "scrub_pii": scrub_pii_sql(_plant_sql("select * from documents")),
+        "streaming_curation_gate": f"""
+with scrub as ({scrub_pii_sql(_plant_sql("select * from documents"))}),
+scored as ({_quality_classifier_sql(
+    "select doc_id, scrubbed_text as text from scrub")})
+select s.doc_id, s.n_urls, s.n_emails, s.n_phones, q.p_micro
+from scrub s join scored q using (doc_id)
+where q.keep
+""",
         "token_count": token_count_sql("select * from documents"),
         "language_id": language_id_sql("select * from documents"),
         "doc_fingerprint": fingerprint_sql("select * from documents"),

@@ -55,3 +55,29 @@ def test_stream_equals_batch_across_batch_splits(spark):
     flagged = {r.id for r in streamed.filter(~F.col("is_novel")).collect()}
     assert any(i >= 900000 for i in flagged)
     corpus.unpersist()
+
+
+def test_streaming_curation_gate_equals_batch(spark):
+    import tempfile
+
+    from dbt_scd2_utils_spark import entry as em
+    from dbt_scd2_utils_spark.operators.text import (
+        quality_classifier,
+        scrub_pii,
+    )
+
+    corpus = em._planted(load_table(spark, SF, "documents"))
+    streamed = em.q_streaming_curation_gate(spark, SF)
+    scrub = scrub_pii(corpus)
+    batch = (
+        scrub.select("doc_id", "n_urls", "n_emails", "n_phones")
+        .join(
+            quality_classifier(
+                scrub.select("doc_id", F.col("scrubbed_text").alias("text"))
+            ).filter(F.col("keep")),
+            "doc_id",
+        )
+        .select("doc_id", "n_urls", "n_emails", "n_phones", "p_micro")
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
