@@ -2146,19 +2146,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # they outrank the data-stale-but-unchanged multimodal block
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         # real PPM/WAV codec decode, value-gated via an exact integer
         # checksum of the decoded payload (the oracle re-derives the
         # synthetic corpus arithmetically); float features pytest-gated
-        # in tests/test_multimodal_real.py.
+        # in tests/test_multimodal_real.py.  Never driver-gated →
+        # outranks the stale-but-unchanged stub multimodal trio.
         "multimodal_decode_real": q_multimodal_decode_real,
         # -- semantics changed in round 4: must re-gate ------------------
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "top_ngrams": q_top_ngrams,
         "events_asof_latest_order": q_events_asof_latest_order,
+        # -- stale (r2-green, pre-regen data) but unchanged since --------
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         # -- core reference-parity surface (r3-green, kept in-gate; the
         # exactly-50 must-gate set closes at semantic_dedup above) ------
         "scd2_initial_load": q_scd2_initial_load,
