@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "top_ngrams",
     "top_ngrams_by_lang",
+    "bpe_learn_merges",
     "bm25_search",
     "hybrid_search_rrf",
     "ngram_lm_quality",

@@ -1989,6 +1989,19 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, vec], k=10)
 
 
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 10 BPE merges learned from the
+    corpus word-frequency table (operators/bpe.py::learn_bpe_merges) —
+    Sennrich et al.'s algorithm, one pair-count aggregate + one
+    merge-apply window per round over the (shrinking) vocabulary."""
+    prepare(spark)
+    from .operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=10
+    )
+
+
 def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-20 bigram vocabulary
     (operators/text.py::top_ngrams_by_group): one (group, gram) hash
@@ -2110,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": q_hard_negative_mining,
         "remove_repeated_lines": q_remove_repeated_lines,
         "streaming_curation_gate": q_streaming_curation_gate,
+        "bpe_learn_merges": q_bpe_learn_merges,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2215,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .operators.bpe import learn_bpe_merges_sql as _learn_bpe_merges_sql
     from .operators.clustering import (
         dedup_survivors_sql as _dedup_survivors_sql,
     )
@@ -2526,6 +2541,9 @@ def oracle_sql() -> dict[str, str]:
             buckets=16,
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
+        "bpe_learn_merges": _learn_bpe_merges_sql(
+            "select * from documents", n_merges=10
+        ),
         "top_ngrams_by_lang": _top_ngrams_by_group_sql(
             "select * from documents", group_col="lang", n=2, k=20
         ),

@@ -1,0 +1,49 @@
+"""BPE merge learning (operators/bpe.py::learn_bpe_merges)."""
+
+from __future__ import annotations
+
+from dbt_scd2_utils_spark.operators.bpe import learn_bpe_merges
+
+
+def _merges(spark, texts, n):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in learn_bpe_merges(df, n_merges=n)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+
+def test_classic_pair_learning(spark):
+    # 'low' ×5, 'lower' ×2: first merge is (l,o) with count 7
+    out = _merges(spark, ["low low low low low", "lower lower"], 3)
+    assert out[0][1:] == ("l", "o", 7)
+    # second: (lo, w) count 7 beats anything in 'lower' alone
+    assert out[1][1:] == ("lo", "w", 7)
+    # third: 'low</w>' finishes (count 5) vs lower's pairs (count 2)
+    assert out[2][1:] == ("low", "</w>", 5)
+
+
+def test_overlapping_run_merges_leftmost_nonoverlapping(spark):
+    # one word 'aaaa' → symbols [a,a,a,a,</w>]: pair (a,a) counted at
+    # 3 adjacent positions, merged leftmost-first to [aa,aa,</w>]
+    out = _merges(spark, ["aaaa"], 2)
+    assert out[0][1:] == ("a", "a", 3)
+    # after the merge the symbol stream is [aa, aa, </w>]: pairs
+    # (aa,aa)×1 and (aa,</w>)×1 tie on count → right-side tiebreak
+    # '</w>' < 'aa' lexicographically
+    assert out[1][1:] == ("aa", "</w>", 1)
+
+
+def test_merged_symbols_feed_later_rounds(spark):
+    out = _merges(spark, ["ababab ababab ababab"], 2)
+    # (a,b) dominates, then the merged 'ab' pairs with itself
+    assert out[0][1] == "a" and out[0][2] == "b"
+    assert out[1][1] == "ab" and out[1][2] == "ab"
+
+
+def test_case_folding_and_empty_docs(spark):
+    out = _merges(spark, ["LOW low", "", "   "], 1)
+    # 'LOW' folds into 'low' (freq 2); no crash on empty docs
+    assert out[0][1:] == ("l", "o", 2)
