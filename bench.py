@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "top_ngrams_by_lang",
     "bpe_learn_merges",
+    "bpe_token_counts",
     "bm25_search",
     "hybrid_search_rrf",
     "ngram_lm_quality",

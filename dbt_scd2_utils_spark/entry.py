@@ -2002,6 +2002,18 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sequence lengths under the corpus's own learned BPE
+    vocabulary (operators/bpe.py::bpe_token_counts) — packing budgets
+    measured in real subword tokens, not the whitespace proxy."""
+    prepare(spark)
+    from .operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(
+        load_table(spark, sf_dir, "documents"), n_merges=10
+    )
+
+
 def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-20 bigram vocabulary
     (operators/text.py::top_ngrams_by_group): one (group, gram) hash
@@ -2124,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_repeated_lines": q_remove_repeated_lines,
         "streaming_curation_gate": q_streaming_curation_gate,
         "bpe_learn_merges": q_bpe_learn_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2229,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .operators.bpe import bpe_token_counts_sql as _bpe_token_counts_sql
     from .operators.bpe import learn_bpe_merges_sql as _learn_bpe_merges_sql
     from .operators.clustering import (
         dedup_survivors_sql as _dedup_survivors_sql,
@@ -2542,6 +2556,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_ngrams": top_ngrams_sql("select * from documents", n=2, k=100),
         "bpe_learn_merges": _learn_bpe_merges_sql(
+            "select * from documents", n_merges=10
+        ),
+        "bpe_token_counts": _bpe_token_counts_sql(
             "select * from documents", n_merges=10
         ),
         "top_ngrams_by_lang": _top_ngrams_by_group_sql(

@@ -61,6 +61,19 @@ def learn_bpe_merges(
     Words are lowercased whitespace tokens; initial symbols are unicode
     characters plus a ``</w>`` end-of-word marker (so merges distinguish
     word-final units, as in the original algorithm)."""
+    merges, _ = _learn(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, pair_count long",
+    )
+
+
+def _learn(
+    df: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge-learning loop; returns (merge list, final per-word
+    symbol state) — the state IS the segmentation of every corpus word
+    under the learned merges, which :func:`bpe_token_counts` reuses."""
     spark = df.sparkSession
     state = (
         _word_vocab(df, text_col)
@@ -126,10 +139,81 @@ def learn_bpe_merges(
             )
             .localCheckpoint()
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, left string, right string, pair_count long",
+    return merges, state
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under its own learned BPE merges and count:
+    ``(id, n_words, n_bpe_tokens)`` per document — the sequence-length
+    accounting a packing/budgeting pipeline needs under the REAL subword
+    vocabulary instead of the whitespace proxy.
+
+    Scale shape: the segmentation lives on the (small, shrinking) word
+    vocabulary; documents join their words against it — one shuffle on
+    the word key (or a broadcast when the vocab fits) — and aggregate
+    map-side.  The raw text is never re-tokenized per merge round."""
+    _, state = _learn(df, n_merges, text_col)
+    # piece count = symbol-list length; the </w> marker counts as a
+    # symbol until a merge fuses it into the final subword — identical
+    # accounting in the oracle (len(syms)).
+    pieces = state.select("w", F.size("syms").alias("n_pieces"))
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
     )
+    return (
+        words.join(pieces, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_counts_sql(
+    source_sql: str,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_token_counts` — reuses the learn
+    chain's final state{N} (the segmented vocabulary)."""
+    learn = learn_bpe_merges_sql(source_sql, n_merges, text_col)
+    # strip the trailing merge-table select; keep the CTE chain
+    chain = learn[: learn.rindex("\nselect cast(1 as bigint)")]
+    return f"""{chain}
+, pieces as (
+  select w, len(syms) as n_pieces from state{n_merges}
+),
+docwords as (
+  select {id_col}, w from (
+    select {id_col},
+           unnest(string_split_regex(lower(trim({text_col})), '\\s+')) as w
+    from ({source_sql})
+  ) where w <> ''
+)
+select d.{id_col},
+       cast(count(*) as bigint) as n_words,
+       cast(sum(p.n_pieces) as bigint) as n_bpe_tokens
+from docwords d join pieces p using (w)
+group by d.{id_col}
+"""
 
 
 def learn_bpe_merges_sql(

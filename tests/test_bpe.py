@@ -47,3 +47,27 @@ def test_case_folding_and_empty_docs(spark):
     out = _merges(spark, ["LOW low", "", "   "], 1)
     # 'LOW' folds into 'low' (freq 2); no crash on empty docs
     assert out[0][1:] == ("l", "o", 2)
+
+
+def test_token_counts_shrink_with_merges(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark.operators.bpe import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low")], "doc_id long, text string"
+    )
+    zero = bpe_token_counts(df, n_merges=0)
+    some = bpe_token_counts(df, n_merges=4)
+    z = {r.doc_id: r for r in zero.collect()}
+    s = {r.doc_id: r for r in some.collect()}
+    # 0 merges: chars + marker — 'low'=4 symbols, 'lower'=6
+    assert z[1].n_bpe_tokens == 4 + 4 + 6
+    assert z[2].n_bpe_tokens == 4
+    # merges only ever shrink the piece count; word counts unchanged
+    assert s[1].n_bpe_tokens < z[1].n_bpe_tokens
+    assert s[2].n_bpe_tokens < z[2].n_bpe_tokens
+    assert (s[1].n_words, s[2].n_words) == (3, 1)
+    # identical words tokenize identically across documents
+    low_pieces = s[2].n_bpe_tokens
+    assert s[1].n_bpe_tokens >= 2 * low_pieces
