@@ -2165,14 +2165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
         "curation_pipeline": q_curation_pipeline,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_bruteforce_topk": q_ann_bruteforce_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        # knn recall retune (16 bands) changed these outputs this round —
-        # they outrank the data-stale-but-unchanged multimodal block
-        "knn_graph": q_knn_graph,
-        "semantic_dedup": q_semantic_dedup,
         # real PPM/WAV codec decode, value-gated via an exact integer
         # checksum of the decoded payload (the oracle re-derives the
         # synthetic corpus arithmetically); float features pytest-gated
@@ -2184,6 +2176,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
         "top_ngrams": q_top_ngrams,
         "events_asof_latest_order": q_events_asof_latest_order,
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        # knn recall retune (16 bands) changed these outputs this round —
+        # they outrank the data-stale-but-unchanged multimodal block
+        "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
         # -- stale (r2-green, pre-regen data) but unchanged since --------
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
