@@ -116,6 +116,10 @@ def numeric_quantiles(
     from pyspark.sql import Window
 
     q_bps = list(q_bps)
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(int(q),) for q in q_bps], "q_bp long")
+    )
     out = None
     for c in cols:
         vals = df.select(F.col(c).cast("double").alias("v")).filter(
@@ -128,20 +132,22 @@ def numeric_quantiles(
         cum = counts.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
             F.broadcast(vals.agg(F.count(F.lit(1)).alias("n")))
         )
-        for q in q_bps:
-            # rank k is 0-based; the quantile is the first value whose
-            # cumulative count exceeds k
-            picked = (
-                cum.filter(F.expr(f"cum > ({q} * (n - 1)) div 10000"))
-                .orderBy("v")
-                .limit(1)
-                .select(
-                    F.lit(c).alias("column_name"),
-                    F.lit(q).cast("long").alias("q_bp"),
-                    F.col("v").alias("value"),
-                )
+        # rank k is 0-based; the quantile is the MIN value whose
+        # cumulative count exceeds k — all requested quantiles resolve
+        # in ONE aggregation over the broadcast-joined rank table (a
+        # per-(column, q) filter+limit was 4× the jobs for the same
+        # answer)
+        picked = (
+            cum.join(qdf, F.expr("cum > (q_bp * (n - 1)) div 10000"))
+            .groupBy("q_bp")
+            .agg(F.min("v").alias("value"))
+            .select(
+                F.lit(c).alias("column_name"),
+                F.col("q_bp"),
+                "value",
             )
-            out = picked if out is None else out.unionByName(picked)
+        )
+        out = picked if out is None else out.unionByName(picked)
     return out
 
 
@@ -151,11 +157,12 @@ def numeric_quantiles_sql(
     q_bps: Sequence[int] = (2500, 5000, 7500, 9000),
 ) -> str:
     """DuckDB twin of :func:`numeric_quantiles` (identical rank math)."""
+    qvals = ", ".join(f"({int(q)})" for q in q_bps)
     branches = []
     for c in cols:
-        for q in q_bps:
-            branches.append(f"""
-select '{c}' as column_name, cast({q} as bigint) as q_bp, v as value
+        branches.append(f"""
+select '{c}' as column_name, cast(q.q_bp as bigint) as q_bp,
+       min(v) as value
 from (
   select v, sum(cnt) over (order by v
            rows between unbounded preceding and current row) as cum, n
@@ -167,8 +174,8 @@ from (
   ), (
     select count(*) as n from ({source_sql}) where {c} is not null
   )
-)
-where cum > ({q} * (n - 1)) // 10000
-order by v limit 1
+), (values {qvals}) as q(q_bp)
+where cum > (q.q_bp * (n - 1)) // 10000
+group by q.q_bp
 """)
     return "\nunion all\n".join(f"({b})" for b in branches)
