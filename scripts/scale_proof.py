@@ -294,6 +294,37 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     )
     rrf_fuse([bm, vec], k=10).write.format("noop").mode("overwrite").save()
     times["hybrid_search_rrf"] = round(time.perf_counter() - t0, 2)
+
+    # PQ: train (build step) and probe measured separately — the
+    # deployment splits them (BASELINE §round-4b indexes).
+    from dbt_scd2_utils_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+    )
+
+    t0 = time.perf_counter()
+    books = pq_codebooks(emb, dim=64, m=8, ksub=16)
+    books.persist().count()
+    times["pq_train"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        dim=64,
+        k=5,
+        m=8,
+        ksub=16,
+        rerank=50,
+        codebooks=books,
+    ).write.format("noop").mode("overwrite").save()
+    times["pq_probe"] = round(time.perf_counter() - t0, 2)
+    books.unpersist()
+
+    from dbt_scd2_utils_spark.operators.bpe import learn_bpe_merges
+
+    t0 = time.perf_counter()
+    learn_bpe_merges(docs, n_merges=10).count()
+    times["bpe_learn_10"] = round(time.perf_counter() - t0, 2)
     return times
 
 

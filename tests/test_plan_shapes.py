@@ -335,3 +335,42 @@ def test_mixture_report_single_agg_pass(spark, docs):
     # same deliberate pattern as BM25's scalars) — only an unbounded
     # cartesian would be a defect
     assert "CartesianProduct" not in plan
+
+
+def test_pq_scoring_joins_codes_not_vectors(spark):
+    from dbt_scd2_utils_spark.operators.similarity import pq_ann_topk
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (i * F.col("id") % 13).cast("float"),
+        ).alias("embedding"),
+    )
+    plan = plan_of(
+        pq_ann_topk(emb, emb.filter("vec_id < 4"), dim=8, m=2, ksub=4)
+    )
+    # codebooks and LUT ride broadcasts; no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_is_broadcast_anti(spark, docs):
+    from dbt_scd2_utils_spark.operators.text import blocklist_filter
+
+    df = docs.withColumn("source", F.lit("s"))
+    bl = spark.createDataFrame([("s", "exact")], "pattern string, kind string")
+    plan = plan_of(blocklist_filter(df, bl))
+    # theta-match against the broadcast pattern table — LeftAnti and
+    # never a shuffled cartesian of the corpus
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repeated_lines_partials_no_cartesian(spark, docs):
+    from dbt_scd2_utils_spark.operators.text import remove_repeated_lines
+
+    plan = plan_of(remove_repeated_lines(docs, line_tokens=4, min_count=2))
+    assert "partial_count" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
