@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "multimodal_decode",
     "multimodal_frame_sample",
+    "audio_frame_features",
     "scd2_bucketed_temporal_join",
     "streaming_daily_rollup",
     "streaming_sessionize",

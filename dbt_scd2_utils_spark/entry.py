@@ -1926,6 +1926,19 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(_planted(load_table(spark, sf_dir, "documents")))
 
 
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio features (energy/peak/zero-crossings, exact
+    integers) over the REAL PCM WAV decode — 1→N frame fan-out via
+    Arrow mapInPandas; the oracle re-derives every value from the
+    synthetic sawtooth arithmetic
+    (operators/multimodal.py::audio_frame_features)."""
+    prepare(spark)
+    from .operators.multimodal import audio_frame_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_features(synthesize_media_corpus(docs), frame=32)
+
+
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path, value-gated via checksum: synthesize genuine P6
     PPM images + PCM WAV clips from the documents ids, decode them with
@@ -2185,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation_gate": q_streaming_curation_gate,
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "audio_frame_features": q_audio_frame_features,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2291,6 +2305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from .operators.bpe import bpe_token_counts_sql as _bpe_token_counts_sql
+    from .operators.multimodal import (
+        audio_frame_features_sql as _audio_frame_features_sql,
+    )
     from .operators.bpe import learn_bpe_merges_sql as _learn_bpe_merges_sql
     from .operators.clustering import (
         dedup_survivors_sql as _dedup_survivors_sql,
@@ -2907,6 +2924,9 @@ where s.is_survivor and q.keep and not c.is_contaminated
         ),
         # Real-codec path: value-gated via the integer checksum of the
         # DECODED payload (promoted from rows-only in round 4).
+        "audio_frame_features": _audio_frame_features_sql(
+            "select doc_id from documents", frame=32
+        ),
         "multimodal_decode_real": decode_media_real_sql(
             "select * from documents"
         ),

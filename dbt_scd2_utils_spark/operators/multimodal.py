@@ -629,3 +629,112 @@ def resize_media_real(media: DataFrame, max_dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame: int = 32) -> DataFrame:
+    """Windowed audio feature extraction over the REAL PCM WAV decode:
+    each clip fans out 1→⌈n/frame⌉ rows of per-frame signal features —
+    ``(doc_id, frame_idx, n_samples, energy, peak, zero_crossings)`` —
+    the framing step before any audio model (VAD, fingerprinting,
+    loudness gating).
+
+    Every feature is EXACT integer arithmetic on the decoded int16
+    samples (energy = Σ s², peak = max|s|, zero_crossings = sign flips
+    WITHIN the frame), so the oracle
+    (:func:`audio_frame_features_sql`) re-derives the whole table from
+    the synthetic corpus without touching a binary — a frame-boundary or
+    byte-order bug flips the values.
+
+    Same Arrow ``mapInPandas`` 1→N shape as :func:`sample_frames`: the
+    decode+frame loop is per-batch numpy, rows ∝ total audio duration,
+    partitioning inherited from the media table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "audio/wav":
+                    continue
+                _rate, _ch, s = decode_wav(bytes(payload))
+                ints = np.rint(s * 32768.0).astype(np.int64)
+                n = len(ints)
+                for f in range((n + frame - 1) // frame):
+                    seg = ints[f * frame : (f + 1) * frame]
+                    zc = (
+                        int(np.sum((seg[1:] < 0) != (seg[:-1] < 0)))
+                        if len(seg) > 1
+                        else 0
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            len(seg),
+                            int((seg * seg).sum()),
+                            int(np.abs(seg).max()),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_samples", "energy", "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_FRAME_SCHEMA)
+
+
+def audio_frame_features_sql(
+    source_sql: str, id_col: str = "doc_id", frame: int = 32
+) -> str:
+    """Oracle twin of synthesize_media_corpus → audio_frame_features:
+    re-derives the integer-sawtooth samples (s = (t·k·2557) % 24001 −
+    12000 with k = 1 + i%7, n = 64 + i%129 — the generator's arithmetic)
+    and aggregates the same per-frame integers in SQL."""
+    return f"""
+with ids as (
+  select cast({id_col} as bigint) as i from ({source_sql})
+  where {id_col} % 2 = 1
+),
+samp as (
+  select i, t,
+         ((t * (1 + i % 7) * 2557) % 24001 - 12000) as s
+  from ids, (select unnest(range(0, 193)) as t)
+  where t < 64 + i % 129
+),
+lagged as (
+  select i, t // {frame} as frame_idx, t, s,
+         lag(s) over (partition by i, t // {frame} order by t) as prev
+  from samp
+)
+select i as doc_id,
+       cast(frame_idx as bigint) as frame_idx,
+       cast(count(*) as bigint) as n_samples,
+       cast(sum(s * s) as bigint) as energy,
+       cast(max(abs(s)) as bigint) as peak,
+       cast(sum(case when prev is not null
+                      and (prev < 0) != (s < 0) then 1 else 0 end)
+            as bigint) as zero_crossings
+from lagged
+group by i, frame_idx
+"""

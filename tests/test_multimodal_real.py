@@ -155,3 +155,42 @@ def test_resize_real_resamples_pixels(decoded):
     # audio passes through untouched
     audio = resize_media_real(media, max_dim=8).filter("media_type = 'audio/wav'")
     assert audio.filter(F.col("out_width").isNotNull()).count() == 0
+
+
+def test_audio_frame_features_exact(spark):
+    import numpy as np
+
+    from dbt_scd2_utils_spark.operators.multimodal import (
+        audio_frame_features,
+        synthesize_media_corpus,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 3, 7, 129)], "doc_id long")
+    out = audio_frame_features(synthesize_media_corpus(ids), frame=32)
+    rows = {(r.doc_id, r.frame_idx): r for r in out.collect()}
+    for i in (1, 3, 7, 129):
+        n = 64 + i % 129
+        k = 1 + i % 7
+        t = np.arange(n, dtype=np.int64)
+        s = (t * k * 2557) % 24001 - 12000
+        n_frames = (n + 31) // 32
+        assert sum(1 for key in rows if key[0] == i) == n_frames
+        for f in range(n_frames):
+            seg = s[f * 32 : (f + 1) * 32]
+            r = rows[(i, f)]
+            assert r.n_samples == len(seg)
+            assert r.energy == int((seg * seg).sum())
+            assert r.peak == int(np.abs(seg).max())
+            assert r.zero_crossings == int(
+                np.sum((seg[1:] < 0) != (seg[:-1] < 0))
+            )
+
+
+def test_audio_frame_features_skips_images(spark):
+    from dbt_scd2_utils_spark.operators.multimodal import (
+        audio_frame_features,
+        synthesize_media_corpus,
+    )
+
+    ids = spark.createDataFrame([(2,), (4,)], "doc_id long")  # images only
+    assert audio_frame_features(synthesize_media_corpus(ids)).count() == 0
