@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "audio_frame_features",
+    "image_tile_features",
     "scd2_bucketed_temporal_join",
     "streaming_daily_rollup",
     "streaming_sessionize",

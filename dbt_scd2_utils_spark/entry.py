@@ -1939,6 +1939,19 @@ def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(synthesize_media_corpus(docs), frame=32)
 
 
+def q_image_tile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile pixel statistics (ViT-style patchify, exact integer
+    channel sums) over the REAL P6 PPM decode — 1→N tile fan-out via
+    Arrow mapInPandas; the oracle re-derives every value from the
+    synthetic pixel arithmetic
+    (operators/multimodal.py::image_tile_features)."""
+    prepare(spark)
+    from .operators.multimodal import image_tile_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_tile_features(synthesize_media_corpus(docs), tile=4)
+
+
 def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path, value-gated via checksum: synthesize genuine P6
     PPM images + PCM WAV clips from the documents ids, decode them with
@@ -2199,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "audio_frame_features": q_audio_frame_features,
+        "image_tile_features": q_image_tile_features,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2307,6 +2321,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.bpe import bpe_token_counts_sql as _bpe_token_counts_sql
     from .operators.multimodal import (
         audio_frame_features_sql as _audio_frame_features_sql,
+    )
+    from .operators.multimodal import (
+        image_tile_features_sql as _image_tile_features_sql,
     )
     from .operators.bpe import learn_bpe_merges_sql as _learn_bpe_merges_sql
     from .operators.clustering import (
@@ -2926,6 +2943,9 @@ where s.is_survivor and q.keep and not c.is_contaminated
         # DECODED payload (promoted from rows-only in round 4).
         "audio_frame_features": _audio_frame_features_sql(
             "select doc_id from documents", frame=32
+        ),
+        "image_tile_features": _image_tile_features_sql(
+            "select doc_id from documents", tile=4
         ),
         "multimodal_decode_real": decode_media_real_sql(
             "select * from documents"

@@ -738,3 +738,102 @@ select i as doc_id,
 from lagged
 group by i, frame_idx
 """
+
+
+IMAGE_TILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("tile_x", LongType()),
+        StructField("tile_y", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def image_tile_features(media: DataFrame, tile: int = 4) -> DataFrame:
+    """Tiled image statistics over the REAL P6 PPM decode: each image
+    fans out into ⌈w/tile⌉×⌈h/tile⌉ rows of per-tile integer channel
+    sums — the patchify step of a vision pipeline (ViT-style patches,
+    thumbnail heuristics, flat-region detection), with every value exact
+    integer arithmetic on the decoded pixels so the oracle
+    (:func:`image_tile_features_sql`) re-derives the table from the
+    synthetic generator without parsing a binary.
+
+    Same Arrow ``mapInPandas`` 1→N shape as :func:`audio_frame_features`;
+    edge tiles are partial (n_px carries the true pixel count)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "image/ppm":
+                    continue
+                w, h, arr = decode_ppm(bytes(payload))
+                a = arr.astype(np.int64)
+                for ty in range((h + tile - 1) // tile):
+                    for tx in range((w + tile - 1) // tile):
+                        seg = a[
+                            ty * tile : (ty + 1) * tile,
+                            tx * tile : (tx + 1) * tile,
+                        ]
+                        rows.append(
+                            (
+                                int(doc_id),
+                                tx,
+                                ty,
+                                int(seg.shape[0] * seg.shape[1]),
+                                int(seg[:, :, 0].sum()),
+                                int(seg[:, :, 1].sum()),
+                                int(seg[:, :, 2].sum()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "tile_x", "tile_y", "n_px",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(gen, schema=IMAGE_TILE_SCHEMA)
+
+
+def image_tile_features_sql(
+    source_sql: str, id_col: str = "doc_id", tile: int = 4
+) -> str:
+    """Oracle twin of synthesize_media_corpus → image_tile_features:
+    pixel value = (x·7 + y·13 + i·31 + c·5) % 256 on a (4 + i%13) ×
+    (4 + (i//2)%11) grid — the generator's arithmetic, aggregated per
+    tile in SQL."""
+    px = "((x * 7 + y * 13 + i * 31 + {c} * 5) % 256)"
+    return f"""
+with ids as (
+  select cast({id_col} as bigint) as i from ({source_sql})
+  where {id_col} % 2 = 0
+),
+grid as (
+  select i, x, y
+  from ids,
+       (select unnest(range(0, 17)) as x),
+       (select unnest(range(0, 15)) as y)
+  where x < 4 + i % 13 and y < 4 + (i // 2) % 11
+)
+select i as doc_id,
+       cast(x // {tile} as bigint) as tile_x,
+       cast(y // {tile} as bigint) as tile_y,
+       cast(count(*) as bigint) as n_px,
+       cast(sum({px.format(c=0)}) as bigint) as sum_r,
+       cast(sum({px.format(c=1)}) as bigint) as sum_g,
+       cast(sum({px.format(c=2)}) as bigint) as sum_b
+from grid
+group by i, x // {tile}, y // {tile}
+"""

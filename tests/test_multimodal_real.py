@@ -194,3 +194,33 @@ def test_audio_frame_features_skips_images(spark):
 
     ids = spark.createDataFrame([(2,), (4,)], "doc_id long")  # images only
     assert audio_frame_features(synthesize_media_corpus(ids)).count() == 0
+
+
+def test_image_tile_features_exact(spark):
+    import numpy as np
+
+    from dbt_scd2_utils_spark.operators.multimodal import (
+        image_tile_features,
+        synthesize_media_corpus,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 2, 24)], "doc_id long")
+    out = image_tile_features(synthesize_media_corpus(ids), tile=4)
+    rows = {(r.doc_id, r.tile_x, r.tile_y): r for r in out.collect()}
+    for i in (0, 2, 24):
+        w, h = 4 + i % 13, 4 + (i // 2) % 11
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 7 + yy * 13 + i * 31 + c * 5) % 256 for c in range(3)],
+            axis=2,
+        ).astype(np.int64)
+        for ty in range((h + 3) // 4):
+            for tx in range((w + 3) // 4):
+                seg = img[ty * 4 : ty * 4 + 4, tx * 4 : tx * 4 + 4]
+                r = rows[(i, tx, ty)]
+                assert r.n_px == seg.shape[0] * seg.shape[1]
+                assert (r.sum_r, r.sum_g, r.sum_b) == (
+                    int(seg[:, :, 0].sum()),
+                    int(seg[:, :, 1].sum()),
+                    int(seg[:, :, 2].sum()),
+                )
