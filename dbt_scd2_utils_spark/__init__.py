@@ -19,7 +19,26 @@ from .operators.scd01 import (
     scd1_initial_load,
 )
 from .operators.asof import asof_join
-from .operators.profile import profile_columns
+from .operators.bpe import bpe_token_counts, learn_bpe_merges
+from .operators.clustering import dedup_survivors, dup_rate_report
+from .operators.dedup import (
+    containment_decontaminate,
+    normalized_exact_dedup,
+)
+from .operators.profile import numeric_quantiles, profile_columns
+from .operators.sampling import mixture_report
+from .operators.search import bm25_topk, ngram_lm_score, rrf_fuse
+from .operators.similarity import (
+    hard_negatives,
+    pool_embeddings,
+    pq_ann_topk,
+    random_projection,
+)
+from .operators.text import (
+    blocklist_filter,
+    quality_classifier,
+    remove_repeated_lines,
+)
 from .operators.temporal_join import scd2_diff, scd2_join, snapshot_at
 from .functions.skew import salted_join
 from .plans.build import ScdTable, scd_build
@@ -70,4 +89,23 @@ __all__ = [
     "hash_split",
     "shard_by_token_budget",
     "weighted_repeat",
+    # round-4b curation / retrieval / tokenizer surface
+    "learn_bpe_merges",
+    "bpe_token_counts",
+    "dedup_survivors",
+    "dup_rate_report",
+    "containment_decontaminate",
+    "normalized_exact_dedup",
+    "numeric_quantiles",
+    "mixture_report",
+    "bm25_topk",
+    "ngram_lm_score",
+    "rrf_fuse",
+    "hard_negatives",
+    "pool_embeddings",
+    "pq_ann_topk",
+    "random_projection",
+    "blocklist_filter",
+    "quality_classifier",
+    "remove_repeated_lines",
 ]
