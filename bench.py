@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dup_rate_by_source",
     "dedup_incremental_novelty",
     "train_val_test_split",
+    "training_order",
     "domain_mixture_sample",
     "corpus_mixture_report",
     "temperature_mixture_sample",

@@ -2131,6 +2131,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(load_table(spark, sf_dir, "documents"))
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a global md5-keyed permutation index
+    computed WITHOUT a single-partition sort — prefix-range shards, local
+    ranks, broadcast offsets (operators/sampling.py::training_order).
+    The oracle computes the naive global row_number; equality proves the
+    distributed decomposition."""
+    prepare(spark)
+    from .operators.sampling import training_order
+
+    return training_order(
+        load_table(spark, sf_dir, "documents"), seed="epoch-0", shards=32
+    )
+
+
 def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus composition with exact basis-point
     token shares, cumulative concentration, and rank — the planning
@@ -2213,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "audio_frame_features": q_audio_frame_features,
         "image_tile_features": q_image_tile_features,
+        "training_order": q_training_order,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2342,6 +2357,7 @@ def oracle_sql() -> dict[str, str]:
         numeric_quantiles_sql as _numeric_quantiles_sql,
     )
     from .operators.sampling import mixture_report_sql as _mixture_report_sql
+    from .operators.sampling import training_order_sql as _training_order_sql
     from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
     from .operators.sampling import (
         temperature_mixture_sample_sql as _temperature_mixture_sample_sql,
@@ -2771,6 +2787,9 @@ where q.keep
         "train_val_test_split": hash_split_sql("select * from documents"),
         "domain_mixture_sample": mixture_sample_sql("select * from documents"),
         "corpus_mixture_report": _mixture_report_sql("select * from documents"),
+        "training_order": _training_order_sql(
+            "select * from documents", seed="epoch-0", shards=32
+        ),
         "temperature_mixture_sample": _temperature_mixture_sample_sql(
             "select * from documents"
         ),

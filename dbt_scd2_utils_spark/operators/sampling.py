@@ -488,3 +488,100 @@ select {gl},
   cast(row_number() over (order by {order}) as bigint) as token_rank
 from agg, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training order (epoch shuffle)
+# ---------------------------------------------------------------------------
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch-0",
+    shards: int = 32,
+) -> DataFrame:
+    """Assign every row a GLOBAL pseudo-random permutation index —
+    ``(id, shard, shuffle_rank)`` with shuffle_rank a 0-based dense
+    enumeration of the md5(seed|id) order — the epoch-shuffle step that
+    fixes a training data order reproducibly (new seed → new
+    permutation, no RNG state anywhere).
+
+    Scale shape (the part worth copying): a naive global
+    ``row_number() over (order by key)`` collapses onto ONE partition.
+    Instead the key's 32-bit prefix RANGE-partitions rows into
+    ``shards`` (prefix ranges preserve the lexicographic key order), the
+    rank is computed per shard, and tiny per-shard counts (``shards``
+    rows, broadcast) convert local ranks to global ones:
+    global = offset(shard) + local − 1.  One shuffle on the shard key,
+    never a single-partition sort — the DuckDB twin computes the naive
+    global row_number and the driver gate proves the decomposition
+    equal."""
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    pv = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    # prefix-RANGE sharding (not modulo): shard boundaries respect the
+    # lexicographic key order, so per-shard ranks concatenate into the
+    # global order.  Exact integer arithmetic: pv*shards < 2^37, and the
+    # divisor is a power of two — `div` matches DuckDB's `//`.
+    with_key = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        (pv * shards - (pv * shards) % 4294967296)
+        .cast("long")
+        .alias("_num"),
+    ).withColumn("shard", (F.col("_num") / 4294967296).cast("long"))
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    local = with_key.withColumn("_local", F.row_number().over(w))
+    counts = (
+        local.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "_offset")
+    )
+    return (
+        local.join(F.broadcast(counts), "shard")
+        .select(
+            id_col,
+            F.col("shard").cast("long").alias("shard"),
+            (F.col("_offset") + F.col("_local") - 1)
+            .cast("long")
+            .alias("shuffle_rank"),
+        )
+    )
+
+
+def training_order_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    seed: str = "epoch-0",
+    shards: int = 32,
+) -> str:
+    """DuckDB twin of :func:`training_order` — the NAIVE global
+    row_number over the same key order (single-node has no partition
+    problem), which is exactly what the decomposed engine plan must
+    reproduce."""
+    key = (
+        f"md5('{seed}' || '|' || cast({id_col} as varchar))"
+    )
+    pv = (
+        f"cast(concat('0x', substring({key}, 1, 8)) as bigint)"
+    )
+    return f"""
+select {id_col},
+       cast({pv} * {shards} // 4294967296 as bigint) as shard,
+       cast(row_number() over (order by {key}, {id_col}) - 1 as bigint)
+         as shuffle_rank
+from ({source_sql})
+"""

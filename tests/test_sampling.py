@@ -180,3 +180,54 @@ def test_per_group_cap_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a")], "vec_id long, cluster string")
     with _pytest.raises(ValueError, match="k must be"):
         per_group_cap(df, "cluster", "vec_id", k=0)
+
+
+def test_training_order_is_permutation(spark):
+    from dbt_scd2_utils_spark.operators.sampling import training_order
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = training_order(df, shards=8).collect()
+    ranks = sorted(r.shuffle_rank for r in out)
+    assert ranks == list(range(500))
+    # shards cover the id space and respect rank order: every rank in
+    # shard s is below every rank in shard s+1
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shuffle_rank)
+    shards = sorted(by_shard)
+    for a, b in zip(shards, shards[1:]):
+        assert max(by_shard[a]) < min(by_shard[b])
+
+
+def test_training_order_seed_changes_order_not_membership(spark):
+    from dbt_scd2_utils_spark.operators.sampling import training_order
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    e0 = {r.doc_id: r.shuffle_rank for r in training_order(df, seed="e0").collect()}
+    e1 = {r.doc_id: r.shuffle_rank for r in training_order(df, seed="e1").collect()}
+    assert set(e0) == set(e1)
+    assert e0 != e1  # different epoch, different permutation
+    # rerun is bit-stable
+    e0b = {r.doc_id: r.shuffle_rank for r in training_order(df, seed="e0").collect()}
+    assert e0 == e0b
+
+
+def test_training_order_no_single_partition_rank_window(spark):
+    from dbt_scd2_utils_spark.operators.sampling import training_order
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = (
+        training_order(df, shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ROW-LEVEL rank window must be partitioned by shard; the only
+    # unpartitioned window allowed is the offsets cumsum over ≤ shards
+    # rows (the aggregated table)
+    assert "row_number" in plan
+    import re
+    rn_specs = [
+        l for l in plan.splitlines() if "row_number" in l and "windowspec" in l.lower()
+    ]
+    assert all("shard" in l for l in rn_specs), rn_specs
