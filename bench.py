@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "temperature_mixture_sample",
     "cluster_balanced_sample",
     "token_shards",
+    "pack_sequences",
     "epoch_weighted_repeat",
     "curation_pipeline",
     "curation_pipeline_v2",

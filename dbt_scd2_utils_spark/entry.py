@@ -2131,6 +2131,20 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(load_table(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence manifest: ordered doc spans per (bucket, shard)
+    context window with fill ratios — what the training loader consumes
+    (operators/sampling.py::pack_sequences over BPE-ish token counts)."""
+    prepare(spark)
+    from .operators.sampling import pack_sequences
+    from .operators.text import token_count
+
+    counts = token_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(counts, budget=512, buckets=16)
+
+
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: a global md5-keyed permutation index
     computed WITHOUT a single-partition sort — prefix-range shards, local
@@ -2228,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_features": q_audio_frame_features,
         "image_tile_features": q_image_tile_features,
         "training_order": q_training_order,
+        "pack_sequences": q_pack_sequences,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2357,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         numeric_quantiles_sql as _numeric_quantiles_sql,
     )
     from .operators.sampling import mixture_report_sql as _mixture_report_sql
+    from .operators.sampling import pack_sequences_sql as _pack_sequences_sql
     from .operators.sampling import training_order_sql as _training_order_sql
     from .operators.sampling import per_group_cap_sql as _per_group_cap_sql
     from .operators.sampling import (
@@ -2789,6 +2805,13 @@ where q.keep
         "corpus_mixture_report": _mixture_report_sql("select * from documents"),
         "training_order": _training_order_sql(
             "select * from documents", seed="epoch-0", shards=32
+        ),
+        "pack_sequences": _pack_sequences_sql(
+            "select doc_id, bpe_tokens as n_tokens from ("
+            + token_count_sql("select * from documents")
+            + ")",
+            budget=512,
+            buckets=16,
         ),
         "temperature_mixture_sample": _temperature_mixture_sample_sql(
             "select * from documents"

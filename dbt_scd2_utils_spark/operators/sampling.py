@@ -585,3 +585,75 @@ select {id_col},
          as shuffle_rank
 from ({source_sql})
 """
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 4096,
+    buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Materialize the packed-sequence MANIFEST: one row per
+    (bucket, shard) with the ordered document ids, their token counts,
+    the packed total, and the fill ratio in basis points — what the
+    training loader actually consumes (which documents concatenate into
+    each context window, in which order), where
+    :func:`shard_by_token_budget` only labels rows.
+
+    ``fill_bp`` may exceed 10000: an oversized single document owns its
+    shard (the packing contract) and overflows the budget by design.
+
+    Scale shape: inherits the bucketed packing's parallelism; the
+    manifest aggregation is one groupBy on (bucket, shard) whose group
+    size is ~budget/avg_doc_tokens rows — bounded by construction."""
+    sharded = shard_by_token_budget(
+        df, id_col, tokens_col, budget, buckets, salt
+    )
+    packed = sharded.groupBy("bucket", "shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(id_col, "n_tokens"))),
+            lambda s: s[id_col],
+        ).alias("doc_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(id_col, "n_tokens"))),
+            lambda s: s["n_tokens"],
+        ).alias("token_counts"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return packed.select(
+        "bucket",
+        "shard",
+        "doc_ids",
+        "token_counts",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr(f"total_tokens * 10000 div {budget}").alias("fill_bp"),
+    )
+
+
+def pack_sequences_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 4096,
+    buckets: int = 64,
+    salt: str = "shard",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`."""
+    inner = shard_by_token_budget_sql(
+        source_sql, id_col, tokens_col, budget, buckets, salt
+    )
+    return f"""
+with sharded as ({inner})
+select bucket, shard,
+       list({id_col} order by {id_col}) as doc_ids,
+       list(n_tokens order by {id_col}) as token_counts,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tokens) * 10000 // {budget} as bigint) as fill_bp
+from sharded
+group by bucket, shard
+"""

@@ -231,3 +231,46 @@ def test_training_order_no_single_partition_rank_window(spark):
         l for l in plan.splitlines() if "row_number" in l and "windowspec" in l.lower()
     ]
     assert all("shard" in l for l in rn_specs), rn_specs
+
+
+def test_pack_sequences_manifest_consistent_with_sharding(spark):
+    from dbt_scd2_utils_spark.operators.sampling import (
+        pack_sequences,
+        shard_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    manifest = pack_sequences(df, budget=128, buckets=4).collect()
+    sharded = shard_by_token_budget(df, budget=128, buckets=4).collect()
+    by_key = {}
+    for r in sharded:
+        by_key.setdefault((r.bucket, r.shard), []).append((r.doc_id, r.n_tokens))
+    for m in manifest:
+        want = sorted(by_key[(m.bucket, m.shard)])
+        assert list(m.doc_ids) == [d for d, _ in want]
+        assert list(m.token_counts) == [t for _, t in want]
+        assert m.total_tokens == sum(t for _, t in want)
+        assert m.n_docs == len(want)
+        assert m.fill_bp == m.total_tokens * 10000 // 128
+    # every doc appears exactly once across the manifest
+    all_ids = [d for m in manifest for d in m.doc_ids]
+    assert sorted(all_ids) == list(range(200))
+
+
+def test_pack_sequences_oversized_doc_owns_shard(spark):
+    from dbt_scd2_utils_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 999), (3, 10)], "doc_id long, n_tokens long"
+    )
+    rows = {r.shard: r for r in pack_sequences(df, budget=100, buckets=1).collect()}
+    # start offsets: doc1@0, doc2@10 (same window — overflows it by
+    # design), doc3@1009 → shard 10; the overflow never leaks into the
+    # NEXT doc's placement
+    assert list(rows[0].doc_ids) == [1, 2]
+    assert rows[0].fill_bp > 10000  # overflow recorded, not hidden
+    assert list(rows[10].doc_ids) == [3]
+    assert rows[10].fill_bp == 1000
