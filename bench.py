@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "remove_repeated_lines",
     "dedup_exact",
     "dedup_normalized",
+    "duplicate_span_coverage",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

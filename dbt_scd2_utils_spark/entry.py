@@ -1435,6 +1435,17 @@ def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text coverage (Lee et al. ACL'22
+    measurement) over the dup-planted corpus: the share of 8-token
+    windows that occur in ≥2 documents, in exact basis points
+    (operators/dedup.py::duplicate_span_coverage)."""
+    prepare(spark)
+    from .operators.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(doc_corpus(spark, sf_dir), span_n=8)
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form exact dedup (operators/dedup.py::
     normalized_exact_dedup): reformatted copies planted as
@@ -2243,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_features": q_image_tile_features,
         "training_order": q_training_order,
         "pack_sequences": q_pack_sequences,
+        "duplicate_span_coverage": q_duplicate_span_coverage,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2364,6 +2376,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from .operators.dedup import (
         containment_decontaminate_sql as _containment_sql,
+    )
+    from .operators.dedup import (
+        duplicate_span_coverage_sql as _duplicate_span_coverage_sql,
     )
     from .operators.dedup import (
         normalized_exact_dedup_sql as _normalized_exact_dedup_sql,
@@ -2762,6 +2777,9 @@ where q.keep
         "dedup_exact": exact_dedup_sql(DOC_CORPUS_SQL),
         "remove_repeated_lines": _remove_repeated_lines_sql(
             DOC_CORPUS_SQL, line_tokens=16, min_count=2
+        ),
+        "duplicate_span_coverage": _duplicate_span_coverage_sql(
+            DOC_CORPUS_SQL, span_n=8
         ),
         "dedup_normalized": _normalized_exact_dedup_sql(
             """select doc_id, text from documents

@@ -1034,3 +1034,121 @@ select min({id_col}) as {id_col}, {h} as content_hash, count(*) as dup_count
 from ({source_sql})
 group by {h}
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage (how much of each document is duplicated text)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-text coverage, the measurement behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., ACL'22): slide a ``span_n``-token window over every position
+    and report what fraction of windows also occur in ≥ ``min_docs``
+    documents — ``(id, n_windows, n_dup_windows, dup_coverage_bp)``.
+    An exact copy scores 10000 bp; a doc quoting one boilerplate
+    paragraph scores the paragraph's share.  Unlike pair-based dedup
+    this is a per-document severity SIGNAL — rank by it, sample the
+    tail, decide thresholds.
+
+    Windows are positional (NOT distinct — a phrase repeated inside one
+    doc counts each time toward coverage, matching span semantics), but
+    the document-frequency of a window counts distinct documents.
+
+    Scale shape: one explode of n·L windows → distinct (gram, doc) for
+    the df count (map-side combined) → semi-join positions against the
+    ≥min_docs gram set → per-doc count.  Work ∝ corpus token count, the
+    same budget class as exact decontamination."""
+    from ..functions.partitioning import parallelize_narrow
+
+    words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    grams = F.when(
+        F.size(words) >= span_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - span_n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, span_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = parallelize_narrow(df).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("g")
+    )
+    dup_grams = (
+        pos.select("id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") >= min_docs)
+        .select("g")
+    )
+    totals = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dups = (
+        pos.join(dup_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(totals, F.col(id_col) == totals["id"], "left")
+        .drop("id")
+        .join(dups, F.col(id_col) == dups["id"], "left")
+        .drop("id")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.expr(
+                "coalesce(n_dup_windows, 0) * 10000 div "
+                "greatest(coalesce(n_windows, 0), 1)"
+            ).alias("dup_coverage_bp"),
+        )
+    )
+
+
+def duplicate_span_coverage_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`duplicate_span_coverage`."""
+    words = f"string_split_regex(trim({text_col}), '\\s+')"
+    grams = (
+        f"case when len({words}) >= {span_n} then "
+        f"list_transform(range(0, len({words}) - {span_n} + 1), "
+        f"i -> array_to_string(list_slice({words}, i + 1, i + {span_n}), ' ')) "
+        f"else [] end"
+    )
+    return f"""
+with pos as (
+  select {id_col} as id, unnest({grams}) as g from ({source_sql})
+),
+dup_grams as (
+  select g from (select distinct id, g from pos)
+  group by g having count(*) >= {min_docs}
+),
+totals as (select id, count(*) as n_windows from pos group by id),
+dups as (
+  select id, count(*) as n_dup_windows
+  from pos where g in (select g from dup_grams)
+  group by id
+)
+select s.{id_col},
+  cast(coalesce(t.n_windows, 0) as bigint) as n_windows,
+  cast(coalesce(d.n_dup_windows, 0) as bigint) as n_dup_windows,
+  cast(coalesce(d.n_dup_windows, 0) * 10000
+       // greatest(coalesce(t.n_windows, 0), 1) as bigint)
+    as dup_coverage_bp
+from ({source_sql}) s
+left join totals t on s.{id_col} = t.id
+left join dups d on s.{id_col} = d.id
+"""
