@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "scd2_snapshot_asof",
     "profile_lineitem",
     "profile_quantiles",
+    "dataset_card",
     "scrub_pii",
     "blocklist_filter",
     "remove_repeated_lines",

@@ -1769,6 +1769,26 @@ def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset datasheet over the dup-planted corpus joined to
+    its metadata: size, token mass, slice counts, exact-duplicate share,
+    mean quality — all exact integers
+    (operators/profile.py::dataset_card)."""
+    prepare(spark)
+    from .operators.profile import dataset_card
+
+    corpus = doc_corpus(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "lang", "source"
+    )
+    withmeta = (
+        corpus.withColumn("base_id", F.col("doc_id") % 1_000_000)
+        .join(meta, "base_id")
+        .select("doc_id", "text", "lang", "source")
+    )
+    return dataset_card(withmeta)
+
+
 def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles of lineitem numerics by pure integer
     rank selection — no interpolation, so doubles hash-match across
@@ -2255,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "pack_sequences": q_pack_sequences,
         "duplicate_span_coverage": q_duplicate_span_coverage,
+        "dataset_card": q_dataset_card,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2383,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
     from .operators.dedup import (
         normalized_exact_dedup_sql as _normalized_exact_dedup_sql,
     )
+    from .operators.profile import dataset_card_sql as _dataset_card_sql
     from .operators.profile import (
         numeric_quantiles_sql as _numeric_quantiles_sql,
     )
@@ -2743,6 +2765,11 @@ def oracle_sql() -> dict[str, str]:
             join (select o_orderkey as l_orderkey, o_totalprice from orders) o
               using (l_orderkey)
         """,
+        "dataset_card": _dataset_card_sql(
+            f"""select c.doc_id, c.text, d.lang, d.source
+                from ({DOC_CORPUS_SQL}) c
+                join documents d on c.doc_id % 1000000 = d.doc_id"""
+        ),
         "profile_quantiles": _numeric_quantiles_sql(
             "select * from lineitem",
             ("l_quantity", "l_extendedprice", "l_discount"),

@@ -179,3 +179,87 @@ where cum > (q.q_bp * (n - 1)) // 10000
 group by q.q_bp
 """)
     return "\nunion all\n".join(f"({b})" for b in branches)
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row dataset datasheet: corpus size, token mass, slice counts,
+    exact-duplicate share, and the mean model-quality score — the
+    numbers a dataset card quotes, computed in one pass plus one
+    content-hash aggregate.  All values exact integers
+    (``exact_dup_bp`` = share of rows whose content is not the first
+    occurrence; ``mean_quality_micro`` = integer-div mean of the
+    quality classifier's p_micro).
+
+    Scale shape: one map-side-combined global aggregate over the
+    narrow quality/token projection + one groupBy on the content hash;
+    nothing driver-side."""
+    from .text import quality_classifier
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    q = quality_classifier(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), "p_micro"
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_nt"),
+        F.col(lang_col).alias("_lang"),
+        F.col(source_col).alias("_src"),
+        F.md5(F.col(text_col)).alias("_h"),
+    ).join(q, id_col)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.countDistinct("_lang").alias("n_langs"),
+        F.countDistinct("_src").alias("n_sources"),
+        F.countDistinct("_h").alias("_dh"),
+        F.sum("p_micro").alias("_psum"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.expr(
+            "(n_docs - _dh) * 10000 div greatest(n_docs, 1)"
+        ).alias("exact_dup_bp"),
+        F.expr("_psum div greatest(n_docs, 1)").alias("mean_quality_micro"),
+    )
+
+
+def dataset_card_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`dataset_card`."""
+    from .text import quality_classifier_sql
+
+    q = quality_classifier_sql(source_sql, id_col=id_col, text_col=text_col)
+    return f"""
+with q as ({q}),
+base as (
+  select s.{id_col},
+         len(string_split_regex(trim(s.{text_col}), '\\s+')) as nt,
+         s.{lang_col} as lang, s.{source_col} as src,
+         md5(s.{text_col}) as h,
+         q.p_micro
+  from ({source_sql}) s join q using ({id_col})
+)
+select cast(count(*) as bigint) as n_docs,
+       cast(sum(nt) as bigint) as n_tokens,
+       cast(count(distinct lang) as bigint) as n_langs,
+       cast(count(distinct src) as bigint) as n_sources,
+       cast((count(*) - count(distinct h)) * 10000
+            // greatest(count(*), 1) as bigint) as exact_dup_bp,
+       cast(sum(p_micro) // greatest(count(*), 1) as bigint)
+         as mean_quality_micro
+from base
+"""

@@ -104,3 +104,22 @@ def test_numeric_quantiles_value_exists_in_data(spark):
     rows = numeric_quantiles(li, ["l_extendedprice"], (5000,)).collect()
     vals = {r.l_extendedprice for r in li.select("l_extendedprice").collect()}
     assert float(rows[0].value) in {float(v) for v in vals}
+
+
+def test_dataset_card_exact_values(spark):
+    from dbt_scd2_utils_spark.operators.profile import dataset_card
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en", "a"),
+            (2, "the quick brown fox jumps", "en", "b"),   # exact dup
+            (3, "une autre phrase ici", "fr", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = dataset_card(df).collect()[0]
+    assert card.n_docs == 3
+    assert card.n_tokens == 5 + 5 + 4
+    assert card.n_langs == 2 and card.n_sources == 2
+    assert card.exact_dup_bp == 1 * 10000 // 3  # one non-first copy
+    assert 0 <= card.mean_quality_micro <= 1_000_000
