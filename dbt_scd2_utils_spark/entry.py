@@ -2288,6 +2288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_sample": q_domain_mixture_sample,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         # -- last green row predates the r3 testdata regeneration -------
+        # real PPM/WAV codec decode, value-gated via an exact integer
+        # checksum of the decoded payload (the oracle re-derives the
+        # synthetic corpus arithmetically); float features pytest-gated
+        # in tests/test_multimodal_real.py.  Never driver-gated →
+        # outranks the stale-but-unchanged stub multimodal trio.
+        "multimodal_decode_real": q_multimodal_decode_real,
         "token_count": q_token_count,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2304,12 +2310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
         "curation_pipeline": q_curation_pipeline,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # real PPM/WAV codec decode, value-gated via an exact integer
-        # checksum of the decoded payload (the oracle re-derives the
-        # synthetic corpus arithmetically); float features pytest-gated
-        # in tests/test_multimodal_real.py.  Never driver-gated →
-        # outranks the stale-but-unchanged stub multimodal trio.
-        "multimodal_decode_real": q_multimodal_decode_real,
         # -- semantics changed in round 4: must re-gate ------------------
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
