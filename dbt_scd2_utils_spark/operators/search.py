@@ -379,8 +379,12 @@ def rrf_fuse(
     retrieval without score calibration — ranks are comparable across
     retrievers even when raw scores are not.
 
-    Each input must carry (query_id, doc_id, rank).  Per-list
-    contributions are quantized to round(1e6/(k0+rank)) BEFORE summation
+    Each input must carry (query_id, doc_id, rank) with each (query,
+    doc) appearing AT MOST ONCE per list (the output of any top-k
+    retriever); a list that repeats a pair would double-count its
+    contribution — RRF is defined over rankings, not multisets.
+    Per-list contributions are quantized to round(1e6/(k0+rank)) BEFORE
+    summation
     (exact integers from exact integer ranks → order-independent sums,
     hash-identical to the DuckDB twin :func:`rrf_fuse_sql`).
 

@@ -64,3 +64,19 @@ def test_hard_negatives_multiple_positives_all_excluded(spark):
     )
     ids = {r.negative_id for r in hard_negatives(emb, pos, k=4).collect()}
     assert ids <= {0, 4}
+
+
+def test_blocklist_wildcard_chars_match_literally(spark):
+    # '%' and '_' in patterns are LITERAL characters, never wildcards
+    df = spark.createDataFrame(
+        [(1, "100%org"), (2, "100Xorg"), (3, "a_b"), (4, "aXb")],
+        "doc_id long, source string",
+    )
+    bl = spark.createDataFrame(
+        [("100%", "prefix"), ("a_b", "exact")],
+        "pattern string, kind string",
+    )
+    from dbt_scd2_utils_spark.operators.text import blocklist_filter
+
+    kept = {r.doc_id for r in blocklist_filter(df, bl).collect()}
+    assert kept == {2, 4}
