@@ -1505,9 +1505,14 @@ def pq_ann_topk(
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
+    # candidate list (q·C rows) BROADCASTS against the streaming corpus
+    # vectors — joining the other way would shuffle the full-width
+    # vector table for a handful of candidates
     return (
-        adc.select("query_id", "neighbor_id")
-        .join(cv, "neighbor_id")
+        cv.join(
+            F.broadcast(adc.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
