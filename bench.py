@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_quantized_topk",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
     "hard_negative_mining",
     "ann_lsh_topk",
     "ann_ivf_topk",

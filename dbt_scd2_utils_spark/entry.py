@@ -1685,6 +1685,27 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, positives, k=4)
 
 
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IndexIVFPQ shape): coarse trained cells restrict
+    each query to nprobe inverted lists, PQ ADC scores only those codes
+    (operators/similarity.py::ivf_pq_topk) — cell pruning × code
+    compression, the billion-vector index recipe."""
+    prepare(spark)
+    from .operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        dim=64,
+        k=5,
+        n_cells=8,
+        nprobe=3,
+        m=8,
+        ksub=16,
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2276,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "duplicate_span_coverage": q_duplicate_span_coverage,
         "dataset_card": q_dataset_card,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "bm25_search": q_bm25_search,
         "ngram_lm_quality": q_ngram_lm_quality,
         "temperature_mixture_sample": q_temperature_mixture_sample,
@@ -2422,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         pool_embeddings_sql as _pool_embeddings_sql,
     )
     from .operators.similarity import hard_negatives_sql as _hard_negatives_sql
+    from .operators.similarity import ivf_pq_topk_sql as _ivf_pq_topk_sql
     from .operators.similarity import pq_ann_topk_sql as _pq_ann_topk_sql
     from .operators.similarity import (
         random_projection_sql as _random_projection_sql,
@@ -2986,6 +3009,16 @@ where s.is_survivor and q.keep and not c.is_contaminated
                where q.vec_id < 16
                group by q.vec_id""",
             k=4,
+        ),
+        "ann_ivf_pq_topk": _ivf_pq_topk_sql(
+            "select * from embeddings",
+            "select * from embeddings where vec_id < 8",
+            dim=64,
+            k=5,
+            n_cells=8,
+            nprobe=3,
+            m=8,
+            ksub=16,
         ),
         "ann_pq_topk": _pq_ann_topk_sql(
             "select * from embeddings",

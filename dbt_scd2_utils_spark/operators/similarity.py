@@ -1740,3 +1740,263 @@ select query_id,
 from kept
 qualify rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell restriction + PQ ADC within probed cells
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS ``IndexIVFPQ`` shape: a
+    COARSE k-means over the L2-normalized vectors partitions the corpus
+    into ``n_cells`` inverted lists; each query probes its ``nprobe``
+    nearest cells and runs PQ asymmetric-distance scoring ONLY against
+    the codes in those lists.  Candidate work per query is
+    ~``nprobe/n_cells`` of the corpus instead of all of it — this
+    multiplies with PQ's per-candidate compression, which is why the
+    combination is the workhorse billion-vector index.
+
+    Non-residual variant (codes quantize the normalized vectors, not
+    cell residuals — documented deviation from Jégou et al.'s residual
+    encoding; residuals sharpen ADC precision but need per-cell LUTs,
+    n_cells× the broadcast).  Output (query_id, rank, neighbor_id,
+    score_micro), micro-quantized exact integers like
+    :func:`pq_ann_topk`.
+
+    Scale shape: coarse centroids and codebooks broadcast (both
+    driver-small); the cell-restriction is an equi-join of the CODES
+    table against the broadcast (query, cell) probe set; nothing
+    shuffles full-width vectors."""
+    normed = df.select(
+        F.col(id_col).alias("pid"),
+        _l2_normalize(as_double(vec_col)).alias("nv"),
+    ).persist()
+    coarse = kmeans_centroids(
+        normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
+    )
+    wassign = Window.partitionBy("pid").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    assign = (
+        normed.join(F.broadcast(coarse))
+        .select(
+            "pid",
+            "cent_id",
+            _dist2(F.col("nv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("pid").alias("neighbor_id"), F.col("cent_id").alias("cell"))
+    )
+    qnorm = queries.select(
+        F.col(id_col).alias("pid"),
+        _l2_normalize(as_double(vec_col)).alias("nv"),
+    )
+    wprobe = Window.partitionBy("pid").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    qcells = (
+        qnorm.join(F.broadcast(coarse))
+        .select(
+            "pid",
+            "cent_id",
+            _dist2(F.col("nv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("pid").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    books = pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col).persist()
+    sub = dim // m
+
+    def subvecs(src: DataFrame, out_id: str) -> DataFrame:
+        n = src.select(
+            F.col(id_col).alias(out_id),
+            _l2_normalize(as_double(vec_col)).alias("_nv"),
+        )
+        arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
+        return n.select(
+            F.col(out_id), F.posexplode(arr).alias("sub_id", "subv")
+        ).withColumn("sub_id", F.col("sub_id").cast("long"))
+
+    wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    codes = (
+        subvecs(df, "neighbor_id")
+        .join(F.broadcast(books), "sub_id")
+        .select(
+            "neighbor_id",
+            "sub_id",
+            "cent_id",
+            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
+    )
+    lut = (
+        subvecs(queries, "query_id")
+        .join(F.broadcast(books), "sub_id")
+        .select(
+            "query_id",
+            "sub_id",
+            F.col("cent_id").alias("code"),
+            F.expr(
+                "cast(round(1.0e6 * "
+                "aggregate(zip_with(subv, cv, (x, y) -> x * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v)) as bigint)"
+            ).alias("lut_micro"),
+        )
+    )
+    candidates = codes.join(assign, "neighbor_id").join(
+        F.broadcast(qcells), "cell"
+    )
+    scored = (
+        candidates.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_micro")
+    )
+
+
+def ivf_pq_topk_sql(
+    source_sql: str,
+    queries_sql: str,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`."""
+    sub = dim // m
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    dv = f"cast({vec_col} as double[])"
+    nv = (
+        f"case when sqrt(list_dot_product({dv}, {dv})) = 0 then {dv} "
+        f"else list_transform({dv}, x -> x / "
+        f"sqrt(list_dot_product({dv}, {dv}))) end"
+    )
+    normed_src = f"select {id_col}, {nv} as nv from ({source_sql})"
+    normed_q = f"select {id_col}, {nv} as nv from ({queries_sql})"
+    coarse = kmeans_centroids_sql(
+        normed_src, k=n_cells, iters=iters, id_col=id_col, vec_col="nv",
+        dims=dim,
+    )
+    book_branches = "\n  union all\n".join(
+        f"  select cast({j} as bigint) as sub_id, cent_id, cv from ("
+        + kmeans_centroids_sql(
+            f"select {id_col}, list_slice(nv, {j * sub + 1}, "
+            f"{(j + 1) * sub}) as subv from ({normed_src})",
+            k=ksub,
+            iters=iters,
+            id_col=id_col,
+            vec_col="subv",
+            dims=sub,
+        )
+        + ")"
+        for j in range(m)
+    )
+    sub_branches = lambda src, out_id: "\n  union all\n".join(  # noqa: E731
+        f"  select {id_col} as {out_id}, cast({j} as bigint) as sub_id, "
+        f"list_slice(nv, {j * sub + 1}, {(j + 1) * sub}) as subv "
+        f"from ({src})"
+        for j in range(m)
+    )
+    return f"""
+with coarse as materialized ({coarse}),
+cnorm as materialized ({normed_src}),
+qnorm as materialized ({normed_q}),
+assign as materialized (
+  select {id_col} as neighbor_id, cent_id as cell from (
+    select n.{id_col}, c.cent_id,
+           row_number() over (
+             partition by n.{id_col}
+             order by {d2.format(a="n.nv", b="c.cv")} asc, c.cent_id asc
+           ) as rn
+    from cnorm n cross join coarse c
+  ) where rn = 1
+),
+qcells as materialized (
+  select {id_col} as query_id, cent_id as cell from (
+    select n.{id_col}, c.cent_id,
+           row_number() over (
+             partition by n.{id_col}
+             order by {d2.format(a="n.nv", b="c.cv")} asc, c.cent_id asc
+           ) as rn
+    from qnorm n cross join coarse c
+  ) where rn <= {nprobe}
+),
+books as materialized (
+{book_branches}
+),
+csub as materialized (
+{sub_branches("select * from cnorm", "neighbor_id")}
+),
+qsub as materialized (
+{sub_branches("select * from qnorm", "query_id")}
+),
+codes as materialized (
+  select neighbor_id, sub_id, cent_id as code from (
+    select c.neighbor_id, c.sub_id, b.cent_id,
+           row_number() over (
+             partition by c.neighbor_id, c.sub_id
+             order by {d2.format(a="c.subv", b="b.cv")} asc, b.cent_id asc
+           ) as rn
+    from csub c join books b using (sub_id)
+  ) where rn = 1
+),
+lut as materialized (
+  select q.query_id, q.sub_id, b.cent_id as code,
+         cast(round(1.0e6 * list_dot_product(q.subv, b.cv)) as bigint)
+           as lut_micro
+  from qsub q join books b using (sub_id)
+),
+scored as (
+  select qc.query_id, a.neighbor_id,
+         cast(sum(l.lut_micro) as bigint) as score_micro
+  from codes co
+  join assign a using (neighbor_id)
+  join qcells qc using (cell)
+  join lut l on l.query_id = qc.query_id
+            and l.sub_id = co.sub_id and l.code = co.code
+  where qc.query_id != a.neighbor_id
+  group by 1, 2
+)
+select query_id,
+       cast(row_number() over (
+         partition by query_id order by score_micro desc, neighbor_id asc
+       ) as bigint) as rank,
+       neighbor_id, score_micro
+from scored
+qualify rank <= {k}
+"""

@@ -75,3 +75,33 @@ def test_twin_recall_adc_and_rerank(spark, corpus):
     assert recall(rr) >= 0.95
     # re-ranked output carries the exact cosine
     assert "cosine_sim" in rr.columns
+
+
+def test_ivf_pq_candidates_subset_and_recall(spark, corpus):
+    from dbt_scd2_utils_spark.operators.similarity import ivf_pq_topk
+
+    q = corpus.filter(F.col("vec_id") >= 10000).limit(30)
+    out = ivf_pq_topk(
+        corpus, q, dim=64, k=5, n_cells=8, nprobe=3, m=8, ksub=16,
+        id_col="vec_id", vec_col="v",
+    )
+    rows = out.collect()
+    # top-k per query, ranks contiguous from 1
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    # nprobe=8 == exhaustive cells must find at least as much ADC mass
+    # as nprobe=1 for every query (cell pruning only ever removes
+    # candidates)
+    full = ivf_pq_topk(
+        corpus, q, dim=64, k=1, n_cells=8, nprobe=8, m=8, ksub=16,
+        id_col="vec_id", vec_col="v",
+    )
+    one = ivf_pq_topk(
+        corpus, q, dim=64, k=1, n_cells=8, nprobe=1, m=8, ksub=16,
+        id_col="vec_id", vec_col="v",
+    )
+    f = {r.query_id: r.score_micro for r in full.collect()}
+    o = {r.query_id: r.score_micro for r in one.collect()}
+    assert all(f[qid] >= o.get(qid, -10**15) for qid in f)
