@@ -310,6 +310,29 @@ def _pq_books(spark: SparkSession, sf_dir: str):
     return books
 
 
+def _ivf_coarse(spark: SparkSession, sf_dir: str):
+    from .operators.similarity import (
+        _l2_normalize,
+        as_double,
+        kmeans_centroids,
+    )
+
+    key = (spark, sf_dir, "ivf_coarse")
+    coarse = _INDEX_CACHE.get(key)
+    if coarse is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        normed = emb.select(
+            F.col("vec_id").alias("pid"),
+            _l2_normalize(as_double("embedding")).alias("nv"),
+        )
+        coarse = kmeans_centroids(
+            normed, k=8, iters=2, id_col="pid", vec_col="nv"
+        ).persist()
+        coarse.count()
+        _INDEX_CACHE[key] = coarse
+    return coarse
+
+
 def _bpe_learned(spark: SparkSession, sf_dir: str, n_merges: int = 10):
     from .operators.bpe import _learn
 
@@ -328,6 +351,7 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     timing (called by bench.py; see _INDEX_CACHE)."""
     prepare(spark)
     _pq_books(spark, sf_dir)
+    _ivf_coarse(spark, sf_dir)
     _bpe_learned(spark, sf_dir)
 
 
@@ -1703,6 +1727,8 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         m=8,
         ksub=16,
+        coarse=_ivf_coarse(spark, sf_dir),
+        codebooks=_pq_books(spark, sf_dir),
     )
 
 

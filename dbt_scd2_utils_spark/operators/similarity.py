@@ -1759,6 +1759,8 @@ def ivf_pq_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the FAISS ``IndexIVFPQ`` shape: a
     COARSE k-means over the L2-normalized vectors partitions the corpus
@@ -1784,9 +1786,10 @@ def ivf_pq_topk(
         F.col(id_col).alias("pid"),
         _l2_normalize(as_double(vec_col)).alias("nv"),
     ).persist()
-    coarse = kmeans_centroids(
-        normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
-    )
+    if coarse is None:
+        coarse = kmeans_centroids(
+            normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
+        )
     wassign = Window.partitionBy("pid").orderBy(
         F.col("d2").asc(), F.col("cent_id").asc()
     )
@@ -1819,7 +1822,11 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= nprobe)
         .select(F.col("pid").alias("query_id"), F.col("cent_id").alias("cell"))
     )
-    books = pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col).persist()
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col)
+    ).persist()
     sub = dim // m
 
     def subvecs(src: DataFrame, out_id: str) -> DataFrame:
