@@ -2166,6 +2166,44 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_learn_merges_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-depth tokenizer training: 100 BPE merges (this corpus
+    saturates at 106) learned by the driver-local path — ONE distributed
+    (word, freq) pass, then the in-memory incremental-pair-count loop
+    (operators/bpe.py::_driver_learn).  The oracle unrolls the same 100
+    rounds as CTE chains; equality pins the O(1)-job learner to the
+    exact windowed formulation at 10× the gated depth."""
+    prepare(spark)
+    from .operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=100
+    )
+
+
+def q_ann_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-freshness path: the operational risk of a build-once PQ
+    index is staleness after appends.  Phase 'stale' trains codebooks
+    and encodes on the BASE corpus only (vec_id % 5 != 0); phase 'fresh'
+    RETRAINS + re-encodes after the remaining 20% is appended.  Both
+    probes run the same 8 queries; fresh rows surface appended
+    neighbors (vec_id % 5 = 0) that the stale index cannot contain —
+    the gated values prove the rebuild changes probe results
+    accordingly (operators/similarity.py::pq_ann_topk, trained per
+    phase — deliberately NOT the _pq_books session cache)."""
+    prepare(spark)
+    from .operators.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    qs = emb.filter(F.col("vec_id") < 8)
+    stale = pq_ann_topk(base, qs, dim=64, k=5, m=8, ksub=16, rerank=50)
+    fresh = pq_ann_topk(emb, qs, dim=64, k=5, m=8, ksub=16, rerank=50)
+    return stale.select(F.lit("stale").alias("phase"), "*").unionByName(
+        fresh.select(F.lit("fresh").alias("phase"), "*")
+    )
+
+
 def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-20 bigram vocabulary
     (operators/text.py::top_ngrams_by_group): one (group, gram) hash
@@ -2212,7 +2250,11 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed-sequence manifest: ordered doc spans per (bucket, shard)
     context window with fill ratios — what the training loader consumes
-    (operators/sampling.py::pack_sequences over BPE-ish token counts)."""
+    (operators/sampling.py::pack_sequences over BPE-ish token counts).
+    The operator's array columns (doc_ids, token_counts) are
+    canonicalized to comma-joined strings at THIS layer so the driver's
+    pandas-based value hasher can sort them (lists are unhashable);
+    the operator itself stays array-native for downstream consumers."""
     prepare(spark)
     from .operators.sampling import pack_sequences
     from .operators.text import token_count
@@ -2220,7 +2262,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = token_count(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.col("bpe_tokens").alias("n_tokens")
     )
-    return pack_sequences(counts, budget=512, buckets=16)
+    packed = pack_sequences(counts, budget=512, buckets=16)
+    return packed.select(
+        "bucket",
+        "shard",
+        F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias(
+            "doc_ids"
+        ),
+        F.concat_ws(",", F.col("token_counts").cast("array<string>")).alias(
+            "token_counts"
+        ),
+        "total_tokens",
+        "n_docs",
+        "fill_bp",
+    )
 
 
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2253,22 +2308,38 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micros (operators/similarity.py::pool_embeddings) — the
     chunk→document pooling / cluster-centroid step of an embedding
     pipeline, posexplode + one (group, pos) groupBy, no per-group vector
-    collect."""
+    collect.  The pooled array is canonicalized to a comma-joined string
+    at this query layer (driver hasher can't sort list cells); the
+    operator stays array-native."""
     prepare(spark)
     from .operators.similarity import pool_embeddings
 
-    return pool_embeddings(load_table(spark, sf_dir, "embeddings"))
+    pooled = pool_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return pooled.select(
+        "label",
+        "n_vecs",
+        F.concat_ws(",", F.col("pooled").cast("array<string>")).alias(
+            "pooled"
+        ),
+    )
 
 
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """±1 signed random projection 64→16 dims in exact integer micros
     (operators/similarity.py::random_projection) — JL-preserving cheap
-    vectors for coarse blocking; a pure narrow codegen map, no shuffle."""
+    vectors for coarse blocking; a pure narrow codegen map, no shuffle.
+    The proj array is canonicalized to a comma-joined string at this
+    query layer (driver hasher can't sort list cells); the operator
+    stays array-native."""
     prepare(spark)
     from .operators.similarity import random_projection
 
-    return random_projection(
+    proj = random_projection(
         load_table(spark, sf_dir, "embeddings"), dim_in=64, dim_out=16
+    )
+    return proj.select(
+        "vec_id",
+        F.concat_ws(",", F.col("proj").cast("array<string>")).alias("proj"),
     )
 
 
@@ -2296,87 +2367,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     testdata close the list.  Every oracle-backed query gets a driver row
     at least every other round."""
     return {
-        # -- new in round 4 ----------------------------------------------
-        "decontaminate_containment": q_decontaminate_containment,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "dedup_survivor_quality": q_dedup_survivor_quality,
+        # == ROUND-5 GATE WINDOW (first 50) ==============================
+        # -- r4 err (array columns vs driver canonicalizer) — FIXED:
+        # outputs now canonicalized to scalar strings at the query layer
         "embedding_pool": q_embedding_pool,
         "embedding_random_projection": q_embedding_random_projection,
-        "corpus_mixture_report": q_corpus_mixture_report,
-        "dedup_normalized": q_dedup_normalized,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "streaming_novelty": q_streaming_novelty,
-        "quality_classifier": q_quality_classifier,
-        "top_ngrams_by_lang": q_top_ngrams_by_lang,
-        "curation_pipeline_v4": q_curation_pipeline_v4,
-        "profile_quantiles": q_profile_quantiles,
-        "ann_pq_topk": q_ann_pq_topk,
-        "blocklist_filter": q_blocklist_filter,
-        "hard_negative_mining": q_hard_negative_mining,
-        "remove_repeated_lines": q_remove_repeated_lines,
-        "streaming_curation_gate": q_streaming_curation_gate,
-        "bpe_learn_merges": q_bpe_learn_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "audio_frame_features": q_audio_frame_features,
-        "image_tile_features": q_image_tile_features,
-        "training_order": q_training_order,
         "pack_sequences": q_pack_sequences,
-        "duplicate_span_coverage": q_duplicate_span_coverage,
-        "dataset_card": q_dataset_card,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-        "bm25_search": q_bm25_search,
-        "ngram_lm_quality": q_ngram_lm_quality,
-        "temperature_mixture_sample": q_temperature_mixture_sample,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "curation_pipeline_v3": q_curation_pipeline_v3,
-        # -- never driver-gated before round 4 --------------------------
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "dedup_incremental_novelty": q_dedup_incremental_novelty,
-        "domain_mixture_sample": q_domain_mixture_sample,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        # -- last green row predates the r3 testdata regeneration -------
-        # real PPM/WAV codec decode, value-gated via an exact integer
-        # checksum of the decoded payload (the oracle re-derives the
-        # synthetic corpus arithmetically); float features pytest-gated
-        # in tests/test_multimodal_real.py.  Never driver-gated →
-        # outranks the stale-but-unchanged stub multimodal trio.
-        "multimodal_decode_real": q_multimodal_decode_real,
-        "token_count": q_token_count,
-        "language_id": q_language_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        # moved up: probe-salt derivation changed this round (ADVICE fix)
-        # — must re-gate inside the ~50-row window
-        "salted_join": q_salted_join,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "train_val_test_split": q_train_val_test_split,
-        "token_shards": q_token_shards,
-        "epoch_weighted_repeat": q_epoch_weighted_repeat,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # -- semantics changed in round 4: must re-gate ------------------
+        # -- de-vacuated in r4 (violations now planted) but never
+        # re-gated: their only driver rows are the old vacuous 0-row ones
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
+        # -- new in round 5
+        "bpe_learn_merges_100": q_bpe_learn_merges_100,
+        "ann_pq_refresh": q_ann_pq_refresh,
+        # -- learner rearchitected (driver-local O(1)-job path) + OOV
+        # left-join fallback in round 5: must re-gate
+        "bpe_learn_merges": q_bpe_learn_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        # -- semantics changed in round 4 (16-band retune / r4 reworks)
+        # but fell outside the r4 window: never re-gated since
+        "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
         "top_ngrams": q_top_ngrams,
         "events_asof_latest_order": q_events_asof_latest_order,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        # knn recall retune (16 bands) changed these outputs this round —
-        # they outrank the data-stale-but-unchanged multimodal block
-        "knn_graph": q_knn_graph,
-        "semantic_dedup": q_semantic_dedup,
-        # -- stale (r2-green, pre-regen data) but unchanged since --------
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # -- last green predates the r3 testdata regeneration (r2 rows)
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        # -- core reference-parity surface (r3-green, kept in-gate; the
-        # exactly-50 must-gate set closes at semantic_dedup above) ------
+        # -- core reference-parity surface: last gated r3, re-proven
+        # this round after two rounds of entry/registry churn
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
@@ -2394,27 +2419,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_diff_cdc": q_scd2_diff_cdc,
         "incremental_source_watermark": q_incremental_source_watermark,
         "invariant_store_failures": q_invariant_store_failures,
-        # ---------------------------------------------------------------
-        # Entries below carry a fresh r3 green row on the CURRENT
-        # (post-regeneration) testdata and are unchanged in round 4 —
-        # they rotate back to the front next round.
-        # ---------------------------------------------------------------
         "scd2_current_snapshot": q_scd2_current_snapshot,
         "scd2_snapshot_asof": q_scd2_snapshot_asof,
         "scd1_initial_load": q_scd1_initial_load,
         "scd0_initial_load": q_scd0_initial_load,
         "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
+        "streaming_scd2_merge": q_streaming_scd2_merge,
+        "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        # == entry 50 closes the must-gate window ========================
+        # -- r3-green on current testdata, unchanged; rotate front in r6
         "events_partition_pruned": q_events_partition_pruned,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_enrich": q_streaming_enrich,
         "streaming_stream_join": q_streaming_stream_join,
-        "streaming_scd2_merge": q_streaming_scd2_merge,
-        "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "text_stats": q_text_stats,
         "text_repetition_stats": q_text_repetition_stats,
         "decontaminate_benchmark": q_decontaminate_benchmark,
@@ -2425,6 +2447,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_filter": q_quality_percentile_filter,
         "profile_lineitem": q_profile_lineitem,
         "scrub_pii": q_scrub_pii,
+        # -- fresh r4 green rows on current testdata, unchanged since ----
+        "decontaminate_containment": q_decontaminate_containment,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "dedup_survivor_quality": q_dedup_survivor_quality,
+        "corpus_mixture_report": q_corpus_mixture_report,
+        "dedup_normalized": q_dedup_normalized,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "streaming_novelty": q_streaming_novelty,
+        "quality_classifier": q_quality_classifier,
+        "top_ngrams_by_lang": q_top_ngrams_by_lang,
+        "curation_pipeline_v4": q_curation_pipeline_v4,
+        "profile_quantiles": q_profile_quantiles,
+        "ann_pq_topk": q_ann_pq_topk,
+        "blocklist_filter": q_blocklist_filter,
+        "hard_negative_mining": q_hard_negative_mining,
+        "remove_repeated_lines": q_remove_repeated_lines,
+        "streaming_curation_gate": q_streaming_curation_gate,
+        "audio_frame_features": q_audio_frame_features,
+        "image_tile_features": q_image_tile_features,
+        "training_order": q_training_order,
+        "duplicate_span_coverage": q_duplicate_span_coverage,
+        "dataset_card": q_dataset_card,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "bm25_search": q_bm25_search,
+        "ngram_lm_quality": q_ngram_lm_quality,
+        "temperature_mixture_sample": q_temperature_mixture_sample,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "dedup_incremental_novelty": q_dedup_incremental_novelty,
+        "domain_mixture_sample": q_domain_mixture_sample,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "salted_join": q_salted_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "train_val_test_split": q_train_val_test_split,
+        "token_shards": q_token_shards,
+        "epoch_weighted_repeat": q_epoch_weighted_repeat,
     }
 
 
@@ -2761,6 +2829,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_counts_sql(
             "select * from documents", n_merges=10
         ),
+        "bpe_learn_merges_100": _learn_bpe_merges_sql(
+            "select * from documents", n_merges=100
+        ),
         "top_ngrams_by_lang": _top_ngrams_by_group_sql(
             "select * from documents", group_col="lang", n=2, k=20
         ),
@@ -2900,12 +2971,20 @@ where q.keep
         "training_order": _training_order_sql(
             "select * from documents", seed="epoch-0", shards=32
         ),
-        "pack_sequences": _pack_sequences_sql(
-            "select doc_id, bpe_tokens as n_tokens from ("
-            + token_count_sql("select * from documents")
-            + ")",
-            budget=512,
-            buckets=16,
+        # driver-hash canonicalization: list columns → comma-joined
+        # strings (matches q_pack_sequences' concat_ws)
+        "pack_sequences": (
+            "select bucket, shard, array_to_string(doc_ids, ',') as doc_ids,"
+            " array_to_string(token_counts, ',') as token_counts,"
+            " total_tokens, n_docs, fill_bp from ("
+            + _pack_sequences_sql(
+                "select doc_id, bpe_tokens as n_tokens from ("
+                + token_count_sql("select * from documents")
+                + ")",
+                budget=512,
+                buckets=16,
+            )
+            + ")"
         ),
         "temperature_mixture_sample": _temperature_mixture_sample_sql(
             "select * from documents"
@@ -3015,11 +3094,20 @@ where s.is_survivor and q.keep and not c.is_contaminated
         "dedup_embedding_cosine": embedding_cosine_dedup_sql(
             EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"
         ),
-        "embedding_pool": _pool_embeddings_sql(
-            "select * from embeddings", dim=64
+        # driver-hash canonicalization: list columns → comma-joined
+        # strings (matches the concat_ws in the paired q_ functions)
+        "embedding_pool": (
+            "select label, n_vecs, array_to_string(pooled, ',') as pooled"
+            " from ("
+            + _pool_embeddings_sql("select * from embeddings", dim=64)
+            + ")"
         ),
-        "embedding_random_projection": _random_projection_sql(
-            "select * from embeddings", dim_in=64, dim_out=16
+        "embedding_random_projection": (
+            "select vec_id, array_to_string(proj, ',') as proj from ("
+            + _random_projection_sql(
+                "select * from embeddings", dim_in=64, dim_out=16
+            )
+            + ")"
         ),
         "ann_bruteforce_topk": brute_force_topk_sql(
             "select * from embeddings",
@@ -3054,6 +3142,29 @@ where s.is_survivor and q.keep and not c.is_contaminated
             m=8,
             ksub=16,
             rerank=50,
+        ),
+        "ann_pq_refresh": (
+            "select 'stale' as phase, * from ("
+            + _pq_ann_topk_sql(
+                "select * from embeddings where vec_id % 5 != 0",
+                "select * from embeddings where vec_id < 8",
+                dim=64,
+                k=5,
+                m=8,
+                ksub=16,
+                rerank=50,
+            )
+            + ") union all select 'fresh' as phase, * from ("
+            + _pq_ann_topk_sql(
+                "select * from embeddings",
+                "select * from embeddings where vec_id < 8",
+                dim=64,
+                k=5,
+                m=8,
+                ksub=16,
+                rerank=50,
+            )
+            + ")"
         ),
         "ann_quantized_topk": ann_quantized_topk_sql(
             "select * from embeddings",

@@ -71,3 +71,74 @@ def test_token_counts_shrink_with_merges(spark):
     # identical words tokenize identically across documents
     low_pieces = s[2].n_bpe_tokens
     assert s[1].n_bpe_tokens >= 2 * low_pieces
+
+
+def test_driver_local_equals_distributed(spark):
+    """The O(1)-job driver-local learner (round 5) is pinned to the
+    original all-in-plan windowed formulation — same merges, same
+    corpus-weighted counts, at a depth where merged symbols feed many
+    later rounds."""
+    from dbt_scd2_utils_spark.operators.bpe import (
+        learn_bpe_merges_distributed,
+    )
+
+    texts = [
+        "low lower lowest slow slower",
+        "new newer newest knew",
+        "aaaa aaab abab low low low",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    fast = [
+        tuple(r)
+        for r in learn_bpe_merges(df, n_merges=12)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    slow = [
+        tuple(r)
+        for r in learn_bpe_merges_distributed(df, n_merges=12)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert fast == slow
+
+
+def test_learner_saturates_cleanly(spark):
+    # asking for more merges than exist stops at saturation, no error
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    out = learn_bpe_merges(df, n_merges=50).collect()
+    # 'ab' → [a,b,</w>]: merges (a,b) then (ab,</w>) — exactly 2
+    assert len(out) == 2
+
+
+def test_max_vocab_truncation_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [("low low low rare",)], "text string"
+    )
+    # max_vocab=1 keeps only 'low' (freq 3 beats 'rare' 1)
+    out = [
+        tuple(r)[1:]
+        for r in learn_bpe_merges(df, n_merges=1, max_vocab=1).collect()
+    ]
+    assert out == [("l", "o", 3)]
+
+
+def test_token_counts_oov_fallback(spark):
+    """A segmentation learned on corpus A applied to corpus B counts
+    OOV words at character-level pieces (len+1) instead of dropping
+    them (round-5 ADVICE fix)."""
+    from dbt_scd2_utils_spark.operators.bpe import _learn, bpe_token_counts
+
+    corpus_a = spark.createDataFrame([("low low",)], "text string")
+    learned = _learn(corpus_a, 2, "text")
+    corpus_b = spark.createDataFrame(
+        [(1, "low zzz")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in bpe_token_counts(corpus_b, learned=learned).collect()
+    }
+    # both words counted: 'low' under its merges, 'zzz' at len+1 = 4
+    assert out[1].n_words == 2
+    low_pieces = out[1].n_bpe_tokens - 4
+    assert 1 <= low_pieces <= 4
