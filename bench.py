@@ -1,7 +1,14 @@
 #!/usr/bin/env python
 """Benchmark runner: executes the engine's headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with per-query wall times.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round 5 — the driver captures only the LAST 2000 chars of
+stdout and json-parses the last line found there; the r4 full-map line grew
+past 2000 chars and truncated to garbage):
+  - the FULL result (every query's wall time) is written to
+    ``BENCH_LOCAL.json`` next to this script, committed per round;
+  - the final stdout line is a compact JSON guaranteed < 2000 chars: totals
+    plus the slowest-35 per-query map and a pointer to the full file.
 
 Each query is forced end-to-end with a noop-format write (count() would let
 Catalyst prune the computed columns away)."""
@@ -49,6 +56,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "top_ngrams_by_lang",
     "bpe_learn_merges",
+    "bpe_learn_merges_100",
     "bpe_token_counts",
     "bm25_search",
     "hybrid_search_rrf",
@@ -94,6 +102,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "ann_quantized_topk",
     "ann_pq_topk",
+    "ann_pq_refresh",
     "ann_ivf_pq_topk",
     "hard_negative_mining",
     "ann_lsh_topk",
@@ -160,18 +169,40 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "scd_engine_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
+    full = {
+        "metric": "scd_engine_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:35]
     )
+    compact = {
+        "metric": "scd_engine_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_total": len(times),
+        "queries_omitted": len(times) - len(slowest),
+        "full": "BENCH_LOCAL.json",
+        "sf": sf,
+        "cpus": cpus,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # hard guarantee for the driver's 2000-char tail window
+    while len(line) >= 1900 and compact["queries"]:
+        compact["queries"].popitem()
+        compact["queries_omitted"] += 1
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import barrier as _barrier
 from .text import TOKEN_SPLIT
 
 # ---------------------------------------------------------------------------
@@ -164,7 +165,7 @@ def minhash_lsh_pairs(
     # CollapseProject would inline the whole signature computation into every
     # reference (observed 30× slowdown).  At cluster scale this is the
     # signature table you'd persist anyway.
-    with_sig = minhash_signatures(df, id_col, text_col, shingle_n, k).persist()
+    with_sig = _barrier(minhash_signatures(df, id_col, text_col, shingle_n, k))
     banded = with_sig.select(
         "id",
         F.explode(
@@ -251,10 +252,12 @@ def ngram_jaccard_pairs(
     # spreads the interpreted shingle projection across cores first.
     from ..functions.partitioning import parallelize_narrow
 
-    sh = parallelize_narrow(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_n).alias("sh"),
-    ).persist()
+    sh = _barrier(
+        parallelize_narrow(df).select(
+            F.col(id_col).alias("id"),
+            word_shingles(text_col, shingle_n).alias("sh"),
+        )
+    )
     joined = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

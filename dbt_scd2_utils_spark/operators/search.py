@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.caching import barrier as _barrier
 from ..functions.partitioning import parallelize_narrow
 
 # Same whitespace tokenization as operators/text.py (TOKEN_SPLIT), plus
@@ -104,10 +105,9 @@ def bm25_topk(
     # df, corpus scalars, the postings join) — without the barrier the
     # tokenize+combine pass re-runs four times.  At scale this is the
     # postings table you would materialize anyway.
-    tf = (
+    tf = _barrier(
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -267,13 +267,12 @@ def ngram_lm_score(
     # persist: the per-document bigram table feeds the corpus counts (c2,
     # and c1 through it) AND the scored join — the explode+combine pass
     # would otherwise run once per consumer.
-    doc_bi = (
+    doc_bi = _barrier(
         base.select(
             "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
 
     c2 = doc_bi.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))

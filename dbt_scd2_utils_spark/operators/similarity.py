@@ -37,35 +37,14 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Cache lifetime: some operators persist an intermediate relation that the
-# plan references twice (a CollapseProject barrier + single evaluation).
-# The returned DataFrame is lazy, so the operator itself cannot unpersist —
-# the CALLER owns the cache lifetime.  Short-lived sessions (the driver
-# harness, bench) can ignore this; a long-lived session should call
-# release_caches() after the consuming action, or it leaks executor storage
-# memory one persisted relation per call.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _barrier(df: DataFrame) -> DataFrame:
-    cached = df.persist()
-    _LIVE_CACHES.append(cached)
-    return cached
-
-
-def release_caches() -> int:
-    """Unpersist every intermediate this module has cached; returns how
-    many were released.  Safe to call at any time — consuming a returned
-    DataFrame after release just recomputes the intermediate."""
-    n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    return n
+# Operator-internal persist barriers route through the SHARED registry in
+# functions/caching.py (round-5 ADVICE fix: pq/ivf/bm25/lm/dedup persists
+# were unregistered, so release_caches() could not free them in long-lived
+# sessions).  _barrier / release_caches keep their names here — the public
+# escape hatch is unchanged.
+from ..functions.caching import _LIVE_CACHES  # noqa: F401  (re-export)
+from ..functions.caching import barrier as _barrier
+from ..functions.caching import release_caches  # noqa: F401  (re-export)
 
 
 def as_double(col: str | Column) -> Column:
@@ -1433,11 +1412,16 @@ def pq_ann_topk(
     aggregates map-side; the re-rank touches only q·C full vectors.
     Nothing ever shuffles the full-width vector table."""
     sub = dim // m
+    # a caller-supplied codebook is caller-OWNED: its storage lifetime
+    # (persist or not) is the caller's decision — persisting it here was
+    # a side effect on caller state (round-5 ADVICE fix).  Own-trained
+    # books go through the registered barrier so release_caches() frees
+    # them.
     books = (
         codebooks
         if codebooks is not None
-        else pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col)
-    ).persist()
+        else _barrier(pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col))
+    )
 
     def subvecs(src: DataFrame, out_id: str) -> DataFrame:
         normed = src.select(
@@ -1782,10 +1766,12 @@ def ivf_pq_topk(
     driver-small); the cell-restriction is an equi-join of the CODES
     table against the broadcast (query, cell) probe set; nothing
     shuffles full-width vectors."""
-    normed = df.select(
-        F.col(id_col).alias("pid"),
-        _l2_normalize(as_double(vec_col)).alias("nv"),
-    ).persist()
+    normed = _barrier(
+        df.select(
+            F.col(id_col).alias("pid"),
+            _l2_normalize(as_double(vec_col)).alias("nv"),
+        )
+    )
     if coarse is None:
         coarse = kmeans_centroids(
             normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
@@ -1822,11 +1808,12 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= nprobe)
         .select(F.col("pid").alias("query_id"), F.col("cent_id").alias("cell"))
     )
+    # caller-owned codebooks are never persisted here (see pq_ann_topk)
     books = (
         codebooks
         if codebooks is not None
-        else pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col)
-    ).persist()
+        else _barrier(pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col))
+    )
     sub = dim // m
 
     def subvecs(src: DataFrame, out_id: str) -> DataFrame:

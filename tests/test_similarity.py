@@ -287,3 +287,24 @@ def test_knn_graph_recall_floor_vs_bruteforce(spark):
     hits = sum(1 for i, nn in close.items() if nn in got.get(i, set()))
     recall = hits / len(close)
     assert recall >= 0.9, f"recall {recall:.2f} over {len(close)} close vectors"
+
+
+def test_internal_persists_are_registered(corpus):
+    """Round-5 ADVICE fix: every operator-internal persist routes through
+    the shared caching registry, so release_caches() frees them; a
+    caller-supplied codebook is never persisted by the operator."""
+    from dbt_scd2_utils_spark.operators import similarity
+
+    emb = corpus
+    similarity.release_caches()
+    qs = emb.filter(emb.vec_id < 2)
+    similarity.pq_ann_topk(emb, qs, dim=16, k=2, m=2, ksub=4).count()
+    assert similarity.release_caches() >= 1
+
+    # caller-owned codebooks: operator registers nothing new for them and
+    # must not flip their storage level
+    books = similarity.pq_codebooks(emb, dim=16, m=2, ksub=4)
+    similarity.release_caches()
+    similarity.pq_ann_topk(emb, qs, dim=16, k=2, m=2, ksub=4, codebooks=books).count()
+    assert books.storageLevel.useMemory is False
+    similarity.release_caches()
