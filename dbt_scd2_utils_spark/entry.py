@@ -1620,7 +1620,10 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_minhash_index,
         save_minhash_index,
     )
-    from .streaming.dedup_stream import streaming_minhash_novelty
+    from .streaming.dedup_stream import (
+        read_novelty_output,
+        streaming_minhash_novelty,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 10 != 7).persist()
@@ -1641,7 +1644,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
     )
     q.awaitTermination(600)
-    return spark.read.parquet(out)
+    return read_novelty_output(spark, out)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,6 +90,16 @@ def streaming_minhash_novelty(
     can't change it, which is what makes the stream oracle-checkable
     against the batch SQL twin.
 
+    Exactly-once output (round-5 ADVICE fix): each micro-batch writes its
+    own ``epoch=N`` partition with DYNAMIC partition overwrite, so a
+    RETRIED micro-batch (foreachBatch is at-least-once) replaces its own
+    prior partial output instead of double-appending — the
+    union-of-batches ≡ batch-operator equivalence holds across failure
+    recovery, not just failure-free runs.  Read the result back with
+    :func:`read_novelty_output` (drops the bookkeeping ``epoch`` column
+    and returns an empty, correctly-typed frame when no batch ever
+    wrote).
+
     At deployment ``corpus_index`` is :func:`operators.dedup.load_minhash_index`
     read from its persisted parquet (band-partitioned); pass ``corpus_df``
     persisted so the exact-verification side doesn't recompute shingles
@@ -97,7 +107,7 @@ def streaming_minhash_novelty(
     ``out_path``."""
     from ..operators.dedup import minhash_novelty
 
-    def _probe(batch_df: DataFrame, _epoch: int) -> None:
+    def _probe(batch_df: DataFrame, epoch: int) -> None:
         out = minhash_novelty(
             batch_df,
             corpus_df,
@@ -109,10 +119,30 @@ def streaming_minhash_novelty(
             threshold=threshold,
             corpus_index=corpus_index,
         )
-        out.write.mode("append").parquet(out_path)
+        (
+            out.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_probe)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_novelty_output(
+    spark, out_path: str, id_col: str = "doc_id", id_type: str = "long"
+) -> DataFrame:
+    """Read :func:`streaming_minhash_novelty`'s output directory:
+    drops the per-epoch bookkeeping partition column and returns an
+    empty frame of the right schema when the stream never produced a
+    batch (an empty source previously made the read throw)."""
+    schema = f"{id_col} {id_type}, n_dup_matches long, is_novel boolean"
+    try:
+        return spark.read.parquet(out_path).drop("epoch")
+    except Exception:
+        return spark.createDataFrame([], schema)

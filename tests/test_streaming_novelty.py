@@ -15,6 +15,7 @@ from dbt_scd2_utils_spark.operators.dedup import (
 )
 from dbt_scd2_utils_spark.sources.tables import load_table
 from dbt_scd2_utils_spark.streaming.dedup_stream import (
+    read_novelty_output,
     streaming_minhash_novelty,
 )
 
@@ -46,7 +47,7 @@ def test_stream_equals_batch_across_batch_splits(spark):
         threshold=0.5,
     )
     q.awaitTermination(600)
-    streamed = spark.read.parquet(f"{base}/out")
+    streamed = read_novelty_output(spark, f"{base}/out")
     batch = minhash_novelty(newb, corpus, threshold=0.5)
     assert streamed.count() == newb.count()
     assert streamed.exceptAll(batch).count() == 0
@@ -55,6 +56,38 @@ def test_stream_equals_batch_across_batch_splits(spark):
     flagged = {r.id for r in streamed.filter(~F.col("is_novel")).collect()}
     assert any(i >= 900000 for i in flagged)
     corpus.unpersist()
+
+
+def test_novelty_output_is_epoch_idempotent(spark):
+    """A replayed epoch overwrites its own partition instead of
+    double-appending (foreachBatch is at-least-once); an output
+    directory no batch ever wrote reads back empty, typed."""
+    import tempfile
+
+    from dbt_scd2_utils_spark.operators.dedup import minhash_novelty
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    newb = docs.filter(F.col("doc_id") % 10 == 7)
+    base = tempfile.mkdtemp(prefix="t_novelty_idem_")
+    out = f"{base}/out"
+    res = minhash_novelty(newb, corpus, threshold=0.5)
+    w = lambda: (
+        res.withColumn("epoch", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(out)
+    )
+    w()
+    n1 = read_novelty_output(spark, out).count()
+    w()  # simulated retry of the same epoch
+    n2 = read_novelty_output(spark, out).count()
+    assert n1 == n2 == newb.count()
+
+    empty = read_novelty_output(spark, f"{base}/never_written")
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "n_dup_matches", "is_novel"]
 
 
 def test_streaming_curation_gate_equals_batch(spark):
