@@ -72,27 +72,22 @@ def _dbl(x: float) -> str:
     return f"cast({float(x)!r} as double)"
 
 
-def bm25_topk(
+def bm25_index(
     docs: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
-    query_id_col: str = "query_id",
-    query_col: str = "query_text",
     max_df_frac: float | None = 0.5,
+    max_postings_per_term: int | None = None,
 ) -> DataFrame:
-    """Top-``k`` documents per query under BM25, scored in integer micros.
-
-    Returns (query_id, rank, doc_id, score_micro): ``score_micro`` is the
-    sum over the query's matched terms of round(idf·tfn · 1e6) — exact
-    integers, so the DuckDB twin (:func:`bm25_topk_sql`) is
-    value-identical.  ``max_df_frac`` drops terms present in more than
-    that fraction of documents (stopword pruning; see module docstring) —
-    pass None to rank with every term.
-    """
+    """The BM25 inverted index: one row per (term, doc) posting carrying
+    the precomputed query-independent impact ``contrib_micro`` =
+    round(idf·tfn·1e6).  Build once, persist/save, probe many times via
+    ``bm25_topk(index=...)`` — at corpus scale this is the postings
+    table you would materialize anyway, and the probe never re-reads
+    the raw text.  ``max_postings_per_term`` applies WAND-style static
+    pruning at BUILD time (see :func:`bm25_topk`)."""
     toks = (
         parallelize_narrow(docs)
         .select(
@@ -103,8 +98,7 @@ def bm25_topk(
     )
     # persist: tf is the inverted index every downstream piece reads (dl,
     # df, corpus scalars, the postings join) — without the barrier the
-    # tokenize+combine pass re-runs four times.  At scale this is the
-    # postings table you would materialize anyway.
+    # tokenize+combine pass re-runs four times.
     tf = _barrier(
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -125,6 +119,69 @@ def bm25_topk(
             F.expr(f"cast(df as double) <= {_dbl(max_df_frac)} * n_docs")
         )
 
+    # the impact is query-INDEPENDENT, so it attaches to the index, not
+    # the probe — this is also what static pruning truncates on
+    contrib = _CONTRIB.format(
+        N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
+    )
+    postings = postings.withColumn("contrib_micro", F.expr(contrib))
+    if max_postings_per_term is not None:
+        wimp = Window.partitionBy("term").orderBy(
+            F.col("contrib_micro").desc(), F.col("doc_id").asc()
+        )
+        postings = (
+            postings.withColumn("_imp_rank", F.row_number().over(wimp))
+            .filter(F.col("_imp_rank") <= max_postings_per_term)
+            .drop("_imp_rank")
+        )
+    return postings
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query_text",
+    max_df_frac: float | None = 0.5,
+    max_postings_per_term: int | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25, scored in integer micros.
+
+    Returns (query_id, rank, doc_id, score_micro): ``score_micro`` is the
+    sum over the query's matched terms of round(idf·tfn · 1e6) — exact
+    integers, so the DuckDB twin (:func:`bm25_topk_sql`) is
+    value-identical.  ``max_df_frac`` drops terms present in more than
+    that fraction of documents (stopword pruning; see module docstring) —
+    pass None to rank with every term.
+
+    ``max_postings_per_term`` enables WAND-style STATIC index pruning
+    (Carmel et al., SIGIR'01): each term's posting list is truncated to
+    its top-N entries by the query-independent impact round(idf·tfn·1e6)
+    — per-query scoring work becomes O(terms · N) instead of O(terms ·
+    df), which is what holds a Zipfian corpus's common-term posting
+    lists (df ∝ corpus size) off the probe's critical path at 100 TB.
+    Approximate by design (a document can miss the final top-k only if
+    it ranks below N on EVERY query term); default None = exact.
+
+    ``index``: a prebuilt :func:`bm25_index` result — the deployment
+    shape: build + persist the postings once, probe many times without
+    re-tokenizing the corpus (build parameters travel with the index;
+    the scoring ones here are ignored when it is supplied).
+    """
+    postings = (
+        index
+        if index is not None
+        else bm25_index(
+            docs, k1, b, id_col, text_col, max_df_frac, max_postings_per_term
+        )
+    )
+
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -134,12 +191,8 @@ def bm25_topk(
         .distinct()
     )
 
-    contrib = _CONTRIB.format(
-        N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
-    )
     scored = (
         postings.join(F.broadcast(qterms), "term")
-        .withColumn("contrib_micro", F.expr(contrib))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib_micro").alias("score_micro"))
     )
@@ -164,8 +217,10 @@ def bm25_topk_sql(
     query_id_col: str = "query_id",
     query_col: str = "query_text",
     max_df_frac: float | None = 0.5,
+    max_postings_per_term: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`bm25_topk` (identical expression tree)."""
+    """DuckDB twin of :func:`bm25_topk` (identical expression tree,
+    including the static-pruning truncation when enabled)."""
     dtoks = _DUCK_TOKENS.format(col=text_col)
     qtoks = _DUCK_TOKENS.format(col=query_col)
     df_filter = (
@@ -175,6 +230,13 @@ def bm25_topk_sql(
     )
     contrib = _CONTRIB.format(
         N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
+    )
+    prune = (
+        f"""qualify row_number() over (
+    partition by term order by contrib_micro desc, doc_id asc
+  ) <= {max_postings_per_term}"""
+        if max_postings_per_term is not None
+        else ""
     )
     return f"""
 with toks as (
@@ -187,8 +249,10 @@ dl as (select doc_id, sum(tf) as dl from tf group by 1),
 dft as (select term, count(*) as df from tf group by 1),
 scalars as (select count(*) as n_docs, sum(dl) as total_len from dl),
 postings as (
-  select * from tf join dl using (doc_id) join dft using (term), scalars
+  select *, {contrib} as contrib_micro
+  from tf join dl using (doc_id) join dft using (term), scalars
   {df_filter}
+  {prune}
 ),
 qterms as (
   select distinct query_id, term from (
@@ -199,7 +263,7 @@ qterms as (
 scored as (
   -- cast: DuckDB sum(BIGINT) is HUGEINT, which pandas floats — the
   -- engine side is int64
-  select query_id, doc_id, cast(sum({contrib}) as bigint) as score_micro
+  select query_id, doc_id, cast(sum(contrib_micro) as bigint) as score_micro
   from postings join qterms using (term)
   group by 1, 2
 )

@@ -384,6 +384,23 @@ def _banded_sql(
     return "\nunion all\n".join(selects)
 
 
+def lsh_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """The corpus-side banded hyperplane signature table
+    (neighbor_id, cv, cv_nrm, band, sig) — build + persist once, probe
+    many times via ``lsh_ann_topk(index=...)``; the probe then never
+    re-signs the corpus.  Same deployment split as
+    :func:`pq_codebooks`/:func:`bm25_index`."""
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    return _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame | None = None,
@@ -394,6 +411,7 @@ def lsh_ann_topk(
     rows_per_band: int = 8,
     dims: int = 64,
     query_ids: Sequence | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact ranking over the union of the query's
     per-band bucket collisions.
@@ -414,13 +432,22 @@ def lsh_ann_topk(
             "query_ids=<ids of corpus rows to use as queries>"
         )
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
-    c = _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
+    # a prebuilt index (lsh_index, caller-persisted) skips re-signing the
+    # corpus; its band geometry must match the probe's (bands ×
+    # rows_per_band drive the query-side signatures)
+    c = (
+        index
+        if index is not None
+        else _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
+    )
     if query_ids is not None:
         if queries is not None:
             raise ValueError("pass either queries or query_ids, not both")
         # Referenced by both join sides — persisted; caller releases via
         # release_caches() in long-lived sessions (see _LIVE_CACHES).
-        c = _barrier(c)
+        # A caller-supplied index is caller-owned: not persisted here.
+        if index is None:
+            c = _barrier(c)
         q = c.filter(F.col("neighbor_id").isin(*query_ids)).select(
             F.col("neighbor_id").alias("query_id"),
             F.col("cv").alias("qv"),

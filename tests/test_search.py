@@ -125,3 +125,40 @@ def test_lm_score_flags_gibberish_vs_template(spark):
     rows.append((99, "zxq plormf wibble the snarf quux"))
     out = {r["doc_id"]: r["avg_nll_micro"] for r in ngram_lm_score(_docs(spark, rows)).collect()}
     assert out[99] > out[0]
+
+
+def test_bm25_static_pruning_matches_duckdb_and_keeps_top_doc(spark):
+    """max_postings_per_term (WAND-style static pruning): the Spark and
+    DuckDB formulations stay value-identical under truncation, the
+    truncated index still surfaces each term's highest-impact document,
+    and pruning=None reproduces the exact ranking."""
+    import duckdb
+
+    from dbt_scd2_utils_spark.operators.search import bm25_topk_sql
+
+    rows = [
+        (i, " ".join(["common"] * (1 + i % 3) + (["rare"] if i % 7 == 0 else [])))
+        for i in range(40)
+    ]
+    docs = _docs(spark, rows)
+    qs = _queries(spark, [(0, "rare common")])
+
+    got = bm25_topk(
+        docs, qs, k=5, max_df_frac=None, max_postings_per_term=3
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    con.register("q", qs.toPandas())
+    want = con.sql(
+        bm25_topk_sql(
+            "select * from d", "select * from q",
+            k=5, max_df_frac=None, max_postings_per_term=3,
+        )
+    ).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.astype(str).equals(want.astype(str))
+
+    # the exact (unpruned) top-1 survives pruning: its posting is the
+    # highest-impact entry of the 'rare' list
+    exact = bm25_topk(docs, qs, k=5, max_df_frac=None)
+    assert got.doc_id[0] == exact.orderBy("rank").first().doc_id
