@@ -137,6 +137,36 @@ def bm25_index(
     return postings
 
 
+# term_bucket count is a constant of the on-disk format: probe and save
+# must derive the same bucket for a term without any side-channel state
+_BM25_INDEX_BUCKETS = 256
+
+
+def save_bm25_index(index: DataFrame, path: str) -> None:
+    """Persist a :func:`bm25_index` as parquet partitioned by a
+    term-hash bucket (NOT by raw term — a Heaps-scale vocabulary would
+    explode into millions of tiny directories).  A probe that joins on
+    (term_bucket, term) lets dynamic partition pruning read only the
+    buckets the query's terms hash into — at 100 TB the probe touches
+    O(query terms) buckets of the postings, never the whole index."""
+    (
+        index.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(_BM25_INDEX_BUCKETS)),
+        )
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def load_bm25_index(spark, path: str) -> DataFrame:
+    """Read a :func:`save_bm25_index` back for ``bm25_topk(index=)``.
+    The bucket column rides along; the probe join keys on it so the
+    scan prunes to the query terms' buckets."""
+    return spark.read.parquet(path)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -191,8 +221,19 @@ def bm25_topk(
         .distinct()
     )
 
+    # a loaded on-disk index carries term_bucket as its partition column:
+    # joining on it too lets dynamic partition pruning skip every bucket
+    # no query term hashes into
+    join_keys = ["term"]
+    if "term_bucket" in postings.columns:
+        qterms = qterms.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(_BM25_INDEX_BUCKETS)),
+        )
+        join_keys = ["term_bucket", "term"]
+
     scored = (
-        postings.join(F.broadcast(qterms), "term")
+        postings.join(F.broadcast(qterms), join_keys)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib_micro").alias("score_micro"))
     )

@@ -401,6 +401,27 @@ def lsh_index(
     return _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
 
 
+def save_lsh_index(index: DataFrame, path: str) -> None:
+    """Persist an :func:`lsh_index` as parquet partitioned by band —
+    same deployment layout as the minhash text index
+    (operators/dedup.save_minhash_index): the signature table is built
+    once per corpus snapshot and every probing session reads it back
+    instead of re-signing the corpus."""
+    index.select(
+        "neighbor_id", "cv", "cv_nrm", "band", "sig"
+    ).write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def load_lsh_index(spark, path: str) -> DataFrame:
+    """Read a :func:`save_lsh_index` back for ``lsh_ann_topk(index=)``.
+    Band geometry (bands × rows_per_band) must match the probe's
+    parameters — they drive the query-side signatures."""
+    return spark.read.parquet(path).select(
+        "neighbor_id", "cv", "cv_nrm",
+        F.col("band").cast("int").alias("band"), "sig",
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame | None = None,

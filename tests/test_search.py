@@ -162,3 +162,35 @@ def test_bm25_static_pruning_matches_duckdb_and_keeps_top_doc(spark):
     # highest-impact entry of the 'rare' list
     exact = bm25_topk(docs, qs, k=5, max_df_frac=None)
     assert got.doc_id[0] == exact.orderBy("rank").first().doc_id
+
+
+def test_bm25_disk_index_probe_prunes_partitions(spark):
+    """save/load round trip: a probe against the on-disk bucketed index
+    is value-identical to the direct path, and its scan carries a
+    dynamic-partition-pruning filter on term_bucket (the probe reads
+    O(query terms) buckets, not the whole postings table)."""
+    import tempfile
+
+    from dbt_scd2_utils_spark.operators.search import (
+        bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"alpha beta w{i} w{i % 9} gamma") for i in range(60)],
+    )
+    qs = _queries(spark, [(0, "alpha w3"), (1, "gamma w7")])
+    direct = bm25_topk(docs, qs, k=5).toPandas()
+    base = tempfile.mkdtemp(prefix="t_bm25_idx_")
+    save_bm25_index(bm25_index(docs), f"{base}/idx")
+    probe = bm25_topk(None, qs, k=5, index=load_bm25_index(spark, f"{base}/idx"))
+    got = probe.toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).astype(str)
+        .equals(direct.sort_values(key).reset_index(drop=True).astype(str))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

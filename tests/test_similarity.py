@@ -308,3 +308,34 @@ def test_internal_persists_are_registered(corpus):
     similarity.pq_ann_topk(emb, qs, dim=16, k=2, m=2, ksub=4, codebooks=books).count()
     assert books.storageLevel.useMemory is False
     similarity.release_caches()
+
+
+def test_lsh_disk_index_probe_equals_direct(corpus):
+    """save_lsh_index/load_lsh_index round trip: probing the persisted
+    band-partitioned signature table returns exactly the direct path's
+    neighbors (the corpus is never re-signed at probe time)."""
+    import tempfile
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        load_lsh_index,
+        lsh_ann_topk,
+        lsh_index,
+        save_lsh_index,
+    )
+
+    emb = corpus
+    spark = emb.sparkSession
+    kw = dict(k=3, dims=DIMS, bands=4, rows_per_band=4)
+    direct = lsh_ann_topk(emb, query_ids=range(4), **kw).toPandas()
+    base = tempfile.mkdtemp(prefix="t_lsh_idx_")
+    save_lsh_index(
+        lsh_index(emb, dims=DIMS, bands=4, rows_per_band=4), f"{base}/idx"
+    )
+    got = lsh_ann_topk(
+        emb, query_ids=range(4), index=load_lsh_index(spark, f"{base}/idx"), **kw
+    ).toPandas()
+    key = ["query_id", "rank", "neighbor_id"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).astype(str)
+        .equals(direct.sort_values(key).reset_index(drop=True).astype(str))
+    )
