@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "bpe_learn_merges_100",
     "bpe_token_counts",
     "bm25_search",
+    "bm25_search_refresh",
     "hybrid_search_rrf",
     "ngram_lm_quality",
     "quality_percentile_filter",

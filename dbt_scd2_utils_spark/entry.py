@@ -2106,6 +2106,38 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries_df, k=10, max_df_frac=0.8)
 
 
+def q_bm25_search_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance gated end-to-end: phase
+    'stale' probes an index built on the base 80% (doc_id % 5 != 0);
+    phase 'fresh' probes the index AFTER bm25_index_append folded in the
+    remaining 20% — only the appended docs were tokenized, df/dl/
+    impacts re-derived from postings (operators/search.py::
+    bm25_index_append; append ≡ rebuild is the oracle claim — the fresh
+    oracle simply scores the full corpus).  Unpruned maintained copy per
+    the append contract."""
+    prepare(spark)
+    from .operators.search import bm25_index, bm25_index_append, bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    qs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 5),
+        ).alias("query_text"),
+    )
+    maintained = bm25_index(base, max_df_frac=None)
+    stale = bm25_topk(None, qs, k=10, index=maintained)
+    fresh = bm25_topk(
+        None, qs, k=10, index=bm25_index_append(maintained, new, max_df_frac=None)
+    )
+    return stale.select(F.lit("stale").alias("phase"), "*").unionByName(
+        fresh.select(F.lit("fresh").alias("phase"), "*")
+    )
+
+
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword top-20 and int8-quantized vector
     top-20 over the SAME indexed collection (documents that have an
@@ -2383,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5
         "bpe_learn_merges_100": q_bpe_learn_merges_100,
         "ann_pq_refresh": q_ann_pq_refresh,
+        "bm25_search_refresh": q_bm25_search_refresh,
         # -- learner rearchitected (driver-local O(1)-job path) + OOV
         # left-join fallback in round 5: must re-gate
         "bpe_learn_merges": q_bpe_learn_merges,
@@ -2432,9 +2465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
         # == entry 50 closes the must-gate window ========================
         # -- r3-green on current testdata, unchanged; rotate front in r6
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_partition_pruned": q_events_partition_pruned,
         "streaming_daily_rollup": q_streaming_daily_rollup,
         "streaming_sessionize": q_streaming_sessionize,
@@ -2845,6 +2878,27 @@ def oracle_sql() -> dict[str, str]:
             "as query_text from documents where doc_id % 50 = 0",
             k=10,
             max_df_frac=0.8,
+        ),
+        "bm25_search_refresh": (
+            "select 'stale' as phase, * from ("
+            + _bm25_topk_sql(
+                "select * from documents where doc_id % 5 != 0",
+                "select doc_id as query_id, array_to_string(list_slice("
+                "string_split_regex(lower(trim(text)), '\\s+'), 1, 5), ' ') "
+                "as query_text from documents where doc_id % 50 = 0",
+                k=10,
+                max_df_frac=None,
+            )
+            + ") union all select 'fresh' as phase, * from ("
+            + _bm25_topk_sql(
+                "select * from documents",
+                "select doc_id as query_id, array_to_string(list_slice("
+                "string_split_regex(lower(trim(text)), '\\s+'), 1, 5), ' ') "
+                "as query_text from documents where doc_id % 50 = 0",
+                k=10,
+                max_df_frac=None,
+            )
+            + ")"
         ),
         "ngram_lm_quality": _ngram_lm_score_sql("select * from documents"),
         "hybrid_search_rrf": _rrf_fuse_sql(

@@ -88,21 +88,38 @@ def bm25_index(
     table you would materialize anyway, and the probe never re-reads
     the raw text.  ``max_postings_per_term`` applies WAND-style static
     pruning at BUILD time (see :func:`bm25_topk`)."""
-    toks = (
+    # persist: tf is the inverted index every downstream piece reads (dl,
+    # df, corpus scalars, the postings join) — without the barrier the
+    # tokenize+combine pass re-runs four times.
+    tf = _barrier(_bm25_tf(docs, id_col, text_col))
+    return _bm25_from_tf(tf, k1, b, max_df_frac, max_postings_per_term)
+
+
+def _bm25_tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The tokenize pass: (doc_id, term, tf) — the only stage that reads
+    raw text, and the only per-row state the index needs (everything
+    else re-derives from it by aggregation)."""
+    return (
         parallelize_narrow(docs)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(_search_tokens(text_col)).alias("term"),
         )
         .filter(F.col("term") != "")
-    )
-    # persist: tf is the inverted index every downstream piece reads (dl,
-    # df, corpus scalars, the postings join) — without the barrier the
-    # tokenize+combine pass re-runs four times.
-    tf = _barrier(
-        toks.groupBy("doc_id", "term")
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _bm25_from_tf(
+    tf: DataFrame,
+    k1: float,
+    b: float,
+    max_df_frac: float | None,
+    max_postings_per_term: int | None,
+) -> DataFrame:
+    """Derive dl/df/corpus scalars and the per-posting impact from a tf
+    table — aggregations over postings only, no text access."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = dl.agg(
@@ -135,6 +152,36 @@ def bm25_index(
             .drop("_imp_rank")
         )
     return postings
+
+
+def bm25_index_append(
+    index: DataFrame,
+    new_docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float | None = 0.5,
+    max_postings_per_term: int | None = None,
+) -> DataFrame:
+    """Incremental index maintenance: tokenize ONLY the appended
+    documents, union their (doc, term, tf) rows with the stored index's,
+    and re-derive df/dl/scalars/impacts by aggregation — exactly equal
+    to rebuilding from old ∪ new (pinned by test), at the cost of one
+    pass over the NEW text plus postings-table aggregations.  At 100 TB
+    the tokenize pass is the dominant build cost, so a 0.1% daily append
+    costs ~0.1% of a rebuild's text scan (BM25 stats are corpus-global:
+    impacts must re-derive — but from postings, never from text).
+
+    The supplied ``index`` must be UNPRUNED — built with
+    ``max_df_frac=None`` AND ``max_postings_per_term=None`` (the
+    maintained copy keeps every tf row; prune when deriving the PROBE
+    copy from it): any pruning has lost tf rows, which would silently
+    skew dl/total_len/df after append."""
+    old_tf = index.select("doc_id", "term", "tf")
+    new_tf = _bm25_tf(new_docs, id_col, text_col)
+    merged = _barrier(old_tf.unionByName(new_tf))
+    return _bm25_from_tf(merged, k1, b, max_df_frac, max_postings_per_term)
 
 
 # term_bucket count is a constant of the on-disk format: probe and save

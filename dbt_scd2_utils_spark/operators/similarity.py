@@ -401,6 +401,26 @@ def lsh_index(
     return _banded(df, "neighbor_id", "cv", id_col, vec_col, bhp)
 
 
+def lsh_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Incremental index maintenance for the vector LSH index: hyperplane
+    signatures are PER-ROW independent (no corpus-global statistics,
+    unlike BM25's df/dl), so appending is exactly signing the new
+    vectors and a union — equal to rebuilding from old ∪ new by
+    construction, at the cost of one pass over the NEW vectors.  Band
+    geometry must match the stored index's."""
+    return index.unionByName(
+        lsh_index(new_df, id_col, vec_col, bands, rows_per_band, dims)
+    )
+
+
 def save_lsh_index(index: DataFrame, path: str) -> None:
     """Persist an :func:`lsh_index` as parquet partitioned by band —
     same deployment layout as the minhash text index

@@ -410,6 +410,48 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
         codebooks=books,
     ).write.format("noop").mode("overwrite").save()
     times["pq_probe"] = round(time.perf_counter() - t0, 2)
+
+    # IVF-PQ with the √n coarse-cell rule (the FAISS sizing convention):
+    # cells ∝ √n keeps per-cell size ∝ √n, so an nprobe-cell probe does
+    # O(nprobe·√n) ADC work — the SUBLINEAR ANN probe path (full-ADC
+    # pq_probe above is the deliberate linear worst case).  Train is the
+    # build step; probe is the recurring cost.
+    import math
+
+    from dbt_scd2_utils_spark.operators.similarity import ivf_pq_topk
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _l2_normalize,
+        as_double,
+        kmeans_centroids,
+    )
+
+    n_vec = emb.count()
+    n_cells = max(8, int(2 * math.sqrt(n_vec)))
+    t0 = time.perf_counter()
+    normed = emb.select(
+        F.col("vec_id").alias("pid"),
+        _l2_normalize(as_double("embedding")).alias("nv"),
+    )
+    coarse = kmeans_centroids(
+        normed, k=n_cells, iters=2, id_col="pid", vec_col="nv"
+    ).persist()
+    coarse.count()
+    times["ivf_pq_train_sqrtn_cells"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        dim=64,
+        k=5,
+        n_cells=n_cells,
+        nprobe=8,
+        m=8,
+        ksub=16,
+        coarse=coarse,
+        codebooks=books,
+    ).write.format("noop").mode("overwrite").save()
+    times["ivf_pq_probe_sqrtn_cells"] = round(time.perf_counter() - t0, 2)
+    coarse.unpersist()
     books.unpersist()
 
     from dbt_scd2_utils_spark.operators.bpe import learn_bpe_merges

@@ -194,3 +194,34 @@ def test_bm25_disk_index_probe_prunes_partitions(spark):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_bm25_index_append_equals_rebuild(spark):
+    """Incremental maintenance: append-tokenize-union-rederive is
+    value-identical to rebuilding the index from the full corpus, and
+    probing the appended index surfaces the appended documents."""
+    from dbt_scd2_utils_spark.operators.search import (
+        bm25_index,
+        bm25_index_append,
+    )
+
+    old_docs = _docs(
+        spark, [(i, f"alpha beta w{i % 7} gamma") for i in range(30)]
+    )
+    new_docs = _docs(
+        spark, [(100 + i, f"delta epsilon w{i % 3}") for i in range(10)]
+    )
+    # the MAINTAINED copy is unpruned (pruning loses tf rows — the
+    # append contract); the probe copy can prune downstream
+    maintained = bm25_index(old_docs, max_df_frac=None)
+    appended = bm25_index_append(maintained, new_docs, max_df_frac=None)
+    rebuilt = bm25_index(old_docs.unionByName(new_docs), max_df_frac=None)
+    key = ["term", "doc_id"]
+    a = appended.toPandas().sort_values(key).reset_index(drop=True)
+    r = rebuilt.toPandas().sort_values(key).reset_index(drop=True)
+    assert a[r.columns].astype(str).equals(r.astype(str))
+
+    qs = _queries(spark, [(0, "delta")])
+    hits = bm25_topk(None, qs, k=5, index=appended)
+    assert {r.doc_id for r in hits.collect()} <= set(range(100, 110))
+    assert hits.count() > 0

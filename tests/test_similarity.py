@@ -339,3 +339,31 @@ def test_lsh_disk_index_probe_equals_direct(corpus):
         got.sort_values(key).reset_index(drop=True).astype(str)
         .equals(direct.sort_values(key).reset_index(drop=True).astype(str))
     )
+
+
+def test_lsh_index_append_equals_rebuild(corpus):
+    """Vector LSH append ≡ rebuild (signatures are per-row independent),
+    and probes against the appended index see the new vectors."""
+    from dbt_scd2_utils_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_index,
+        lsh_index_append,
+    )
+
+    emb = corpus
+    old = emb.filter(emb.vec_id < 1000)
+    new = emb.filter(emb.vec_id >= 1000)
+    kw = dict(dims=DIMS, bands=4, rows_per_band=4)
+    appended = lsh_index_append(lsh_index(old, **kw), new, **kw)
+    rebuilt = lsh_index(emb, **kw)
+    key = ["neighbor_id", "band"]
+    a = appended.toPandas().sort_values(key).reset_index(drop=True)
+    r = rebuilt.toPandas().sort_values(key).reset_index(drop=True)
+    assert a.astype(str).equals(r.astype(str))
+
+    probed = lsh_ann_topk(
+        emb, k=3, query_ids=[0, 4, 8], index=appended.persist(), **kw
+    )
+    # the planted twins (vec_id >= 1000 copies of i % 4 == 0 rows) are
+    # findable only if the appended signatures joined in
+    assert probed.filter(probed.neighbor_id >= 1000).count() > 0
