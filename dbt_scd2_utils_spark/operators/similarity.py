@@ -1799,6 +1799,72 @@ qualify rank <= {k}
 # ---------------------------------------------------------------------------
 
 
+def ivf_pq_encode(
+    df: DataFrame,
+    dim: int,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ ENCODED corpus: one row per (vector, subspace) —
+    (neighbor_id, cell, sub_id, code) — i.e. the inverted lists with
+    their PQ codes attached.  This is the billion-vector index artifact:
+    build it once per corpus snapshot (one assignment pass + one encode
+    pass), persist it partitioned by cell, and every probe session joins
+    against it — the probe never touches raw vectors except the q·C
+    it re-ranks.  ``ivf_pq_topk(encoded=...)`` consumes it."""
+    normed = df.select(
+        F.col(id_col).alias("pid"),
+        _l2_normalize(as_double(vec_col)).alias("nv"),
+    )
+    wassign = Window.partitionBy("pid").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    assign = (
+        normed.join(F.broadcast(coarse))
+        .select(
+            "pid",
+            "cent_id",
+            _dist2(F.col("nv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("pid").alias("neighbor_id"), F.col("cent_id").alias("cell")
+        )
+    )
+    sub = dim // m
+    arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
+    subv = (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            _l2_normalize(as_double(vec_col)).alias("_nv"),
+        )
+        .select(
+            "neighbor_id", F.posexplode(arr).alias("sub_id", "subv")
+        )
+        .withColumn("sub_id", F.col("sub_id").cast("long"))
+    )
+    wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    codes = (
+        subv.join(F.broadcast(codebooks), "sub_id")
+        .select(
+            "neighbor_id",
+            "sub_id",
+            "cent_id",
+            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
+    )
+    return codes.join(assign, "neighbor_id")
+
+
 def ivf_pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -1813,6 +1879,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     coarse: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the FAISS ``IndexIVFPQ`` shape: a
     COARSE k-means over the L2-normalized vectors partitions the corpus
@@ -1833,31 +1900,48 @@ def ivf_pq_topk(
     Scale shape: coarse centroids and codebooks broadcast (both
     driver-small); the cell-restriction is an equi-join of the CODES
     table against the broadcast (query, cell) probe set; nothing
-    shuffles full-width vectors."""
-    normed = _barrier(
-        df.select(
-            F.col(id_col).alias("pid"),
-            _l2_normalize(as_double(vec_col)).alias("nv"),
+    shuffles full-width vectors.
+
+    ``encoded``: a prebuilt :func:`ivf_pq_encode` table (requires
+    ``coarse`` and ``codebooks`` too — the same artifacts it was built
+    with).  The probe then touches ONLY the probed cells' codes: no
+    corpus assignment, no re-encode — the recurring per-query cost is
+    O(queries · nprobe · cell size), genuinely sublinear in corpus
+    size when cells ∝ √n."""
+    if encoded is not None and (coarse is None or codebooks is None):
+        raise ValueError(
+            "ivf_pq_topk(encoded=...) needs the coarse and codebooks the "
+            "encoding was built with"
         )
-    )
-    if coarse is None:
-        coarse = kmeans_centroids(
-            normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
+    assign = None
+    if encoded is None:
+        normed = _barrier(
+            df.select(
+                F.col(id_col).alias("pid"),
+                _l2_normalize(as_double(vec_col)).alias("nv"),
+            )
         )
-    wassign = Window.partitionBy("pid").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
-    assign = (
-        normed.join(F.broadcast(coarse))
-        .select(
-            "pid",
-            "cent_id",
-            _dist2(F.col("nv"), F.col("cv")).alias("d2"),
+        if coarse is None:
+            coarse = kmeans_centroids(
+                normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
+            )
+        wassign = Window.partitionBy("pid").orderBy(
+            F.col("d2").asc(), F.col("cent_id").asc()
         )
-        .withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
-        .select(F.col("pid").alias("neighbor_id"), F.col("cent_id").alias("cell"))
-    )
+        assign = (
+            normed.join(F.broadcast(coarse))
+            .select(
+                "pid",
+                "cent_id",
+                _dist2(F.col("nv"), F.col("cv")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(wassign))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("pid").alias("neighbor_id"),
+                F.col("cent_id").alias("cell"),
+            )
+        )
     qnorm = queries.select(
         F.col(id_col).alias("pid"),
         _l2_normalize(as_double(vec_col)).alias("nv"),
@@ -1894,22 +1978,6 @@ def ivf_pq_topk(
             F.col(out_id), F.posexplode(arr).alias("sub_id", "subv")
         ).withColumn("sub_id", F.col("sub_id").cast("long"))
 
-    wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
-    codes = (
-        subvecs(df, "neighbor_id")
-        .join(F.broadcast(books), "sub_id")
-        .select(
-            "neighbor_id",
-            "sub_id",
-            "cent_id",
-            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
-    )
     lut = (
         subvecs(queries, "query_id")
         .join(F.broadcast(books), "sub_id")
@@ -1924,9 +1992,28 @@ def ivf_pq_topk(
             ).alias("lut_micro"),
         )
     )
-    candidates = codes.join(assign, "neighbor_id").join(
-        F.broadcast(qcells), "cell"
-    )
+    if encoded is not None:
+        candidates = encoded.join(F.broadcast(qcells), "cell")
+    else:
+        wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
+            F.col("d2").asc(), F.col("cent_id").asc()
+        )
+        codes = (
+            subvecs(df, "neighbor_id")
+            .join(F.broadcast(books), "sub_id")
+            .select(
+                "neighbor_id",
+                "sub_id",
+                "cent_id",
+                _dist2(F.col("subv"), F.col("cv")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(wenc))
+            .filter(F.col("rn") == 1)
+            .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
+        )
+        candidates = codes.join(assign, "neighbor_id").join(
+            F.broadcast(qcells), "cell"
+        )
     scored = (
         candidates.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

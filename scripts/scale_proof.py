@@ -425,6 +425,8 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
         kmeans_centroids,
     )
 
+    from dbt_scd2_utils_spark.operators.similarity import ivf_pq_encode
+
     n_vec = emb.count()
     n_cells = max(8, int(2 * math.sqrt(n_vec)))
     t0 = time.perf_counter()
@@ -436,7 +438,11 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
         normed, k=n_cells, iters=2, id_col="pid", vec_col="nv"
     ).persist()
     coarse.count()
-    times["ivf_pq_train_sqrtn_cells"] = round(time.perf_counter() - t0, 2)
+    enc = ivf_pq_encode(
+        emb, dim=64, coarse=coarse, codebooks=books, m=8
+    ).persist()
+    enc.count()
+    times["ivf_pq_build_sqrtn_cells"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     ivf_pq_topk(
         emb,
@@ -449,9 +455,11 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
         ksub=16,
         coarse=coarse,
         codebooks=books,
+        encoded=enc,
     ).write.format("noop").mode("overwrite").save()
     times["ivf_pq_probe_sqrtn_cells"] = round(time.perf_counter() - t0, 2)
     coarse.unpersist()
+    enc.unpersist()
     books.unpersist()
 
     from dbt_scd2_utils_spark.operators.bpe import learn_bpe_merges

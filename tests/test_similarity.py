@@ -367,3 +367,38 @@ def test_lsh_index_append_equals_rebuild(corpus):
     # the planted twins (vec_id >= 1000 copies of i % 4 == 0 rows) are
     # findable only if the appended signatures joined in
     assert probed.filter(probed.neighbor_id >= 1000).count() > 0
+
+
+def test_ivf_pq_encoded_probe_equals_direct(corpus):
+    """ivf_pq_encode externalizes the inverted lists + codes; a probe
+    against the prebuilt encoding is value-identical to the in-call
+    assignment/encode path (the sublinear probe contract)."""
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _l2_normalize,
+        as_double,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    emb = corpus
+    normed = emb.select(
+        F.col("vec_id").alias("pid"),
+        _l2_normalize(as_double("embedding")).alias("nv"),
+    )
+    coarse = kmeans_centroids(normed, k=4, iters=2, id_col="pid", vec_col="nv")
+    books = pq_codebooks(emb, dim=DIMS, m=2, ksub=4)
+    qs = emb.filter(emb.vec_id < 3)
+    kw = dict(dim=DIMS, k=3, n_cells=4, nprobe=2, m=2, ksub=4,
+              coarse=coarse, codebooks=books)
+    direct = ivf_pq_topk(emb, qs, **kw).toPandas()
+    enc = ivf_pq_encode(emb, dim=DIMS, coarse=coarse, codebooks=books, m=2)
+    probed = ivf_pq_topk(emb, qs, encoded=enc, **kw).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        probed.sort_values(key).reset_index(drop=True).astype(str)
+        .equals(direct.sort_values(key).reset_index(drop=True).astype(str))
+    )
