@@ -337,6 +337,26 @@ def _ivf_coarse(spark: SparkSession, sf_dir: str):
     return coarse
 
 
+def _ivf_pq_encoded(spark: SparkSession, sf_dir: str):
+    """Session-cached IVF-PQ encoded corpus (inverted lists + codes) —
+    the index artifact ivf_pq_topk probes; see ivf_pq_encode."""
+    from .operators.similarity import ivf_pq_encode
+
+    key = (spark, sf_dir, "ivf_pq_encoded")
+    enc = _INDEX_CACHE.get(key)
+    if enc is None:
+        enc = ivf_pq_encode(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=64,
+            coarse=_ivf_coarse(spark, sf_dir),
+            codebooks=_pq_books(spark, sf_dir),
+            m=8,
+        ).persist()
+        enc.count()
+        _INDEX_CACHE[key] = enc
+    return enc
+
+
 def _bpe_learned(spark: SparkSession, sf_dir: str, n_merges: int = 10):
     from .operators.bpe import _learn
 
@@ -357,6 +377,7 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     _pq_books(spark, sf_dir)
     _pq_books(spark, sf_dir, "base")
     _ivf_coarse(spark, sf_dir)
+    _ivf_pq_encoded(spark, sf_dir)
     _bpe_learned(spark, sf_dir)
 
 
@@ -1737,6 +1758,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ksub=16,
         coarse=_ivf_coarse(spark, sf_dir),
         codebooks=_pq_books(spark, sf_dir),
+        encoded=_ivf_pq_encoded(spark, sf_dir),
     )
 
 
