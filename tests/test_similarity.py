@@ -402,3 +402,38 @@ def test_ivf_pq_encoded_probe_equals_direct(corpus):
         probed.sort_values(key).reset_index(drop=True).astype(str)
         .equals(direct.sort_values(key).reset_index(drop=True).astype(str))
     )
+
+
+def test_vectorized_assignment_matches_hof(corpus):
+    """assign_cells_vectorized (numpy matmul over Arrow) picks the same
+    nearest cell as the sequential-fold HOF formulation on the test
+    corpus, including the lowest-cent_id tie direction."""
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _l2_normalize,
+        as_double,
+        ivf_pq_encode,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    emb = corpus
+    normed = emb.select(
+        F.col("vec_id").alias("pid"),
+        _l2_normalize(as_double("embedding")).alias("nv"),
+    )
+    coarse = kmeans_centroids(normed, k=4, iters=2, id_col="pid", vec_col="nv")
+    books = pq_codebooks(emb, dim=DIMS, m=2, ksub=4)
+    hof = ivf_pq_encode(
+        emb, dim=DIMS, coarse=coarse, codebooks=books, m=2
+    ).toPandas()
+    vec = ivf_pq_encode(
+        emb, dim=DIMS, coarse=coarse, codebooks=books, m=2,
+        vectorized_assign=True,
+    ).toPandas()
+    key = ["neighbor_id", "sub_id"]
+    assert (
+        vec.sort_values(key).reset_index(drop=True).astype(str)
+        .equals(hof.sort_values(key).reset_index(drop=True).astype(str))
+    )
