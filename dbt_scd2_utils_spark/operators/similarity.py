@@ -1861,6 +1861,74 @@ def assign_cells_vectorized(
     return src.mapInPandas(part, schema)
 
 
+def pq_codes_vectorized(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """PQ encoding computed VECTORIZED in numpy over Arrow batches: for
+    each batch, m small (batch × sub)·(sub × ksub) matmuls pick the
+    nearest sub-centroid per subspace — replacing the n·m·ksub
+    interpreted HOF distance evals of the windowed formulation.  Input
+    vectors are L2-normalized HERE (same as the HOF path); ties break
+    toward the lowest cent_id.  Output (out_id, sub_id, code)."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sub = dim // m
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        by_sub.setdefault(int(r["sub_id"]), []).append(
+            (int(r["cent_id"]), list(r["cv"]))
+        )
+    mats = {}
+    for j, rows in by_sub.items():
+        rows.sort(key=lambda t: t[0])
+        C = np.array([v for _, v in rows], dtype=np.float64)
+        mats[j] = ([c for c, _ in rows], C, (C * C).sum(axis=1))
+    id_field = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(out_id, id_field),
+            StructField("sub_id", LongType()),
+            StructField("code", LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col), _l2_normalize(as_double(vec_col)).alias("_nv")
+    )
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(pdf["_nv"].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            frames = []
+            for j in sorted(mats):
+                cent_ids, C, cnorm = mats[j]
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (Xj * Xj).sum(axis=1)[:, None]
+                    + cnorm[None, :]
+                    - 2.0 * (Xj @ C.T)
+                )
+                pick = d2.argmin(axis=1)
+                out = pdf[[id_col]].copy()
+                out.columns = [out_id]
+                out["sub_id"] = j
+                out["code"] = [cent_ids[i] for i in pick]
+                frames.append(out)
+            yield pd.concat(frames, ignore_index=True)
+
+    return src.mapInPandas(part, schema)
+
+
 def ivf_pq_encode(
     df: DataFrame,
     dim: int,
@@ -1879,10 +1947,12 @@ def ivf_pq_encode(
     against it — the probe never touches raw vectors except the q·C
     it re-ranks.  ``ivf_pq_topk(encoded=...)`` consumes it.
 
-    ``vectorized_assign=True`` runs the O(n·cells) assignment as numpy
-    matmuls over Arrow batches (:func:`assign_cells_vectorized`) — the
-    scale build path; the default HOF path is bit-identical to the
-    DuckDB oracle and belongs under gated queries."""
+    ``vectorized_assign=True`` runs BOTH O(n) build passes as numpy
+    matmuls over Arrow batches — the cell assignment
+    (:func:`assign_cells_vectorized`, O(n·cells) pairs) and the PQ code
+    encode (:func:`pq_codes_vectorized`, O(n·m·ksub) pairs) — the scale
+    build path; the default HOF path is bit-identical to the DuckDB
+    oracle and belongs under gated queries."""
     normed = df.select(
         F.col(id_col).alias("pid"),
         _l2_normalize(as_double(vec_col)).alias("nv"),
@@ -1891,6 +1961,10 @@ def ivf_pq_encode(
         assign = assign_cells_vectorized(
             normed, coarse, id_col="pid", vec_col="nv"
         )
+        codes = pq_codes_vectorized(
+            df, codebooks, dim, m, id_col=id_col, vec_col=vec_col
+        )
+        return codes.join(assign, "neighbor_id")
     else:
         wassign = Window.partitionBy("pid").orderBy(
             F.col("d2").asc(), F.col("cent_id").asc()
