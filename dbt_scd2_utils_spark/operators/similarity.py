@@ -855,6 +855,103 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_centroids_vectorized(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with the per-iteration assignment computed as ONE
+    numpy matmul per Arrow batch — the scale-build variant of
+    :func:`kmeans_centroids` for large k (the √n-cells coarse quantizer:
+    the HOF path materializes n·k assignment rows per iteration, this
+    path streams them).  Same seeds (k lowest-id vectors), same
+    integer-micro mean arithmetic (np.round(v·1e6) summed as int64 —
+    order-independent), same lowest-cent_id tie direction; per-batch
+    partial sums aggregate in one tiny (k·dim)-row shuffle.  argmin ties
+    between FLOAT distances may differ from the sequential-fold HOF path
+    in ulp-collision cases — use the HOF path under oracle-gated
+    queries, this for scale builds."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).alias("pid"), as_double(vec_col).alias("pv")
+    ).persist()
+    seed_rows = pts.orderBy("pid").limit(k).collect()
+    C = np.array([list(r["pv"]) for r in seed_rows], dtype=np.float64)
+    ids = list(range(len(C)))  # matrix row position -> cent_id label
+
+    part_schema = StructType(
+        [
+            StructField("cent_id", LongType()),
+            StructField("dim", LongType()),
+            StructField("s_micro", LongType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    for _ in range(iters):
+        Cc, idc = C, list(ids)
+        cnorm = (Cc * Cc).sum(axis=1)
+
+        # positions are ordered by ascending cent_id, so argmin's
+        # first-hit tie direction IS the lowest-cent_id tie direction
+        def part(batches, Cc=Cc, cnorm=cnorm, idc=idc):
+            import pandas as pd
+
+            for pdf in batches:
+                X = np.array(pdf["pv"].tolist(), dtype=np.float64)
+                if len(X) == 0:
+                    continue
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    + cnorm[None, :]
+                    - 2.0 * (X @ Cc.T)
+                )
+                pick = d2.argmin(axis=1)
+                Xm = np.round(X * 1.0e6).astype(np.int64)
+                out = []
+                for c in np.unique(pick):
+                    sel = Xm[pick == c]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cent_id": idc[int(c)],
+                                "dim": np.arange(X.shape[1], dtype=np.int64),
+                                "s_micro": sel.sum(axis=0),
+                                "cnt": int(sel.shape[0]),
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        agg = (
+            pts.mapInPandas(part, part_schema)
+            .groupBy("cent_id", "dim")
+            .agg(F.sum("s_micro").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        by_cent: dict[int, dict[int, float]] = {}
+        for r in agg:
+            by_cent.setdefault(int(r["cent_id"]), {})[int(r["dim"])] = (
+                float(r["s"]) / (float(r["n"]) * 1.0e6)
+            )
+        # clusters that lose every point drop out (k shrinks) — same
+        # behavior as the HOF path; survivors keep their labels
+        ids = sorted(by_cent)
+        C = np.array(
+            [[by_cent[c][d] for d in sorted(by_cent[c])] for c in ids],
+            dtype=np.float64,
+        )
+    pts.unpersist()
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(ids)],
+        "cent_id long, cv array<double>",
+    )
+
+
 def kmeans_centroids_sql(
     source_sql: str,
     k: int = 8,

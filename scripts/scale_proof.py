@@ -440,7 +440,11 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     # vector.  Deterministic hash sample keeps the run reproducible.
     sample_mod = max(1, n_vec // (16 * n_cells))
     train_set = normed.filter(F.pmod(F.xxhash64("pid"), sample_mod) == 0)
-    coarse = kmeans_centroids(
+    from dbt_scd2_utils_spark.operators.similarity import (
+        kmeans_centroids_vectorized,
+    )
+
+    coarse = kmeans_centroids_vectorized(
         train_set, k=n_cells, iters=2, id_col="pid", vec_col="nv"
     ).persist()
     coarse.count()

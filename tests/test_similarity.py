@@ -437,3 +437,29 @@ def test_vectorized_assignment_matches_hof(corpus):
         vec.sort_values(key).reset_index(drop=True).astype(str)
         .equals(hof.sort_values(key).reset_index(drop=True).astype(str))
     )
+
+
+def test_vectorized_kmeans_matches_hof(corpus):
+    """kmeans_centroids_vectorized (matmul assignment + int64-micro
+    partial sums) reproduces the HOF path's centroids exactly on the
+    test corpus, both iteration depths."""
+    from dbt_scd2_utils_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_vectorized,
+    )
+
+    emb = corpus
+    for iters in (1, 2):
+        hof = {
+            r.cent_id: list(r.cv)
+            for r in kmeans_centroids(emb, k=4, iters=iters).collect()
+        }
+        vec = {
+            r.cent_id: list(r.cv)
+            for r in kmeans_centroids_vectorized(
+                emb, k=4, iters=iters
+            ).collect()
+        }
+        assert hof.keys() == vec.keys()
+        for c in hof:
+            assert hof[c] == vec[c], f"iter={iters} cent={c}"
