@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "curation_pipeline_v4",
     "streaming_dedup_exact",
     "streaming_novelty",
+    "streaming_ann_probe",
     "streaming_curation_gate",
     "embedding_pool",
     "embedding_random_projection",

@@ -1673,6 +1673,49 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_novelty_output(spark, out)
 
 
+def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding ingest: new vectors (vec_id % 5 = 0) arrive
+    as multiple files streamed one per trigger; each micro-batch probes
+    the PERSISTED banded-LSH signature index of the static corpus
+    (vec_id % 5 != 0) for its top-5 nearest corpus neighbors
+    (streaming/ann_stream.py::streaming_lsh_probe).  Per-vector
+    neighbors depend only on the static index, so the drained union
+    equals the batch lsh_ann_topk — the batch SQL twin gates the
+    stream.  Output is epoch-idempotent like streaming_novelty."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.similarity import (
+        load_lsh_index,
+        lsh_index,
+        save_lsh_index,
+    )
+    from .streaming.ann_stream import read_probe_output, streaming_lsh_probe
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    base = tempfile.mkdtemp(prefix="scd_stream_ann_")
+    idx_path, src, out = f"{base}/idx", f"{base}/src", f"{base}/out"
+    save_lsh_index(lsh_index(corpus), idx_path)
+    new.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_lsh_probe(
+        stream,
+        load_lsh_index(spark, idx_path),
+        out,
+        k=5,
+    )
+    q.awaitTermination(600)
+    return read_probe_output(spark, out)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return embedding_cosine_dedup(
@@ -2451,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn_merges_100": q_bpe_learn_merges_100,
         "ann_pq_refresh": q_ann_pq_refresh,
         "bm25_search_refresh": q_bm25_search_refresh,
+        "streaming_ann_probe": q_streaming_ann_probe,
         # -- learner rearchitected (driver-local O(1)-job path) + OOV
         # left-join fallback in round 5: must re-gate
         "bpe_learn_merges": q_bpe_learn_merges,
@@ -2497,11 +2541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
-        "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
         # == entry 50 closes the must-gate window ========================
         # -- r3-green on current testdata, unchanged; rotate front in r6
+        "events_json_extract": q_events_json_extract,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_partition_pruned": q_events_partition_pruned,
         "streaming_daily_rollup": q_streaming_daily_rollup,
@@ -3266,6 +3310,13 @@ where s.is_survivor and q.keep and not c.is_contaminated
         "ann_lsh_topk": lsh_ann_topk_sql(
             "select * from embeddings",
             "select * from embeddings where vec_id < 8",
+            k=5,
+        ),
+        # batch twin of the stream: per-vector neighbors against the
+        # static index are batch-boundary independent
+        "streaming_ann_probe": lsh_ann_topk_sql(
+            "select * from embeddings where vec_id % 5 != 0",
+            "select * from embeddings where vec_id % 5 = 0",
             k=5,
         ),
         "ann_ivf_topk": ivf_ann_topk_sql(
