@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "decontaminate_benchmark",
     "decontaminate_benchmark_bloom",
     "decontaminate_containment",
+    "decontaminate_semantic",
     "chunk_documents",
     "chunk_pack_pipeline",
     "paragraph_dedup",

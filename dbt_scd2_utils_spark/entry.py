@@ -1171,6 +1171,36 @@ def emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(pert)
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination — the semantic tier of the
+    decontamination ladder (after exact n-gram, containment, bloom,
+    blocklist): corpus vectors are flagged when any BENCHMARK vector
+    sits within cosine ≥ 0.9 (operators/similarity.py::
+    semantic_decontaminate, banded-LSH blocked, benchmark broadcast).
+    The benchmark here is a paraphrase-like perturbation of every 5th
+    corpus vector (the emb_corpus twin construction); the twins whose
+    perturbed cosine actually clears 0.9 (36/100 at sf0.01 — the +0.5
+    first-coordinate nudge is large for small-norm vectors) must flag,
+    the banded blocking finds EVERY one of them (verified equal to the
+    exact all-pairs count), and nothing else flags (precision 1 by
+    construction).  The hash gate pins the full per-vector table."""
+    prepare(spark)
+    from .operators.similarity import semantic_decontaminate
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    bench = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("v")[0] + F.lit(0.5)), F.slice(F.col("v"), 2, 63)
+        ).alias("v"),
+    )
+    return semantic_decontaminate(
+        base, bench, threshold=0.9, id_col="vec_id", vec_col="v"
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return text_stats(load_table(spark, sf_dir, "documents"))
@@ -2495,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_refresh": q_ann_pq_refresh,
         "bm25_search_refresh": q_bm25_search_refresh,
         "streaming_ann_probe": q_streaming_ann_probe,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # -- learner rearchitected (driver-local O(1)-job path) + OOV
         # left-join fallback in round 5: must re-gate
         "bpe_learn_merges": q_bpe_learn_merges,
@@ -2541,10 +2572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
-        "events_daily_rollup": q_events_daily_rollup,
         "events_sessionize": q_events_sessionize,
         # == entry 50 closes the must-gate window ========================
         # -- r3-green on current testdata, unchanged; rotate front in r6
+        "events_daily_rollup": q_events_daily_rollup,
         "events_json_extract": q_events_json_extract,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_partition_pruned": q_events_partition_pruned,
@@ -2657,6 +2688,9 @@ def oracle_sql() -> dict[str, str]:
     from .operators.similarity import pq_ann_topk_sql as _pq_ann_topk_sql
     from .operators.similarity import (
         random_projection_sql as _random_projection_sql,
+    )
+    from .operators.similarity import (
+        semantic_decontaminate_sql as _semantic_decontaminate_sql,
     )
 
     _HYBRID_CORPUS_SQL = (
@@ -3229,6 +3263,17 @@ where s.is_survivor and q.keep and not c.is_contaminated
         ),
         "dedup_embedding_cosine": embedding_cosine_dedup_sql(
             EMB_CORPUS_SQL, threshold=0.9, id_col="vec_id", vec_col="v"
+        ),
+        "decontaminate_semantic": _semantic_decontaminate_sql(
+            "select vec_id, cast(embedding as double[]) as v"
+            " from embeddings",
+            """select vec_id + 10000 as vec_id,
+       list_concat([cast(embedding as double[])[1] + cast(0.5 as double)],
+                   cast(embedding as double[])[2:64]) as v
+from embeddings where vec_id % 5 = 0""",
+            threshold=0.9,
+            id_col="vec_id",
+            vec_col="v",
         ),
         # driver-hash canonicalization: list columns → comma-joined
         # strings (matches the concat_ws in the paired q_ functions)

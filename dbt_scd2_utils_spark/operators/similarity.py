@@ -769,6 +769,113 @@ where {cos} >= {threshold}
 """
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    cosine to ANY benchmark vector ≥ ``threshold`` — the semantic tier
+    of the decontamination ladder (n-gram overlap → containment →
+    embeddings), catching paraphrased/translated eval items that no
+    lexical check can see.
+
+    One row per CORPUS vector: (id, n_bench_matches, max_bench_cosine,
+    is_contaminated) — max_bench_cosine is null for vectors with no
+    candidate collisions.
+
+    Scale shape: the corpus signs once (banded LSH); the BENCHMARK side
+    (small by nature — eval sets are thousands of items vs billions of
+    docs) signs and BROADCASTS; candidates are (band, sig) equi-join
+    collisions only, verified by exact cosine.  Work ∝ colliding
+    buckets, never corpus × benchmark."""
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    c = _banded(corpus, "id", "v", id_col, vec_col, bhp)
+    b = _banded(bench, "bid", "bv", id_col, vec_col, bhp, parallelize=False)
+    hits = (
+        c.alias("c")
+        .join(
+            F.broadcast(b.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.sig") == F.col("b.sig")),
+        )
+        .select(
+            "id",
+            "bid",
+            F.round(
+                F.expr(unrolled_dot_sql("c.v", "b.bv", dims))
+                / (F.col("c.v_nrm") * F.col("b.bv_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .distinct()
+        .filter(F.col("cosine_sim") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("cosine_sim").alias("max_bench_cosine"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bench_matches", F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            "max_bench_cosine",
+            (F.coalesce("n_bench_matches", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def semantic_decontaminate_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate`."""
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    cos = "round(list_dot_product(c.v, b.bv) / (c.v_nrm * b.bv_nrm), 6)"
+    return f"""
+with c as (
+{_banded_sql(corpus_sql, "id", "v", id_col, vec_col, bhp)}
+),
+b as (
+{_banded_sql(bench_sql, "bid", "bv", id_col, vec_col, bhp)}
+),
+hits as (
+  select id,
+         cast(count(*) as bigint) as n_bench_matches,
+         max(cosine_sim) as max_bench_cosine
+  from (
+    select distinct c.id, b.bid, {cos} as cosine_sim
+    from c join b on c.band = b.band and c.sig = b.sig
+  ) where cosine_sim >= {threshold}
+  group by id
+)
+select s.{id_col},
+       coalesce(h.n_bench_matches, 0) as n_bench_matches,
+       h.max_bench_cosine,
+       coalesce(h.n_bench_matches, 0) > 0 as is_contaminated
+from (select {id_col} from ({corpus_sql})) s
+left join hits h on s.{id_col} = h.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # k-means centroid training (Lloyd's iterations, DataFrame-only)
 # ---------------------------------------------------------------------------

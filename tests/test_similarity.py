@@ -463,3 +463,39 @@ def test_vectorized_kmeans_matches_hof(corpus):
         assert hof.keys() == vec.keys()
         for c in hof:
             assert hof[c] == vec[c], f"iter={iters} cent={c}"
+
+
+def test_semantic_decontaminate_blocking_is_lossless(corpus):
+    """The banded blocking finds every corpus-benchmark pair the exact
+    all-pairs cosine join finds at the threshold; untouched vectors
+    never flag (precision 1)."""
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _l2_normalize,  # noqa: F401  (import check)
+        cosine,
+        as_double,
+        semantic_decontaminate,
+    )
+
+    emb = corpus.filter(corpus.vec_id < 1000)
+    bench = corpus.filter(corpus.vec_id >= 1000).select(
+        "vec_id", "embedding"
+    )
+    got = semantic_decontaminate(
+        emb, bench, threshold=0.9, dims=DIMS, bands=8, rows_per_band=4
+    )
+    flagged = {r.vec_id for r in got.filter("is_contaminated").collect()}
+    exact = (
+        emb.alias("c")
+        .crossJoin(bench.alias("b"))
+        .select(
+            F.col("c.vec_id").alias("cid"),
+            F.round(
+                cosine(as_double("c.embedding"), as_double("b.embedding")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+    )
+    want = {r.cid for r in exact.collect()}
+    assert flagged == want and len(want) > 0
