@@ -113,3 +113,38 @@ def test_lm_property_random_corpora(spark):
         }
         exp = _py_lm(docs)
         assert got == exp, f"trial {trial}: {got} != {exp}"
+
+
+def test_property_index_append_equals_rebuild(spark):
+    """Randomized: for arbitrary corpus splits, bm25_index_append over
+    the unpruned maintained index is row-identical to rebuilding from
+    the full corpus (10 random corpora × random split points)."""
+    from dbt_scd2_utils_spark.operators.search import (
+        bm25_index,
+        bm25_index_append,
+    )
+
+    rng = random.Random(451)
+    for trial in range(10):
+        docs = _random_corpus(rng, rng.randint(4, 25))
+        cut = rng.randint(1, max(1, len(docs) - 1))
+        old = spark.createDataFrame(docs[:cut], "doc_id long, text string")
+        new = spark.createDataFrame(docs[cut:], "doc_id long, text string")
+        both = spark.createDataFrame(docs, "doc_id long, text string")
+        appended = (
+            bm25_index_append(
+                bm25_index(old, max_df_frac=None), new, max_df_frac=None
+            )
+            .toPandas()
+            .sort_values(["term", "doc_id"])
+            .reset_index(drop=True)
+        )
+        rebuilt = (
+            bm25_index(both, max_df_frac=None)
+            .toPandas()
+            .sort_values(["term", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert appended[rebuilt.columns.tolist()].astype(str).equals(
+            rebuilt.astype(str)
+        ), f"trial {trial} cut {cut}"
