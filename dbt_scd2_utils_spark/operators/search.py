@@ -117,9 +117,14 @@ def _bm25_from_tf(
     b: float,
     max_df_frac: float | None,
     max_postings_per_term: int | None,
+    attach_impact: bool = True,
 ) -> DataFrame:
     """Derive dl/df/corpus scalars and the per-posting impact from a tf
-    table — aggregations over postings only, no text access."""
+    table — aggregations over postings only, no text access.
+    ``attach_impact=False`` leaves the raw statistic columns in place
+    (the one-shot probe path computes the impact AFTER the query-term
+    join so only matched postings pay for it); static pruning requires
+    the impact and forces it on."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = dl.agg(
@@ -138,6 +143,8 @@ def _bm25_from_tf(
 
     # the impact is query-INDEPENDENT, so it attaches to the index, not
     # the probe — this is also what static pruning truncates on
+    if not attach_impact and max_postings_per_term is None:
+        return postings
     contrib = _CONTRIB.format(
         N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
     )
@@ -161,7 +168,7 @@ def bm25_index_append(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df_frac: float | None = 0.5,
+    max_df_frac: float | None = None,
     max_postings_per_term: int | None = None,
 ) -> DataFrame:
     """Incremental index maintenance: tokenize ONLY the appended
@@ -177,7 +184,10 @@ def bm25_index_append(
     ``max_df_frac=None`` AND ``max_postings_per_term=None`` (the
     maintained copy keeps every tf row; prune when deriving the PROBE
     copy from it): any pruning has lost tf rows, which would silently
-    skew dl/total_len/df after append."""
+    skew dl/total_len/df after append.  For the same reason this
+    function's OWN defaults are unpruned (unlike :func:`bm25_index`) —
+    its default result is itself a valid maintained copy, so chained
+    all-defaults appends stay exact."""
     old_tf = index.select("doc_id", "term", "tf")
     new_tf = _bm25_tf(new_docs, id_col, text_col)
     merged = _barrier(old_tf.unionByName(new_tf))
@@ -251,13 +261,20 @@ def bm25_topk(
     re-tokenizing the corpus (build parameters travel with the index;
     the scoring ones here are ignored when it is supplied).
     """
-    postings = (
-        index
-        if index is not None
-        else bm25_index(
-            docs, k1, b, id_col, text_col, max_df_frac, max_postings_per_term
+    if index is not None:
+        postings = index
+    else:
+        # one-shot path: defer the impact expression past the query-term
+        # join (only matched postings evaluate it); pruning needs the
+        # impact at build time and forces it on
+        postings = _bm25_from_tf(
+            _barrier(_bm25_tf(docs, id_col, text_col)),
+            k1,
+            b,
+            max_df_frac,
+            max_postings_per_term,
+            attach_impact=max_postings_per_term is not None,
         )
-    )
 
     qterms = (
         queries.select(
@@ -279,9 +296,14 @@ def bm25_topk(
         )
         join_keys = ["term_bucket", "term"]
 
+    joined = postings.join(F.broadcast(qterms), join_keys)
+    if "contrib_micro" not in postings.columns:
+        contrib = _CONTRIB.format(
+            N="n_docs", total_len="total_len", k1=_dbl(k1), b=_dbl(b)
+        )
+        joined = joined.withColumn("contrib_micro", F.expr(contrib))
     scored = (
-        postings.join(F.broadcast(qterms), join_keys)
-        .groupBy("query_id", "doc_id")
+        joined.groupBy("query_id", "doc_id")
         .agg(F.sum("contrib_micro").alias("score_micro"))
     )
     w = Window.partitionBy("query_id").orderBy(

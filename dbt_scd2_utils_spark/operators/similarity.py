@@ -974,8 +974,10 @@ def kmeans_centroids_vectorized(
     :func:`kmeans_centroids` for large k (the √n-cells coarse quantizer:
     the HOF path materializes n·k assignment rows per iteration, this
     path streams them).  Same seeds (k lowest-id vectors), same
-    integer-micro mean arithmetic (np.round(v·1e6) summed as int64 —
-    order-independent), same lowest-cent_id tie direction; per-batch
+    integer-micro mean arithmetic (round-HALF-AWAY-FROM-ZERO of v·1e6
+    summed as int64 — matching Spark's F.round, NOT numpy's
+    half-to-even; order-independent), same lowest-cent_id tie
+    direction; per-batch
     partial sums aggregate in one tiny (k·dim)-row shuffle.  argmin ties
     between FLOAT distances may differ from the sequential-fold HOF path
     in ulp-collision cases — use the HOF path under oracle-gated
@@ -1018,7 +1020,13 @@ def kmeans_centroids_vectorized(
                     - 2.0 * (X @ Cc.T)
                 )
                 pick = d2.argmin(axis=1)
-                Xm = np.round(X * 1.0e6).astype(np.int64)
+                # Spark F.round is HALF_UP (away from zero); np.round is
+                # half-to-even — an exact .5 micro boundary would flip
+                # the partial sums between the two paths
+                Xs = X * 1.0e6
+                Xm = np.copysign(
+                    np.floor(np.abs(Xs) + 0.5), Xs
+                ).astype(np.int64)
                 out = []
                 for c in np.unique(pick):
                     sel = Xm[pick == c]
@@ -2170,6 +2178,9 @@ def ivf_pq_encode(
         )
         return codes.join(assign, "neighbor_id")
     else:
+        # both HOF passes (assignment, sub-encode) read the normalized
+        # corpus — barrier so the normalize scan runs once
+        normed = _barrier(normed)
         wassign = Window.partitionBy("pid").orderBy(
             F.col("d2").asc(), F.col("cent_id").asc()
         )
@@ -2189,10 +2200,11 @@ def ivf_pq_encode(
         )
     sub = dim // m
     arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
+    # reuse the assignment pass's normalization — re-deriving it from
+    # raw df would add a second full O(n·dim) normalize scan per build
     subv = (
-        df.select(
-            F.col(id_col).alias("neighbor_id"),
-            _l2_normalize(as_double(vec_col)).alias("_nv"),
+        normed.select(
+            F.col("pid").alias("neighbor_id"), F.col("nv").alias("_nv")
         )
         .select(
             "neighbor_id", F.posexplode(arr).alias("sub_id", "subv")
@@ -2265,34 +2277,18 @@ def ivf_pq_topk(
             "ivf_pq_topk(encoded=...) needs the coarse and codebooks the "
             "encoding was built with"
         )
-    assign = None
-    if encoded is None:
-        normed = _barrier(
-            df.select(
-                F.col(id_col).alias("pid"),
-                _l2_normalize(as_double(vec_col)).alias("nv"),
-            )
-        )
-        if coarse is None:
-            coarse = kmeans_centroids(
-                normed, k=n_cells, iters=iters, id_col="pid", vec_col="nv"
-            )
-        wassign = Window.partitionBy("pid").orderBy(
-            F.col("d2").asc(), F.col("cent_id").asc()
-        )
-        assign = (
-            normed.join(F.broadcast(coarse))
-            .select(
-                "pid",
-                "cent_id",
-                _dist2(F.col("nv"), F.col("cv")).alias("d2"),
-            )
-            .withColumn("rn", F.row_number().over(wassign))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("pid").alias("neighbor_id"),
-                F.col("cent_id").alias("cell"),
-            )
+    if coarse is None:
+        coarse = kmeans_centroids(
+            _barrier(
+                df.select(
+                    F.col(id_col).alias("pid"),
+                    _l2_normalize(as_double(vec_col)).alias("nv"),
+                )
+            ),
+            k=n_cells,
+            iters=iters,
+            id_col="pid",
+            vec_col="nv",
         )
     qnorm = queries.select(
         F.col(id_col).alias("pid"),
@@ -2344,28 +2340,14 @@ def ivf_pq_topk(
             ).alias("lut_micro"),
         )
     )
-    if encoded is not None:
-        candidates = encoded.join(F.broadcast(qcells), "cell")
-    else:
-        wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
-            F.col("d2").asc(), F.col("cent_id").asc()
+    # the inline path IS the index build — ONE implementation of the
+    # assign+encode semantics lives in ivf_pq_encode; probing a
+    # caller-prebuilt encoding just skips it
+    if encoded is None:
+        encoded = ivf_pq_encode(
+            df, dim, coarse, books, m, id_col=id_col, vec_col=vec_col
         )
-        codes = (
-            subvecs(df, "neighbor_id")
-            .join(F.broadcast(books), "sub_id")
-            .select(
-                "neighbor_id",
-                "sub_id",
-                "cent_id",
-                _dist2(F.col("subv"), F.col("cv")).alias("d2"),
-            )
-            .withColumn("rn", F.row_number().over(wenc))
-            .filter(F.col("rn") == 1)
-            .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
-        )
-        candidates = codes.join(assign, "neighbor_id").join(
-            F.broadcast(qcells), "cell"
-        )
+    candidates = encoded.join(F.broadcast(qcells), "cell")
     scored = (
         candidates.join(F.broadcast(lut), ["query_id", "sub_id", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -69,11 +69,13 @@ def streaming_lsh_probe(
 
 def read_probe_output(spark, out_path: str) -> DataFrame:
     """Read :func:`streaming_lsh_probe`'s output: drops the per-epoch
-    bookkeeping column; empty-safe when no batch ever wrote."""
-    schema = (
-        "query_id long, rank long, neighbor_id long, cosine_sim double"
+    bookkeeping column; empty-safe when no batch ever wrote; real read
+    failures propagate (streaming/io_utils.py — which also documents
+    the one-lineage-per-directory ownership contract)."""
+    from .io_utils import read_epoch_partitioned
+
+    return read_epoch_partitioned(
+        spark,
+        out_path,
+        "query_id long, rank long, neighbor_id long, cosine_sim double",
     )
-    try:
-        return spark.read.parquet(out_path).drop("epoch")
-    except Exception:
-        return spark.createDataFrame([], schema)

@@ -95,10 +95,12 @@ def streaming_minhash_novelty(
     RETRIED micro-batch (foreachBatch is at-least-once) replaces its own
     prior partial output instead of double-appending — the
     union-of-batches ≡ batch-operator equivalence holds across failure
-    recovery, not just failure-free runs.  Read the result back with
-    :func:`read_novelty_output` (drops the bookkeeping ``epoch`` column
-    and returns an empty, correctly-typed frame when no batch ever
-    wrote).
+    recovery WITHIN one stream lineage.  ``out_path`` is owned by that
+    lineage: an independent run (new checkpoint) must use a fresh
+    directory — see streaming/io_utils.py for the contract.  Read the
+    result back with :func:`read_novelty_output` (drops the bookkeeping
+    ``epoch`` column and returns an empty, correctly-typed frame when no
+    batch ever wrote).
 
     At deployment ``corpus_index`` is :func:`operators.dedup.load_minhash_index`
     read from its persisted parquet (band-partitioned); pass ``corpus_df``
@@ -138,11 +140,14 @@ def read_novelty_output(
     spark, out_path: str, id_col: str = "doc_id", id_type: str = "long"
 ) -> DataFrame:
     """Read :func:`streaming_minhash_novelty`'s output directory:
-    drops the per-epoch bookkeeping partition column and returns an
-    empty frame of the right schema when the stream never produced a
-    batch (an empty source previously made the read throw)."""
-    schema = f"{id_col} {id_type}, n_dup_matches long, is_novel boolean"
-    try:
-        return spark.read.parquet(out_path).drop("epoch")
-    except Exception:
-        return spark.createDataFrame([], schema)
+    drops the per-epoch bookkeeping partition column; empty-safe when
+    the stream never produced a batch; real read failures propagate
+    (streaming/io_utils.py — which also documents the
+    one-lineage-per-directory ownership contract)."""
+    from .io_utils import read_epoch_partitioned
+
+    return read_epoch_partitioned(
+        spark,
+        out_path,
+        f"{id_col} {id_type}, n_dup_matches long, is_novel boolean",
+    )

@@ -418,14 +418,13 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     # build step; probe is the recurring cost.
     import math
 
-    from dbt_scd2_utils_spark.operators.similarity import ivf_pq_topk
     from dbt_scd2_utils_spark.operators.similarity import (
         _l2_normalize,
         as_double,
-        kmeans_centroids,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        kmeans_centroids_vectorized,
     )
-
-    from dbt_scd2_utils_spark.operators.similarity import ivf_pq_encode
 
     n_vec = emb.count()
     n_cells = max(8, int(2 * math.sqrt(n_vec)))
@@ -440,10 +439,6 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     # vector.  Deterministic hash sample keeps the run reproducible.
     sample_mod = max(1, n_vec // (16 * n_cells))
     train_set = normed.filter(F.pmod(F.xxhash64("pid"), sample_mod) == 0)
-    from dbt_scd2_utils_spark.operators.similarity import (
-        kmeans_centroids_vectorized,
-    )
-
     coarse = kmeans_centroids_vectorized(
         train_set, k=n_cells, iters=2, id_col="pid", vec_col="nv"
     ).persist()
