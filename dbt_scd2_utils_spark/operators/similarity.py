@@ -1655,6 +1655,56 @@ def pq_codebooks(
     return cents.select("sub_id", "cent_id", "cv")
 
 
+def _pq_subvecs(
+    src: DataFrame,
+    out_id: str,
+    sub: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prenormed: bool = False,
+) -> DataFrame:
+    """(out_id, sub_id, subv): the m contiguous subvectors of each
+    L2-NORMALIZED vector — the shared front half of every PQ
+    encode/LUT site.  ``prenormed`` sources carry (pid, nv) and skip
+    re-normalizing."""
+    if prenormed:
+        n = src.select(
+            F.col("pid").alias(out_id), F.col("nv").alias("_nv")
+        )
+    else:
+        n = src.select(
+            F.col(id_col).alias(out_id),
+            _l2_normalize(as_double(vec_col)).alias("_nv"),
+        )
+    arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
+    return n.select(
+        F.col(out_id), F.posexplode(arr).alias("sub_id", "subv")
+    ).withColumn("sub_id", F.col("sub_id").cast("long"))
+
+
+def _pq_codes_hof(subv: DataFrame, books: DataFrame, out_id: str) -> DataFrame:
+    """argmin sub-centroid per (vector, subspace) over a subvector
+    table — THE HOF PQ-encode semantics (d2 asc, cent_id tiebreak);
+    every oracle-exact encode site routes here so the semantics exist
+    once."""
+    wenc = Window.partitionBy(out_id, "sub_id").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    return (
+        subv.join(F.broadcast(books), "sub_id")
+        .select(
+            out_id,
+            "sub_id",
+            "cent_id",
+            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select(out_id, "sub_id", F.col("cent_id").alias("code"))
+    )
+
+
 def pq_ann_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -1703,35 +1753,13 @@ def pq_ann_topk(
         else _barrier(pq_codebooks(df, dim, m, ksub, iters, id_col, vec_col))
     )
 
-    def subvecs(src: DataFrame, out_id: str) -> DataFrame:
-        normed = src.select(
-            F.col(id_col).alias(out_id),
-            _l2_normalize(as_double(vec_col)).alias("_nv"),
-        )
-        arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
-        return normed.select(
-            F.col(out_id),
-            F.posexplode(arr).alias("sub_id", "subv"),
-        ).withColumn("sub_id", F.col("sub_id").cast("long"))
-
-    wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
-    codes = (
-        subvecs(df, "neighbor_id")
-        .join(F.broadcast(books), "sub_id")
-        .select(
-            "neighbor_id",
-            "sub_id",
-            "cent_id",
-            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
+    codes = _pq_codes_hof(
+        _pq_subvecs(df, "neighbor_id", sub, m, id_col, vec_col),
+        books,
+        "neighbor_id",
     )
     lut = (
-        subvecs(queries, "query_id")
+        _pq_subvecs(queries, "query_id", sub, m, id_col, vec_col)
         .join(F.broadcast(books), "sub_id")
         .select(
             "query_id",
@@ -2199,32 +2227,12 @@ def ivf_pq_encode(
             )
         )
     sub = dim // m
-    arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
     # reuse the assignment pass's normalization — re-deriving it from
     # raw df would add a second full O(n·dim) normalize scan per build
-    subv = (
-        normed.select(
-            F.col("pid").alias("neighbor_id"), F.col("nv").alias("_nv")
-        )
-        .select(
-            "neighbor_id", F.posexplode(arr).alias("sub_id", "subv")
-        )
-        .withColumn("sub_id", F.col("sub_id").cast("long"))
-    )
-    wenc = Window.partitionBy("neighbor_id", "sub_id").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
-    codes = (
-        subv.join(F.broadcast(codebooks), "sub_id")
-        .select(
-            "neighbor_id",
-            "sub_id",
-            "cent_id",
-            _dist2(F.col("subv"), F.col("cv")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(wenc))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "sub_id", F.col("cent_id").alias("code"))
+    codes = _pq_codes_hof(
+        _pq_subvecs(normed, "neighbor_id", sub, m, prenormed=True),
+        codebooks,
+        "neighbor_id",
     )
     return codes.join(assign, "neighbor_id")
 
@@ -2316,18 +2324,8 @@ def ivf_pq_topk(
     )
     sub = dim // m
 
-    def subvecs(src: DataFrame, out_id: str) -> DataFrame:
-        n = src.select(
-            F.col(id_col).alias(out_id),
-            _l2_normalize(as_double(vec_col)).alias("_nv"),
-        )
-        arr = F.array(*[F.slice("_nv", j * sub + 1, sub) for j in range(m)])
-        return n.select(
-            F.col(out_id), F.posexplode(arr).alias("sub_id", "subv")
-        ).withColumn("sub_id", F.col("sub_id").cast("long"))
-
     lut = (
-        subvecs(queries, "query_id")
+        _pq_subvecs(queries, "query_id", sub, m, id_col, vec_col)
         .join(F.broadcast(books), "sub_id")
         .select(
             "query_id",
