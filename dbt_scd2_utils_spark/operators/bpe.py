@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 
 END_MARK = "</w>"
 
+# Default driver-memory bound on the collected (word, freq) table.  A
+# frequency-ranked 2M-word cut covers any realistic training vocabulary
+# (production tokenizers train on 10⁴–10⁵ merges over ≤10⁶ words) while
+# capping the driver collect at tens of MB even on a 100 TB web corpus
+# whose raw distinct-token count is 10⁸–10⁹.  Pass ``max_vocab=None``
+# to explicitly opt into an unbounded collect.
+DEFAULT_MAX_VOCAB = 2_000_000
+
 _CHARS = "concat(regexp_extract_all(w, '.', 0), array('</w>'))"
 
 
@@ -143,7 +151,7 @@ def learn_bpe_merges(
     df: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
-    max_vocab: int | None = None,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus:
     ``(merge_rank, left, right, pair_count)``, ranked in learning order;
@@ -159,7 +167,9 @@ def learn_bpe_merges(
     pass over the corpus — then a driver-local merge loop on the
     Heaps-bounded vocabulary (see module docstring; ``max_vocab`` for a
     hard driver-memory bound).  A 32k-merge production run is one Spark
-    job, not 32k."""
+    job, not 32k.  ``max_vocab`` defaults to the
+    :data:`DEFAULT_MAX_VOCAB` frequency-ranked cut so the collect is
+    bounded BY DEFAULT; pass ``None`` to opt into an unbounded one."""
     merges, _ = _learn(df, n_merges, text_col, max_vocab)
     return df.sparkSession.createDataFrame(
         merges,
@@ -171,7 +181,7 @@ def _learn(
     df: DataFrame,
     n_merges: int,
     text_col: str,
-    max_vocab: int | None = None,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the driver-local merge learner; returns (merge list, final
     per-word symbol state as a DataFrame) — the state IS the
@@ -297,6 +307,7 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     learned: tuple | None = None,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ) -> DataFrame:
     """Tokenize the corpus under its own learned BPE merges and count:
     ``(id, n_words, n_bpe_tokens)`` per document — the sequence-length
@@ -314,7 +325,7 @@ def bpe_token_counts(
     the word key otherwise — and aggregate map-side.  The raw text is
     never re-tokenized per merge round."""
     _, state = learned if learned is not None else _learn(
-        df, n_merges, text_col
+        df, n_merges, text_col, max_vocab
     )
     # piece count = symbol-list length; the </w> marker counts as a
     # symbol until a merge fuses it into the final subword — identical

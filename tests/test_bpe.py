@@ -142,3 +142,35 @@ def test_token_counts_oov_fallback(spark):
     assert out[1].n_words == 2
     low_pieces = out[1].n_bpe_tokens - 4
     assert 1 <= low_pieces <= 4
+
+
+def test_default_max_vocab_is_bounded(spark):
+    """The DEFAULT collect path must be driver-memory-bounded: the
+    default ``max_vocab`` is the 2M frequency-ranked cut, not None
+    (round-6 VERDICT: unbounded default = driver OOM at corpus scale).
+    ``None`` remains an explicit opt-in and yields identical merges
+    whenever the true vocabulary fits under the bound."""
+    import inspect
+
+    from dbt_scd2_utils_spark.operators.bpe import (
+        DEFAULT_MAX_VOCAB,
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    assert DEFAULT_MAX_VOCAB == 2_000_000
+    for fn in (learn_bpe_merges, bpe_token_counts):
+        assert (
+            inspect.signature(fn).parameters["max_vocab"].default
+            == DEFAULT_MAX_VOCAB
+        )
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest",)], "text string"
+    )
+    bounded = [tuple(r) for r in learn_bpe_merges(df, n_merges=3).collect()]
+    unbounded = [
+        tuple(r)
+        for r in learn_bpe_merges(df, n_merges=3, max_vocab=None).collect()
+    ]
+    assert bounded == unbounded and len(bounded) == 3
