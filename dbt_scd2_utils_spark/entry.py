@@ -114,6 +114,7 @@ from .plans.oracles import (
     scd2_initial_load_sql,
     scd2_join_sql,
 )
+from .functions.caching import barrier as _qcache
 from .session import prepare
 from .sources.incremental import high_water_mark
 from .sources.tables import load_table, write_bucketed_table
@@ -242,7 +243,7 @@ def q_scd2_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the diff reads the table twice (one pruned scan per
     # snapshot); without the barrier the whole window-chain build would
     # execute twice.
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
+    built = _qcache(scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG))
     return scd2_diff(
         built, SPLIT, VALID_TO_PROBE, ["user_id"],
         ("event_type", "value", "props", "deleted_at"),
@@ -314,17 +315,22 @@ def _pq_books(spark: SparkSession, sf_dir: str, subset: str = "full"):
     return books
 
 
-def _ivf_coarse(spark: SparkSession, sf_dir: str):
+def _ivf_coarse(spark: SparkSession, sf_dir: str, subset: str = "full"):
+    """Session-cached IVF coarse centroids; ``subset='base'`` trains on
+    the 80% pre-append corpus (vec_id % 5 != 0) — the fixed quantizer
+    the ann_ivf_pq_append fold-in encodes under."""
     from .operators.similarity import (
         _l2_normalize,
         as_double,
         kmeans_centroids,
     )
 
-    key = (spark, sf_dir, "ivf_coarse")
+    key = (spark, sf_dir, "ivf_coarse", subset)
     coarse = _INDEX_CACHE.get(key)
     if coarse is None:
         emb = load_table(spark, sf_dir, "embeddings")
+        if subset == "base":
+            emb = emb.filter(F.col("vec_id") % 5 != 0)
         normed = emb.select(
             F.col("vec_id").alias("pid"),
             _l2_normalize(as_double("embedding")).alias("nv"),
@@ -337,19 +343,24 @@ def _ivf_coarse(spark: SparkSession, sf_dir: str):
     return coarse
 
 
-def _ivf_pq_encoded(spark: SparkSession, sf_dir: str):
+def _ivf_pq_encoded(spark: SparkSession, sf_dir: str, subset: str = "full"):
     """Session-cached IVF-PQ encoded corpus (inverted lists + codes) —
-    the index artifact ivf_pq_topk probes; see ivf_pq_encode."""
+    the index artifact ivf_pq_topk probes; see ivf_pq_encode.
+    ``subset='base'`` encodes only the pre-append 80% under the
+    base-trained artifacts (the ann_ivf_pq_append stale phase)."""
     from .operators.similarity import ivf_pq_encode
 
-    key = (spark, sf_dir, "ivf_pq_encoded")
+    key = (spark, sf_dir, "ivf_pq_encoded", subset)
     enc = _INDEX_CACHE.get(key)
     if enc is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        if subset == "base":
+            emb = emb.filter(F.col("vec_id") % 5 != 0)
         enc = ivf_pq_encode(
-            load_table(spark, sf_dir, "embeddings"),
+            emb,
             dim=64,
-            coarse=_ivf_coarse(spark, sf_dir),
-            codebooks=_pq_books(spark, sf_dir),
+            coarse=_ivf_coarse(spark, sf_dir, subset),
+            codebooks=_pq_books(spark, sf_dir, subset),
             m=8,
         ).persist()
         enc.count()
@@ -370,6 +381,30 @@ def _bpe_learned(spark: SparkSession, sf_dir: str, n_merges: int = 10):
     return got
 
 
+def release_entry_caches() -> int:
+    """Free EVERY cache the query layer holds: the per-query barriers
+    (functions/caching.release_caches) plus the session memo caches
+    (_MERGE_TARGET_CACHE, _INDEX_CACHE — the build-once index/target
+    artifacts).  After this a long-lived driver session is back to zero
+    executor storage; the next query call simply rebuilds its memos.
+    Returns how many cached relations were released."""
+    from .functions.caching import release_caches
+
+    n = release_caches()
+    for memo in (_MERGE_TARGET_CACHE, _INDEX_CACHE):
+        for v in memo.values():
+            try:
+                dfs = v if isinstance(v, tuple) else (v,)
+                for df in dfs:
+                    if hasattr(df, "unpersist"):
+                        df.unpersist()
+                        n += 1
+            except Exception:
+                pass  # session already stopped
+        memo.clear()
+    return n
+
+
 def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Train the PQ codebooks and the BPE merge table outside bench
     timing (called by bench.py; see _INDEX_CACHE)."""
@@ -377,7 +412,9 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     _pq_books(spark, sf_dir)
     _pq_books(spark, sf_dir, "base")
     _ivf_coarse(spark, sf_dir)
+    _ivf_coarse(spark, sf_dir, "base")
     _ivf_pq_encoded(spark, sf_dir)
+    _ivf_pq_encoded(spark, sf_dir, "base")
     _bpe_learned(spark, sf_dir)
 
 
@@ -415,7 +452,7 @@ def q_scd2_incremental_update_all_false(spark: SparkSession, sf_dir: str) -> Dat
             update_all_previous_records=False, collapse_redundant_versions=False
         )
         b1, b2 = _split(change_feed(spark, sf_dir))
-        target = scd2_initial_load(b1, cfg).persist()
+        target = _qcache(scd2_initial_load(b1, cfg))
         return scd2_incremental(target, b2, cfg)
 
 
@@ -556,8 +593,65 @@ def q_scd2_incremental_predicates(spark: SparkSession, sf_dir: str) -> DataFrame
             incremental_predicates=("_is_current = true",),
         )
         b1, b2 = _split(change_feed(spark, sf_dir))
-        target = scd2_initial_load(b1, cfg).persist()
+        target = _qcache(scd2_initial_load(b1, cfg))
         return scd2_incremental(target, b2, cfg)
+
+
+# ---- reference sequence choreography (test_scd2_sequence.sh) --------------
+
+SEQ_CFG = ScdConfig(
+    unique_key=("customer_id",),
+    deleted_at_column="deleted_at",
+    created_at_column="_created_at",
+    default_valid_to=VALID_TO,
+)
+
+SEQ_SPEC = OracleSpec(
+    keys=("customer_id",),
+    business_cols=(
+        "customer_id", "customer_name", "email", "status", "deleted_at",
+        "_updated_at", "_created_at",
+    ),
+    updated_at="_updated_at",
+    check_cols=(
+        "customer_name", "email", "status", "deleted_at", "_created_at",
+    ),
+    created_at="_created_at",
+    deleted_at="deleted_at",
+    default_valid_to=VALID_TO,
+)
+
+
+def q_scd2_sequence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest behavioral test, end-to-end: the
+    6-iteration incremental choreography over the ported
+    ``customers_raw_1..6`` seeds (full-refresh clean, then one build per
+    iteration — ``integration_tests/test_scd2_sequence.sh:133-183``),
+    with each iteration's state round-tripped through a materialization
+    (the next run reads what the previous one persisted, exactly like the
+    reference's warehouse table).  Oracle = the DuckDB full-refresh build
+    over the unioned batches: the README.md:178 incremental ≡
+    full-refresh equivalence IS the gate (valid for this seed sequence —
+    pinned by tests/test_scd2_incremental.py::
+    test_incremental_equals_full_refresh).  Retroactive updates, exact
+    duplicate floods (17×/29×), multi-delete, resurrection, and the
+    batch-6 backfill all flow through the one query."""
+    prepare(spark)
+    from .sources.reference_seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
+
+    def batch(i: int) -> DataFrame:
+        return spark.createDataFrame(
+            CUSTOMERS_RAW[i], CUSTOMERS_SCHEMA
+        ).withColumn("_created_at", F.col("_updated_at"))
+
+    state = scd2_initial_load(batch(1), SEQ_CFG)
+    for i in range(2, 7):
+        # Materialize between iterations like a table write (bounded: the
+        # seed state is ~60 rows; a real deployment reads the persisted
+        # target table here, cf. _staged_target).
+        state = spark.createDataFrame(state.collect(), state.schema)
+        state = scd2_incremental(state, batch(i), SEQ_CFG)
+    return state
 
 
 def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,8 +962,8 @@ def _view_purchase_rels(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     # persisted: each relation feeds BOTH the spine union and its
     # containment join (stored SCD2 tables in a real deployment)
     return [
-        scd2_initial_load(view, cfg).persist(),
-        scd2_initial_load(purch, cfg).persist(),
+        _qcache(scd2_initial_load(view, cfg)),
+        _qcache(scd2_initial_load(purch, cfg)),
     ]
 
 
@@ -1068,7 +1162,7 @@ def q_invariant_store_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.invariants import one_current_per_key, store_failures
 
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
+    built = _qcache(scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG))
     dup = built.filter((F.col("user_id") == 0) & F.col("_is_current"))
     corrupted = built.unionByName(dup)
     base = tempfile.mkdtemp(prefix="scd_failures_")
@@ -1087,7 +1181,7 @@ def q_invariant_one_current_per_key(spark: SparkSession, sf_dir: str) -> DataFra
     the check FINDS them — the oracle corrupts identically
     (reference tests/generic/test_one_current_per_key.sql:3-9)."""
     prepare(spark)
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
+    built = _qcache(scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG))
     dup = built.filter((F.col("user_id") % 100 == 0) & F.col("_is_current"))
     return one_current_per_key(built.unionByName(dup), ["user_id"])
 
@@ -1100,7 +1194,7 @@ def q_invariant_no_validity_overlaps(spark: SparkSession, sf_dir: str) -> DataFr
     (reference tests/generic/test_no_validity_overlaps.sql:10-17)."""
     prepare(spark)
     # persisted: both sides of the self theta-join read the built table
-    built = scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG).persist()
+    built = _qcache(scd2_initial_load(change_feed(spark, sf_dir), SCD2_CFG))
     bad = built.filter(
         (F.col("user_id") % 100 == 0) & F.col("_is_current")
     ).withColumn("_valid_from", F.col("_valid_from") - F.expr("interval 1 hour"))
@@ -1263,7 +1357,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the train split — the assembled shape of a real training-data
     pipeline, oracle-checked as one composed query."""
     prepare(spark)
-    corpus = doc_corpus(spark, sf_dir).persist()
+    corpus = _qcache(doc_corpus(spark, sf_dir))
     stats = text_stats(corpus)
     clusters = dedup_clusters(corpus, minhash_lsh_pairs(corpus))
     split = hash_split(corpus)
@@ -1318,9 +1412,9 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same *_sql builders over the same CTE chain."""
     prepare(spark)
     corpus = _planted(doc_corpus(spark, sf_dir))
-    clean = scrub_pii(corpus).select(
+    clean = _qcache(scrub_pii(corpus).select(
         "doc_id", F.col("scrubbed_text").alias("text"), "n_emails"
-    ).persist()
+    ))
     rep = repetition_stats(clean)
     bench = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     decon = ngram_decontaminate(clean, bench, n=4)
@@ -1410,7 +1504,7 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = doc_corpus(spark, sf_dir)
     canon_ids = normalized_exact_dedup(corpus).select("doc_id")
-    canon = corpus.join(canon_ids, "doc_id", "left_semi").persist()
+    canon = _qcache(corpus.join(canon_ids, "doc_id", "left_semi"))
     scored = quality_classifier(canon)
     surv = dedup_survivors(
         scored.select("doc_id", "p_micro"),
@@ -1682,7 +1776,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 10 != 7).persist()
+    corpus = _qcache(docs.filter(F.col("doc_id") % 10 != 7))
     base = tempfile.mkdtemp(prefix="scd_stream_novelty_")
     idx_path, src, out = f"{base}/idx", f"{base}/src", f"{base}/out"
     save_minhash_index(banded_minhash_index(corpus), idx_path)
@@ -2347,6 +2441,45 @@ def q_ann_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-only IVF-PQ index maintenance
+    (operators/similarity.py::ivf_pq_index_append — FAISS
+    IndexIVFPQ.add): phase 'stale' probes the base-corpus encoding
+    (vec_id % 5 != 0) under base-trained coarse/codebooks; phase
+    'appended' probes the SAME fixed artifacts after the remaining 20%
+    is folded in — one O(new) encode pass, no retrain, no touch of the
+    existing lists.  Appended rows surface new neighbors (vec_id % 5 =
+    0); the oracle twins the appended phase as encode-of-the-union
+    under base-trained artifacts (train_sql=base), which the fold-in
+    equals by construction.  Completes the append family next to
+    bm25_index_append / lsh_index_append; retrain-on-drift stays the
+    ann_pq_refresh path."""
+    prepare(spark)
+    from .operators.similarity import ivf_pq_index_append, ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    qs = emb.filter(F.col("vec_id") < 8)
+    coarse = _ivf_coarse(spark, sf_dir, "base")
+    books = _pq_books(spark, sf_dir, "base")
+    stale_enc = _ivf_pq_encoded(spark, sf_dir, "base")
+    appended_enc = ivf_pq_index_append(
+        stale_enc, emb.filter(F.col("vec_id") % 5 == 0),
+        dim=64, coarse=coarse, codebooks=books, m=8,
+    )
+    probe = lambda enc: ivf_pq_topk(  # noqa: E731
+        emb, qs, dim=64, k=5, n_cells=8, nprobe=3, m=8, ksub=16,
+        coarse=coarse, codebooks=books, encoded=enc,
+    )
+    return (
+        probe(stale_enc)
+        .select(F.lit("stale").alias("phase"), "*")
+        .unionByName(
+            probe(appended_enc).select(F.lit("appended").alias("phase"), "*")
+        )
+    )
+
+
 def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-20 bigram vocabulary
     (operators/text.py::top_ngrams_by_group): one (group, gram) hash
@@ -2510,28 +2643,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     testdata close the list.  Every oracle-backed query gets a driver row
     at least every other round."""
     return {
-        # == ROUND-5 GATE WINDOW (first 50) ==============================
-        # -- r4 err (array columns vs driver canonicalizer) — FIXED:
-        # outputs now canonicalized to scalar strings at the query layer
+        # == ROUND-7 GATE WINDOW (first 50) ==============================
+        # -- semantics changed in r5 (epoch-partitioned output) but its
+        # only green row is r4: re-gate first
+        "streaming_novelty": q_streaming_novelty,
+        # -- the 18 r3-stale queries (three rounds without a driver row)
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "events_json_extract": q_events_json_extract,
+        "events_daily_rollup": q_events_daily_rollup,
+        "events_partition_pruned": q_events_partition_pruned,
+        "streaming_daily_rollup": q_streaming_daily_rollup,
+        "streaming_sessionize": q_streaming_sessionize,
+        "streaming_enrich": q_streaming_enrich,
+        "streaming_stream_join": q_streaming_stream_join,
+        "text_stats": q_text_stats,
+        "text_repetition_stats": q_text_repetition_stats,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
+        "decontaminate_benchmark_bloom": q_decontaminate_benchmark_bloom,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack_pipeline": q_chunk_pack_pipeline,
+        "paragraph_dedup": q_paragraph_dedup,
+        "quality_percentile_filter": q_quality_percentile_filter,
+        "profile_lineitem": q_profile_lineitem,
+        "scrub_pii": q_scrub_pii,
+        # -- new in round 7
+        "scd2_sequence_replay": q_scd2_sequence_replay,
+        "ann_ivf_pq_append": q_ann_ivf_pq_append,
+        # -- default changed in r7 (max_vocab bounded): re-gate
+        "bpe_learn_merges": q_bpe_learn_merges,
+        "bpe_learn_merges_100": q_bpe_learn_merges_100,
+        "bpe_token_counts": q_bpe_token_counts,
+        # -- oldest r4-stale: the ANN/retrieval index family + the
+        # curation pipelines (VERDICT r6 priority list)
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "bm25_search": q_bm25_search,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "ngram_lm_quality": q_ngram_lm_quality,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
+        "curation_pipeline_v4": q_curation_pipeline_v4,
+        # -- remaining r4-stale, oldest-first up to slot 50
+        "decontaminate_containment": q_decontaminate_containment,
+        "dedup_survivor_quality": q_dedup_survivor_quality,
+        "corpus_mixture_report": q_corpus_mixture_report,
+        "dedup_normalized": q_dedup_normalized,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "quality_classifier": q_quality_classifier,
+        "top_ngrams_by_lang": q_top_ngrams_by_lang,
+        "profile_quantiles": q_profile_quantiles,
+        "blocklist_filter": q_blocklist_filter,
+        "hard_negative_mining": q_hard_negative_mining,
+        "remove_repeated_lines": q_remove_repeated_lines,
+        "streaming_curation_gate": q_streaming_curation_gate,
+        "audio_frame_features": q_audio_frame_features,
+        "image_tile_features": q_image_tile_features,
+        "training_order": q_training_order,
+        "duplicate_span_coverage": q_duplicate_span_coverage,
+        "dataset_card": q_dataset_card,
+        # == entry 50 closes the must-gate window ========================
+        # -- r4-green leftovers: lead the r8 window
+        "temperature_mixture_sample": q_temperature_mixture_sample,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "dedup_incremental_novelty": q_dedup_incremental_novelty,
+        "domain_mixture_sample": q_domain_mixture_sample,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
+        "multimodal_decode_real": q_multimodal_decode_real,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "salted_join": q_salted_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "train_val_test_split": q_train_val_test_split,
+        "token_shards": q_token_shards,
+        "epoch_weighted_repeat": q_epoch_weighted_repeat,
+        # -- r6-green (the whole r5/r6 window), unchanged since: close
         "embedding_pool": q_embedding_pool,
         "embedding_random_projection": q_embedding_random_projection,
         "pack_sequences": q_pack_sequences,
-        # -- de-vacuated in r4 (violations now planted) but never
-        # re-gated: their only driver rows are the old vacuous 0-row ones
         "invariant_one_current_per_key": q_invariant_one_current_per_key,
         "invariant_no_validity_overlaps": q_invariant_no_validity_overlaps,
-        # -- new in round 5
-        "bpe_learn_merges_100": q_bpe_learn_merges_100,
         "ann_pq_refresh": q_ann_pq_refresh,
         "bm25_search_refresh": q_bm25_search_refresh,
         "streaming_ann_probe": q_streaming_ann_probe,
         "decontaminate_semantic": q_decontaminate_semantic,
-        # -- learner rearchitected (driver-local O(1)-job path) + OOV
-        # left-join fallback in round 5: must re-gate
-        "bpe_learn_merges": q_bpe_learn_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        # -- semantics changed in round 4 (16-band retune / r4 reworks)
-        # but fell outside the r4 window: never re-gated since
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
         "top_ngrams": q_top_ngrams,
@@ -2542,12 +2742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "curation_pipeline": q_curation_pipeline,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # -- last green predates the r3 testdata regeneration (r2 rows)
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        # -- core reference-parity surface: last gated r3, re-proven
-        # this round after two rounds of entry/registry churn
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
@@ -2573,72 +2770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "events_sessionize": q_events_sessionize,
-        # == entry 50 closes the must-gate window ========================
-        # -- r3-green on current testdata, unchanged; rotate front in r6
-        "events_daily_rollup": q_events_daily_rollup,
-        "events_json_extract": q_events_json_extract,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "events_partition_pruned": q_events_partition_pruned,
-        "streaming_daily_rollup": q_streaming_daily_rollup,
-        "streaming_sessionize": q_streaming_sessionize,
-        "streaming_enrich": q_streaming_enrich,
-        "streaming_stream_join": q_streaming_stream_join,
-        "text_stats": q_text_stats,
-        "text_repetition_stats": q_text_repetition_stats,
-        "decontaminate_benchmark": q_decontaminate_benchmark,
-        "decontaminate_benchmark_bloom": q_decontaminate_benchmark_bloom,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack_pipeline": q_chunk_pack_pipeline,
-        "paragraph_dedup": q_paragraph_dedup,
-        "quality_percentile_filter": q_quality_percentile_filter,
-        "profile_lineitem": q_profile_lineitem,
-        "scrub_pii": q_scrub_pii,
-        # -- fresh r4 green rows on current testdata, unchanged since ----
-        "decontaminate_containment": q_decontaminate_containment,
-        "hybrid_search_rrf": q_hybrid_search_rrf,
-        "dedup_survivor_quality": q_dedup_survivor_quality,
-        "corpus_mixture_report": q_corpus_mixture_report,
-        "dedup_normalized": q_dedup_normalized,
-        "dup_rate_by_source": q_dup_rate_by_source,
-        "streaming_novelty": q_streaming_novelty,
-        "quality_classifier": q_quality_classifier,
-        "top_ngrams_by_lang": q_top_ngrams_by_lang,
-        "curation_pipeline_v4": q_curation_pipeline_v4,
-        "profile_quantiles": q_profile_quantiles,
-        "ann_pq_topk": q_ann_pq_topk,
-        "blocklist_filter": q_blocklist_filter,
-        "hard_negative_mining": q_hard_negative_mining,
-        "remove_repeated_lines": q_remove_repeated_lines,
-        "streaming_curation_gate": q_streaming_curation_gate,
-        "audio_frame_features": q_audio_frame_features,
-        "image_tile_features": q_image_tile_features,
-        "training_order": q_training_order,
-        "duplicate_span_coverage": q_duplicate_span_coverage,
-        "dataset_card": q_dataset_card,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-        "bm25_search": q_bm25_search,
-        "ngram_lm_quality": q_ngram_lm_quality,
-        "temperature_mixture_sample": q_temperature_mixture_sample,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "curation_pipeline_v3": q_curation_pipeline_v3,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "dedup_incremental_novelty": q_dedup_incremental_novelty,
-        "domain_mixture_sample": q_domain_mixture_sample,
-        "streaming_dedup_exact": q_streaming_dedup_exact,
-        "multimodal_decode_real": q_multimodal_decode_real,
-        "token_count": q_token_count,
-        "language_id": q_language_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "salted_join": q_salted_join,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_clusters": q_dedup_clusters,
-        "train_val_test_split": q_train_val_test_split,
-        "token_shards": q_token_shards,
-        "epoch_weighted_repeat": q_epoch_weighted_repeat,
     }
 
 
@@ -2728,8 +2859,13 @@ def oracle_sql() -> dict[str, str]:
             default_valid_to=VALID_TO,
         ),
     )
+    from .sources.reference_seeds import customers_union_sql
+
     return {
         "scd2_initial_load": scd2_built,
+        "scd2_sequence_replay": scd2_initial_load_sql(
+            customers_union_sql(6), SEQ_SPEC
+        ),
         "scd2_current_snapshot": scd2_current_snapshot_sql(FEED_SQL, SCD2_SPEC),
         "scd2_snapshot_asof": f"""
             select {SCD2_SPEC.business_csv}, _valid_from, _valid_to, _change_type
@@ -3314,6 +3450,22 @@ from embeddings where vec_id % 5 = 0""",
             nprobe=3,
             m=8,
             ksub=16,
+        ),
+        "ann_ivf_pq_append": (
+            "select 'stale' as phase, * from ("
+            + _ivf_pq_topk_sql(
+                "select * from embeddings where vec_id % 5 != 0",
+                "select * from embeddings where vec_id < 8",
+                dim=64, k=5, n_cells=8, nprobe=3, m=8, ksub=16,
+            )
+            + ") union all select 'appended' as phase, * from ("
+            + _ivf_pq_topk_sql(
+                "select * from embeddings",
+                "select * from embeddings where vec_id < 8",
+                dim=64, k=5, n_cells=8, nprobe=3, m=8, ksub=16,
+                train_sql="select * from embeddings where vec_id % 5 != 0",
+            )
+            + ")"
         ),
         "ann_pq_topk": _pq_ann_topk_sql(
             "select * from embeddings",

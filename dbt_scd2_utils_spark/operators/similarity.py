@@ -2237,6 +2237,43 @@ def ivf_pq_encode(
     return codes.join(assign, "neighbor_id")
 
 
+def ivf_pq_index_append(
+    encoded: DataFrame,
+    new_df: DataFrame,
+    dim: int,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized_assign: bool = False,
+) -> DataFrame:
+    """Incremental index maintenance for the IVF-PQ encoded corpus —
+    the encode-only fold-in that completes the append family
+    (:func:`lsh_index_append`, ``search.bm25_index_append``): under
+    FIXED ``coarse`` centroids and ``codebooks``, a vector's (cell,
+    codes) row depends only on the vector itself, so appending is
+    exactly encoding the NEW vectors under the stored artifacts and a
+    union — equal to :func:`ivf_pq_encode` of old ∪ new by
+    construction (pinned in tests/test_pq_ann.py).  Cost: one
+    O(new·cells + new·m·ksub) pass over the APPENDED vectors only; the
+    existing billion-row lists are never touched.
+
+    This is FAISS's ``IndexIVFPQ.add``: fold-ins reuse the trained
+    quantizers, so cell boundaries and code words drift from what a
+    retrain would pick as the appended distribution shifts — recall
+    decays, the index does not break.  When drift accumulates, retrain
+    (the ``ann_pq_refresh`` path); until then append is O(new) instead
+    of O(corpus)."""
+    return encoded.unionByName(
+        ivf_pq_encode(
+            new_df, dim, coarse, codebooks, m,
+            id_col=id_col, vec_col=vec_col,
+            vectorized_assign=vectorized_assign,
+        )
+    )
+
+
 def ivf_pq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -2374,8 +2411,13 @@ def ivf_pq_topk_sql(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sql: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`ivf_pq_topk`."""
+    """DuckDB twin of :func:`ivf_pq_topk`.  ``train_sql`` (default: the
+    corpus itself) is the source the coarse centroids and codebooks
+    train on — pass the pre-append base corpus to twin the
+    :func:`ivf_pq_index_append` fold-in, where the full corpus is
+    encoded under artifacts trained before the append."""
     sub = dim // m
     d2 = (
         "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
@@ -2389,15 +2431,20 @@ def ivf_pq_topk_sql(
     )
     normed_src = f"select {id_col}, {nv} as nv from ({source_sql})"
     normed_q = f"select {id_col}, {nv} as nv from ({queries_sql})"
+    normed_train = (
+        normed_src
+        if train_sql is None
+        else f"select {id_col}, {nv} as nv from ({train_sql})"
+    )
     coarse = kmeans_centroids_sql(
-        normed_src, k=n_cells, iters=iters, id_col=id_col, vec_col="nv",
+        normed_train, k=n_cells, iters=iters, id_col=id_col, vec_col="nv",
         dims=dim,
     )
     book_branches = "\n  union all\n".join(
         f"  select cast({j} as bigint) as sub_id, cent_id, cv from ("
         + kmeans_centroids_sql(
             f"select {id_col}, list_slice(nv, {j * sub + 1}, "
-            f"{(j + 1) * sub}) as subv from ({normed_src})",
+            f"{(j + 1) * sub}) as subv from ({normed_train})",
             k=ksub,
             iters=iters,
             id_col=id_col,

@@ -13,78 +13,14 @@ from __future__ import annotations
 
 from datetime import datetime
 
-TS = lambda s: datetime.fromisoformat(s)  # noqa: E731 — naive UTC wall-clock
-
-CUSTOMERS_SCHEMA = (
-    "customer_id int, customer_name string, email string, status string, "
-    "deleted_at timestamp, _updated_at timestamp"
+# The customers sequence batches moved into the package (the driver-gated
+# scd2_sequence_replay query replays them); re-exported here unchanged.
+from dbt_scd2_utils_spark.sources.reference_seeds import (  # noqa: F401
+    CUSTOMERS_RAW,
+    CUSTOMERS_SCHEMA,
 )
 
-
-def _c(cid, name, email, status, deleted, updated):
-    return (
-        cid, name, email, status,
-        TS(deleted) if deleted else None, TS(updated),
-    )
-
-
-CUSTOMERS_RAW = {
-    1: (
-        [_c(1, "John Doe", "john@example.com", "INACTIVE", None, "2024-01-01 09:00:00")]
-        + [_c(1, "John Doe", "john@example.com", "ACTIVE", None, "2024-01-01 10:00:00")]
-        + [_c(2, "Jane Smith", "jane@example.com", "ACTIVE", None, "2024-01-01 10:00:00")] * 17
-        + [_c(3, "Bob Wilson", "bob@example.com", "INACTIVE", None, "2024-01-01 10:00:00")]
-        + [
-            _c(9, "Full Lifecycle", "lifecycle@example.com", "ACTIVE", None, "2024-01-01 08:00:00"),
-            _c(9, "Full Lifecycle Updated", "lifecycle@example.com", "ACTIVE", None, "2024-01-01 08:30:00"),
-            _c(9, "Full Lifecycle Updated", "lifecycle@example.com", "ACTIVE", "2024-01-01 09:00:00", "2024-01-01 09:00:00"),
-            _c(9, "Full Lifecycle Resurrected", "lifecycle@example.com", "ACTIVE", None, "2024-01-01 09:30:00"),
-            _c(10, "Multi Delete", "multidelete@example.com", "ACTIVE", None, "2024-01-01 10:00:00"),
-        ]
-    ),
-    2: [
-        _c(1, "John Doe", "john.updated@example.com", "ACTIVE", None, "2024-01-02 10:00:00"),
-        _c(1, "John Doe Jr", "john.doe.final@example.com", "INACTIVE", None, "2024-01-04 10:00:00"),
-        _c(2, "Jane Smith", "jane@example.com", "INACTIVE", None, "2024-01-01 11:00:00"),
-        _c(3, "Bob Wilson", "bob@example.com", "ACTIVE", None, "2024-01-02 10:00:00"),
-        _c(4, "Alice Brown", "alice@example.com", "ACTIVE", None, "2024-01-02 10:00:00"),
-        _c(10, "Multi Delete", "multidelete@example.com", "ACTIVE", "2024-01-02 10:00:00", "2024-01-02 10:00:00"),
-    ],
-    3: [
-        _c(1, "John Doe Jr", "john.doe.new@example.com", "ACTIVE", "2024-01-03 10:00:00", "2024-01-03 10:00:00"),
-        _c(2, "Jane Smith", "jane@example.com", "ACTIVE", None, "2024-01-03 10:00:00"),
-        _c(4, "Alice Brown", "alice.brown@example.com", "INACTIVE", None, "2024-01-03 10:00:00"),
-        _c(5, "Charlie Davis", "charlie@example.com", "ACTIVE", None, "2024-01-03 10:00:00"),
-        _c(10, "Multi Delete", "multidelete@example.com", "ACTIVE", "2024-01-03 10:00:00", "2024-01-03 10:00:00"),
-    ],
-    4: (
-        [_c(1, "John Doe Jr", "john.doe.temp@example.com", "ACTIVE", None, "2024-01-04 09:00:00")] * 29
-        + [
-            _c(3, "Bob Wilson", "bob.wilson.updated@example.com", "ACTIVE", "2024-01-04 10:00:00", "2024-01-04 10:00:00"),
-            _c(5, "Charlie Davis", "charlie.davis@example.com", "INACTIVE", None, "2024-01-04 10:00:00"),
-            _c(6, "Diana Evans", "diana@example.com", "ACTIVE", None, "2024-01-04 10:00:00"),
-        ]
-    ),
-    5: [
-        _c(1, "John Doe", "late.john@example.com", "INACTIVE", None, "2024-01-03 10:00:01"),
-        _c(2, "Jane Smith", "jane.retroactive@example.com", "INACTIVE", None, "2024-01-04 15:00:00"),
-        _c(2, "Jane Smith-Johnson", "jane.married@example.com", "ACTIVE", None, "2024-01-05 10:00:00"),
-        _c(4, "Alice Brown", "alice.brown.new@example.com", "ACTIVE", None, "2024-01-05 10:00:00"),
-        _c(6, "Diana Evans", "diana.evans@example.com", "INACTIVE", None, "2024-01-05 10:00:00"),
-        _c(7, "Edward Foster", "edward@example.com", "ACTIVE", None, "2024-01-05 10:00:00"),
-    ],
-    6: [
-        _c(i, name, f"{slug}.backfill@example.com", "ACTIVE", None, "2024-01-01 08:00:00")
-        for i, (name, slug) in enumerate(
-            [
-                ("John Doe", "john"), ("Jane Smith", "jane"), ("Bob Wilson", "bob"),
-                ("Alice Brown", "alice"), ("Charlie Davis", "charlie"),
-                ("Diana Evans", "diana"), ("Edward Foster", "edward"),
-            ],
-            start=1,
-        )
-    ],
-}
+TS = lambda s: datetime.fromisoformat(s)  # noqa: E731 — naive UTC wall-clock
 
 BORN_DELETED_SCHEMA = (
     "customer_id int, customer_name string, email string, status string, "

@@ -140,3 +140,25 @@ def test_high_water_mark_and_incremental_source(spark):
         run_started_at=datetime(2024, 1, 2, 12),
     )
     assert cut.count() == 2
+
+
+def test_release_entry_caches_frees_query_layer(spark):
+    """A full driver session must be releasable: per-query persists
+    route through the shared registry and the memo caches
+    (_MERGE_TARGET_CACHE/_INDEX_CACHE) are cleared+unpersisted by
+    entry.release_entry_caches (round-6 VERDICT hygiene item)."""
+    from dbt_scd2_utils_spark import entry as em
+    from dbt_scd2_utils_spark.functions import caching
+
+    em.release_entry_caches()  # clean slate
+    sf = "/root/testdata/sf0.001"
+    em.q_scd2_diff_cdc(spark, sf).count()          # per-query barrier
+    em._staged_target(spark, sf, em.SCD2_CFG, "collapse")  # memo cache
+    assert len(caching._LIVE_CACHES) >= 1
+    assert len(em._MERGE_TARGET_CACHE) == 1
+    released = em.release_entry_caches()
+    assert released >= 2
+    assert caching._LIVE_CACHES == []
+    assert em._MERGE_TARGET_CACHE == {} and em._INDEX_CACHE == {}
+    # idempotent on an empty registry
+    assert em.release_entry_caches() == 0

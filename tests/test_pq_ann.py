@@ -105,3 +105,44 @@ def test_ivf_pq_candidates_subset_and_recall(spark, corpus):
     f = {r.query_id: r.score_micro for r in full.collect()}
     o = {r.query_id: r.score_micro for r in one.collect()}
     assert all(f[qid] >= o.get(qid, -10**15) for qid in f)
+
+
+def test_ivf_pq_index_append_equals_rebuild(spark, corpus):
+    """ivf_pq_index_append (encode-only fold-in under fixed artifacts)
+    must equal ivf_pq_encode of the union — the maintenance claim the
+    ann_ivf_pq_append gate rests on."""
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _barrier,
+        _l2_normalize,
+        ivf_pq_encode,
+        ivf_pq_index_append,
+        kmeans_centroids,
+    )
+
+    small = corpus.filter(F.col("vec_id") < 400)
+    base = small.filter(F.col("vec_id") % 5 != 0)
+    new = small.filter(F.col("vec_id") % 5 == 0)
+    coarse = _barrier(
+        kmeans_centroids(
+            base.select(
+                F.col("vec_id").alias("pid"),
+                _l2_normalize(F.col("v").cast("array<double>")).alias("nv"),
+            ),
+            k=4, iters=2, id_col="pid", vec_col="nv",
+        )
+    )
+    from dbt_scd2_utils_spark.operators.similarity import pq_codebooks
+
+    books = _barrier(
+        pq_codebooks(base, dim=64, m=4, ksub=8, id_col="vec_id", vec_col="v")
+    )
+    enc = lambda df: ivf_pq_encode(  # noqa: E731
+        df, 64, coarse, books, m=4, id_col="vec_id", vec_col="v"
+    )
+    appended = ivf_pq_index_append(
+        enc(base), new, dim=64, coarse=coarse, codebooks=books, m=4,
+        id_col="vec_id", vec_col="v",
+    )
+    rebuilt = enc(small)
+    assert appended.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(appended).count() == 0
