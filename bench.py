@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "scd2_composite_null_key",
     "scd2_born_deleted",
     "scd2_temporal_join",
+    "scd2_sequence_replay",
     "incremental_source_watermark",
     "incremental_run_start_cutoff",
     "invariant_one_current_per_key",
@@ -107,6 +108,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "ann_pq_refresh",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_append",
     "hard_negative_mining",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -2640,8 +2640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     surface ROTATES — queries whose last green row is oldest, that have
     never been gated, or whose semantics changed this round come FIRST;
     queries with a fresh green row from the previous round on the current
-    testdata close the list.  Every oracle-backed query gets a driver row
-    at least every other round."""
+    testdata close the list.  Rotation cadence: with 115 queries and a
+    50-slot window, every oracle-backed query gets a driver row at least
+    every THIRD round (⌈115/50⌉), and any query whose semantics changed
+    re-gates in the round that changed it.  The block comments below mark
+    the planned next window."""
     return {
         # == ROUND-7 GATE WINDOW (first 50) ==============================
         # -- semantics changed in r5 (epoch-partitioned output) but its
