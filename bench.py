@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "streaming_dedup_exact",
     "streaming_novelty",
     "streaming_ann_probe",
+    "streaming_ivf_pq_probe",
     "streaming_curation_gate",
     "embedding_pool",
     "embedding_random_projection",

@@ -1840,6 +1840,65 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_probe_output(spark, out)
 
 
+def q_streaming_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest probing the QUANTIZED index: new vectors
+    (vec_id % 5 = 0) stream one file per trigger; each micro-batch runs
+    IVF-PQ ADC scoring against the persisted cell-partitioned encoding
+    of the static corpus (vec_id % 5 != 0) under its stored
+    coarse/codebook artifacts
+    (streaming/ann_stream.py::streaming_ivf_pq_probe;
+    save_ivf_pq_index/save_codebooks round-trip exercised).  Per-vector
+    results depend only on the static artifacts, so the drained union
+    equals batch ivf_pq_topk — the batch SQL twin (trained on the
+    corpus side) gates the stream.  This is the sublinear streaming
+    probe: per micro-batch work ∝ queries · nprobe · cell size."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.similarity import (
+        load_centroids,
+        load_codebooks,
+        load_ivf_pq_index,
+        save_centroids,
+        save_codebooks,
+        save_ivf_pq_index,
+    )
+    from .streaming.ann_stream import (
+        read_ivf_pq_probe_output,
+        streaming_ivf_pq_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    base = tempfile.mkdtemp(prefix="scd_stream_ivfpq_")
+    idx, crs, bks = f"{base}/idx", f"{base}/coarse", f"{base}/books"
+    src, out = f"{base}/src", f"{base}/out"
+    save_centroids(_ivf_coarse(spark, sf_dir, "base"), crs)
+    save_codebooks(_pq_books(spark, sf_dir, "base"), bks)
+    save_ivf_pq_index(_ivf_pq_encoded(spark, sf_dir, "base"), idx)
+    new.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_ivf_pq_probe(
+        stream,
+        load_ivf_pq_index(spark, idx),
+        load_centroids(spark, crs),
+        load_codebooks(spark, bks),
+        out,
+        dim=64,
+        k=5,
+        nprobe=3,
+        m=8,
+    )
+    q.awaitTermination(600)
+    return read_ivf_pq_probe_output(spark, out)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     return embedding_cosine_dedup(
@@ -2672,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 7
         "scd2_sequence_replay": q_scd2_sequence_replay,
         "ann_ivf_pq_append": q_ann_ivf_pq_append,
+        "streaming_ivf_pq_probe": q_streaming_ivf_pq_probe,
         # -- default changed in r7 (max_vocab bounded): re-gate
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_learn_merges_100": q_bpe_learn_merges_100,
@@ -2704,9 +2764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_features": q_image_tile_features,
         "training_order": q_training_order,
         "duplicate_span_coverage": q_duplicate_span_coverage,
-        "dataset_card": q_dataset_card,
         # == entry 50 closes the must-gate window ========================
         # -- r4-green leftovers: lead the r8 window
+        "dataset_card": q_dataset_card,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "dedup_incremental_novelty": q_dedup_incremental_novelty,
@@ -3469,6 +3529,11 @@ from embeddings where vec_id % 5 = 0""",
                 train_sql="select * from embeddings where vec_id % 5 != 0",
             )
             + ")"
+        ),
+        "streaming_ivf_pq_probe": _ivf_pq_topk_sql(
+            "select * from embeddings where vec_id % 5 != 0",
+            "select * from embeddings where vec_id % 5 = 0",
+            dim=64, k=5, n_cells=8, nprobe=3, m=8, ksub=16,
         ),
         "ann_pq_topk": _pq_ann_topk_sql(
             "select * from embeddings",

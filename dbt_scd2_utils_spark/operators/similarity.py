@@ -1140,6 +1140,47 @@ def load_centroids(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).select("cent_id", "cv")
 
 
+def save_codebooks(codebooks: DataFrame, path: str) -> None:
+    """Persist trained PQ codebooks (``sub_id``, ``cent_id``, ``cv``) as
+    parquet — the second build-once artifact of the IVF-PQ deployment
+    (next to :func:`save_centroids` for the coarse quantizer).  A few KB
+    regardless of corpus size; broadcast at probe/encode time."""
+    codebooks.select("sub_id", "cent_id", "cv").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_codebooks(spark, path: str) -> DataFrame:
+    """Load a :func:`save_codebooks` artifact for
+    ``ivf_pq_topk(codebooks=)`` / :func:`ivf_pq_index_append`."""
+    return spark.read.parquet(path).select("sub_id", "cent_id", "cv")
+
+
+def save_ivf_pq_index(encoded: DataFrame, path: str) -> None:
+    """Persist an :func:`ivf_pq_encode` table as parquet PARTITIONED BY
+    CELL — the billion-vector deployment layout: a probe joins the codes
+    on the (query, cell) probe set, so dynamic partition pruning reads
+    ONLY the ``nprobe`` cells each query hits, never the whole inverted
+    file (the same touch-only-what-you-probe story as the BM25 term
+    buckets, operators/search.save_bm25_index).  Store the coarse
+    centroids (:func:`save_centroids`) and codebooks
+    (:func:`save_codebooks`) it was built with next to it — probing under
+    different artifacts is undefined."""
+    encoded.select("neighbor_id", "sub_id", "code", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+
+
+def load_ivf_pq_index(spark, path: str) -> DataFrame:
+    """Read a :func:`save_ivf_pq_index` back for
+    ``ivf_pq_topk(encoded=)``.  The cell partition column rides along;
+    the probe's equi-join on it prunes the scan to the probed cells."""
+    return spark.read.parquet(path).select(
+        "neighbor_id", "sub_id", "code",
+        F.col("cell").cast("long").alias("cell"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization (compressed ANN)
 # ---------------------------------------------------------------------------

@@ -79,3 +79,72 @@ def read_probe_output(spark, out_path: str) -> DataFrame:
         out_path,
         "query_id long, rank long, neighbor_id long, cosine_sim double",
     )
+
+
+def streaming_ivf_pq_probe(
+    stream: DataFrame,
+    encoded: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    out_path: str,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The quantized-index twin of :func:`streaming_lsh_probe`: each
+    micro-batch of newly ingested vectors probes the PERSISTED IVF-PQ
+    index (operators/similarity.save_ivf_pq_index + the coarse/codebook
+    artifacts it was built with) for its top-k corpus neighbors via
+    ADC scoring restricted to ``nprobe`` cells — the sublinear probe
+    path, which is the index actually deployed at billion-vector scale.
+
+    Same oracle-checkability argument as the LSH probe: per-vector
+    results depend only on the static artifacts, so the drained union
+    equals the batch ``ivf_pq_topk(encoded=...)`` over the whole feed;
+    batch boundaries and arrival order cannot change it.  Output
+    (query_id, rank, neighbor_id, score_micro) is epoch-idempotent
+    (dynamic partition overwrite per micro-batch)."""
+    from ..operators.similarity import ivf_pq_topk
+
+    def _probe(batch_df: DataFrame, epoch: int) -> None:
+        out = ivf_pq_topk(
+            batch_df,  # unused for the corpus side: encoded supplies it
+            queries=batch_df,
+            dim=dim,
+            k=k,
+            nprobe=nprobe,
+            m=m,
+            id_col=id_col,
+            vec_col=vec_col,
+            coarse=coarse,
+            codebooks=codebooks,
+            encoded=encoded,
+        )
+        (
+            out.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_probe)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_ivf_pq_probe_output(spark, out_path: str) -> DataFrame:
+    """Read :func:`streaming_ivf_pq_probe`'s output (drops the epoch
+    bookkeeping column; empty-safe)."""
+    from .io_utils import read_epoch_partitioned
+
+    return read_epoch_partitioned(
+        spark,
+        out_path,
+        "query_id long, rank long, neighbor_id long, score_micro long",
+    )

@@ -146,3 +146,103 @@ def test_ivf_pq_index_append_equals_rebuild(spark, corpus):
     rebuilt = enc(small)
     assert appended.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(appended).count() == 0
+
+
+def test_ivf_pq_index_save_load_roundtrip(spark, corpus, tmp_path):
+    """save_ivf_pq_index (cell-partitioned parquet) + load must be
+    value- and type-identical to the in-memory encoding, and the
+    coarse/codebook artifacts round-trip through their own savers."""
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _barrier,
+        _l2_normalize,
+        ivf_pq_encode,
+        kmeans_centroids,
+        load_centroids,
+        load_codebooks,
+        load_ivf_pq_index,
+        pq_codebooks,
+        save_centroids,
+        save_codebooks,
+        save_ivf_pq_index,
+    )
+
+    small = corpus.filter(F.col("vec_id") < 300)
+    coarse = _barrier(
+        kmeans_centroids(
+            small.select(
+                F.col("vec_id").alias("pid"),
+                _l2_normalize(F.col("v").cast("array<double>")).alias("nv"),
+            ),
+            k=4, iters=1, id_col="pid", vec_col="nv",
+        )
+    )
+    books = _barrier(
+        pq_codebooks(small, dim=64, m=4, ksub=8, id_col="vec_id", vec_col="v")
+    )
+    enc = ivf_pq_encode(
+        small, 64, coarse, books, m=4, id_col="vec_id", vec_col="v"
+    )
+    save_ivf_pq_index(enc, str(tmp_path / "idx"))
+    back = load_ivf_pq_index(spark, str(tmp_path / "idx"))
+    assert dict(back.dtypes) == dict(enc.dtypes)
+    assert back.exceptAll(enc).count() == 0
+    assert enc.exceptAll(back).count() == 0
+    save_centroids(coarse, str(tmp_path / "crs"))
+    save_codebooks(books, str(tmp_path / "bks"))
+    assert load_centroids(spark, str(tmp_path / "crs")).count() == coarse.count()
+    assert load_codebooks(spark, str(tmp_path / "bks")).count() == books.count()
+
+
+def test_ivf_pq_disk_index_probe_prunes_partitions(spark, corpus):
+    """save/load round trip at the probe level: probing the on-disk
+    cell-partitioned encoding is value-identical to probing the
+    in-memory one, and the scan carries a dynamic-partition-pruning
+    filter on cell (the probe reads its nprobe cells, not the whole
+    inverted file — same story as the BM25 term buckets)."""
+    import tempfile
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        _barrier,
+        _l2_normalize,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        kmeans_centroids,
+        load_ivf_pq_index,
+        pq_codebooks,
+        save_ivf_pq_index,
+    )
+
+    small = corpus.filter(F.col("vec_id") < 400)
+    coarse = _barrier(
+        kmeans_centroids(
+            small.select(
+                F.col("vec_id").alias("pid"),
+                _l2_normalize(F.col("v").cast("array<double>")).alias("nv"),
+            ),
+            k=8, iters=1, id_col="pid", vec_col="nv",
+        )
+    )
+    books = _barrier(
+        pq_codebooks(small, dim=64, m=4, ksub=8, id_col="vec_id", vec_col="v")
+    )
+    enc = ivf_pq_encode(
+        small, 64, coarse, books, m=4, id_col="vec_id", vec_col="v"
+    )
+    qs = small.filter(F.col("vec_id") < 8)
+    probe = lambda e: ivf_pq_topk(  # noqa: E731
+        small, qs, dim=64, k=5, nprobe=2, m=4,
+        id_col="vec_id", vec_col="v",
+        coarse=coarse, codebooks=books, encoded=e,
+    )
+    direct = probe(enc).toPandas()
+    base = tempfile.mkdtemp(prefix="t_ivfpq_idx_")
+    save_ivf_pq_index(enc, f"{base}/idx")
+    disk = probe(load_ivf_pq_index(spark, f"{base}/idx"))
+    got = disk.toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).astype(str)
+        .equals(direct.sort_values(key).reset_index(drop=True).astype(str))
+    )
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
