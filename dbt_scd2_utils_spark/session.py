@@ -22,6 +22,16 @@ def get_spark(app_name: str = "dbt_scd2_utils_spark", cpus: int | None = None) -
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # The S5 single-eval barriers persist() delta-sized intermediates;
+        # by default AQE refuses to re-plan inside cached plans
+        # (canChangeCachedPlanOutputPartitioning=false), so a persisted
+        # merge source keeps the full shuffle-partition fan-out even when
+        # its actual size is tiny — observed as 64-96-task stages over
+        # ~60-row SCD2 state in the sequence replay.  Allowing it lets
+        # AQE coalesce cached subtrees like any other; downstream joins
+        # that needed the cache's partitioning re-shuffle a delta-sized
+        # input at worst.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -38,6 +48,9 @@ def prepare(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
