@@ -2693,23 +2693,42 @@ def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Operators whose semantics changed in the CURRENT round: they re-gate in
+# this round's window regardless of how fresh their last green row is.
+# streaming_novelty: r5 made its output epoch-partitioned but its only
+# green row is r4; bpe_*: the r7 max_vocab default bound changes the code
+# path the gated calls take.  Reset this tuple each round.
+SEMANTICS_CHANGED: tuple[str, ...] = (
+    "streaming_novelty",
+    "bpe_learn_merges",
+    "bpe_learn_merges_100",
+    "bpe_token_counts",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is load-bearing: the driver's correctness gate runs the
     first ~50 entries per round (r3 gated exactly entries 1-50), so the
-    surface ROTATES — queries whose last green row is oldest, that have
-    never been gated, or whose semantics changed this round come FIRST;
-    queries with a fresh green row from the previous round on the current
-    testdata close the list.  Rotation cadence: with 115 queries and a
-    50-slot window, every oracle-backed query gets a driver row at least
-    every THIRD round (⌈115/50⌉), and any query whose semantics changed
-    re-gates in the round that changed it.  The block comments below mark
-    the planned next window."""
+    surface ROTATES.  The order is COMPUTED, not hand-maintained
+    (rotation.rotate over the committed CORRECTNESS_r*.json history):
+    SEMANTICS_CHANGED names lead, then never-gated queries, then
+    stalest-first by latest green round, stable by registry order.
+    Rotation cadence: with ~116 queries and a 50-slot window, every
+    oracle-backed query gets a driver row at least every THIRD round
+    (⌈116/50⌉) with zero per-round editing — an idle round no longer
+    decays the cadence, the next gated round picks up exactly where the
+    history says.  Audit with scripts/rotation_plan.py; preflight the
+    upcoming window with scripts/gate_preflight.py."""
+    from .rotation import rotate
+
+    return rotate(_query_registry(), SEMANTICS_CHANGED)
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every gated query, in registry (tiebreak) order.  Order here only
+    breaks ties within a staleness tier — keep related operators adjacent
+    for readability; rotation.rotate computes the gate window."""
     return {
-        # == ROUND-7 GATE WINDOW (first 50) ==============================
-        # -- semantics changed in r5 (epoch-partitioned output) but its
-        # only green row is r4: re-gate first
-        "streaming_novelty": q_streaming_novelty,
-        # -- the 18 r3-stale queries (three rounds without a driver row)
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_json_extract": q_events_json_extract,
         "events_daily_rollup": q_events_daily_rollup,
@@ -2728,16 +2747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_filter": q_quality_percentile_filter,
         "profile_lineitem": q_profile_lineitem,
         "scrub_pii": q_scrub_pii,
-        # -- new in round 7
         "scd2_sequence_replay": q_scd2_sequence_replay,
         "ann_ivf_pq_append": q_ann_ivf_pq_append,
         "streaming_ivf_pq_probe": q_streaming_ivf_pq_probe,
-        # -- default changed in r7 (max_vocab bounded): re-gate
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_learn_merges_100": q_bpe_learn_merges_100,
         "bpe_token_counts": q_bpe_token_counts,
-        # -- oldest r4-stale: the ANN/retrieval index family + the
-        # curation pipelines (VERDICT r6 priority list)
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -2747,7 +2762,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "curation_pipeline_v3": q_curation_pipeline_v3,
         "curation_pipeline_v4": q_curation_pipeline_v4,
-        # -- remaining r4-stale, oldest-first up to slot 50
         "decontaminate_containment": q_decontaminate_containment,
         "dedup_survivor_quality": q_dedup_survivor_quality,
         "corpus_mixture_report": q_corpus_mixture_report,
@@ -2764,14 +2778,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_features": q_image_tile_features,
         "training_order": q_training_order,
         "duplicate_span_coverage": q_duplicate_span_coverage,
-        # == entry 50 closes the must-gate window ========================
-        # -- r4-green leftovers: lead the r8 window
         "dataset_card": q_dataset_card,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "dedup_incremental_novelty": q_dedup_incremental_novelty,
         "domain_mixture_sample": q_domain_mixture_sample,
         "streaming_dedup_exact": q_streaming_dedup_exact,
+        "streaming_novelty": q_streaming_novelty,
         "multimodal_decode_real": q_multimodal_decode_real,
         "token_count": q_token_count,
         "language_id": q_language_id,
@@ -2785,7 +2798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": q_train_val_test_split,
         "token_shards": q_token_shards,
         "epoch_weighted_repeat": q_epoch_weighted_repeat,
-        # -- r6-green (the whole r5/r6 window), unchanged since: close
         "embedding_pool": q_embedding_pool,
         "embedding_random_projection": q_embedding_random_projection,
         "pack_sequences": q_pack_sequences,

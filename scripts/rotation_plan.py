@@ -78,17 +78,23 @@ def main() -> int:
     )
     ap.add_argument(
         "--changed",
-        default="",
-        help="comma-separated queries whose semantics changed (must lead)",
+        default=None,
+        help="comma-separated queries whose semantics changed (must lead); "
+        "default: entry.SEMANTICS_CHANGED (the pins rotation.rotate uses)",
     )
     args = ap.parse_args()
 
     import __spark_entry__ as em
+    from dbt_scd2_utils_spark.entry import SEMANTICS_CHANGED
 
     order = list(em.queries().keys())
     latest, newest = green_history()
     next_round = args.next_round or newest + 1
-    changed = [q for q in args.changed.split(",") if q]
+    changed = (
+        [q for q in args.changed.split(",") if q]
+        if args.changed is not None
+        else list(SEMANTICS_CHANGED)
+    )
 
     n = len(order)
     bound = math.ceil(n / args.window)  # cadence promise: gated every
