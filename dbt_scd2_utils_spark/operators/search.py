@@ -43,6 +43,10 @@ from ..functions.partitioning import parallelize_narrow
 _SPARK_TOKENS = "split(lower(trim({col})), '\\\\s+')"
 _DUCK_TOKENS = "string_split_regex(lower(trim({col})), '\\s+')"
 
+# Salt fan-out for the static-pruning top-K (phase 1 of the two-phase
+# window in _bm25_from_tf): bounds any single sort task at ~df/32 rows.
+_PRUNE_SALTS = 32
+
 
 def _search_tokens(col: str) -> Column:
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
@@ -150,13 +154,28 @@ def _bm25_from_tf(
     )
     postings = postings.withColumn("contrib_micro", F.expr(contrib))
     if max_postings_per_term is not None:
-        wimp = Window.partitionBy("term").orderBy(
-            F.col("contrib_micro").desc(), F.col("doc_id").asc()
-        )
+        # Two-phase SALTED top-K: a plain row_number window partitioned
+        # by term sorts each hot term's whole posting list in ONE task —
+        # Zipf head terms (df ∝ n) serialize the build at corpus scale
+        # (measured: the s10 scale-proof hybrid_index_build spent its
+        # 2nd-decade superlinearity here).  Phase 1 ranks within
+        # (term, salt) — 32-way balanced — and keeps each salt's top-K;
+        # phase 2 ranks the ≤ 32·K survivors per term.  EXACT: the
+        # per-term order (contrib desc, doc_id asc) is total, so any
+        # global-top-K row is also top-K within its salt group; phase 2
+        # then sees every row that could outrank it (pinned equal to the
+        # single-window plan by test).
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(_PRUNE_SALTS))
+        order = (F.col("contrib_micro").desc(), F.col("doc_id").asc())
+        w1 = Window.partitionBy("term", "_salt").orderBy(*order)
+        w2 = Window.partitionBy("term").orderBy(*order)
         postings = (
-            postings.withColumn("_imp_rank", F.row_number().over(wimp))
+            postings.withColumn("_salt", salt)
+            .withColumn("_imp_rank", F.row_number().over(w1))
             .filter(F.col("_imp_rank") <= max_postings_per_term)
-            .drop("_imp_rank")
+            .withColumn("_imp_rank", F.row_number().over(w2))
+            .filter(F.col("_imp_rank") <= max_postings_per_term)
+            .drop("_imp_rank", "_salt")
         )
     return postings
 

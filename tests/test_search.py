@@ -225,3 +225,38 @@ def test_bm25_index_append_equals_rebuild(spark):
     hits = bm25_topk(None, qs, k=5, index=appended)
     assert {r.doc_id for r in hits.collect()} <= set(range(100, 110))
     assert hits.count() > 0
+
+
+def test_bm25_salted_pruning_equals_single_window(spark):
+    """The two-phase salted top-K in _bm25_from_tf must be EXACTLY the
+    plain global per-term window (the skew fix may not change a single
+    posting).  Hot term: 'hot' appears in all 200 docs with varying tf
+    (so contribs differ and more than one salt group survives phase 1);
+    K far below df forces real truncation."""
+    from pyspark.sql import Window
+
+    from dbt_scd2_utils_spark.operators.search import bm25_index
+
+    rows = [
+        (i, " ".join(["hot"] * (1 + i % 9) + [f"tail{i % 40}"]))
+        for i in range(200)
+    ]
+    docs = _docs(spark, rows)
+    k = 10
+    got = bm25_index(docs, max_df_frac=None, max_postings_per_term=k)
+
+    full = bm25_index(docs, max_df_frac=None, max_postings_per_term=None)
+    w = Window.partitionBy("term").orderBy(
+        F.col("contrib_micro").desc(), F.col("doc_id").asc()
+    )
+    want = (
+        full.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    key = ["term", "doc_id"]
+    g = got.toPandas().sort_values(key).reset_index(drop=True)
+    x = want.toPandas().sort_values(key).reset_index(drop=True)
+    assert g[x.columns].astype(str).equals(x.astype(str))
+    # the hot term really was truncated
+    assert g[g.term == "hot"].shape[0] == k
