@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "knn_graph",
+    "knn_graph_pq",
     "semantic_dedup",
     "multimodal_decode",
     "multimodal_frame_sample",

@@ -71,6 +71,7 @@ from .operators.similarity import (
     ivf_ann_topk,
     ivf_ann_topk_sql,
     kmeans_centroids_sql,
+    knn_graph_pq_sql,
     knn_graph_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
@@ -644,13 +645,25 @@ def q_scd2_sequence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             CUSTOMERS_RAW[i], CUSTOMERS_SCHEMA
         ).withColumn("_created_at", F.col("_updated_at"))
 
-    state = scd2_initial_load(batch(1), SEQ_CFG)
-    for i in range(2, 7):
-        # Materialize between iterations like a table write (bounded: the
-        # seed state is ~60 rows; a real deployment reads the persisted
-        # target table here, cf. _staged_target).
-        state = spark.createDataFrame(state.collect(), state.schema)
-        state = scd2_incremental(state, batch(i), SEQ_CFG)
+    # Scope canChangeCachedPlanOutputPartitioning=true to this query: the
+    # six persisted merge states are ~60 rows, and letting AQE coalesce
+    # inside the cached plans trims the 32-partition fan-out every
+    # iteration (~10-20% measured).  NOT set globally — on queries whose
+    # downstream joins reuse a cache's partitioning it costs 15-25%
+    # (session.py note).
+    _ccp = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prior = spark.conf.get(_ccp, "false")
+    spark.conf.set(_ccp, "true")
+    try:
+        state = scd2_initial_load(batch(1), SEQ_CFG)
+        for i in range(2, 7):
+            # Materialize between iterations like a table write (bounded:
+            # the seed state is ~60 rows; a real deployment reads the
+            # persisted target table here, cf. _staged_target).
+            state = spark.createDataFrame(state.collect(), state.schema)
+            state = scd2_incremental(state, batch(i), SEQ_CFG)
+    finally:
+        spark.conf.set(_ccp, prior)
     return state
 
 
@@ -2148,6 +2161,24 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb_corpus(spark, sf_dir), k=5, id_col="vec_id", vec_col="v")
 
 
+def q_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized twin of q_knn_graph: same banded-LSH blocking, but
+    pair verification by PQ symmetric distance (8 lookups into a
+    broadcast m·ksub² centroid-dot table) instead of an exact 64-dim
+    cosine — the remedy BASELINE §round-7c ranks first for the one
+    superlinear build on the 100× curve (pair rows carry m bytes of
+    codes, not two full vectors; measured 944 s → see BASELINE for the
+    s10 row).  Output ranks by the micro-quantized cosine ESTIMATE
+    (operators/similarity.py::knn_graph_pq)."""
+    prepare(spark)
+    from .operators.similarity import knn_graph_pq
+
+    return knn_graph_pq(
+        emb_corpus(spark, sf_dir), k=5, id_col="vec_id", vec_col="v",
+        m=8, ksub=16,
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup over the embedding corpus: k-NN
     graph edges above a cosine threshold → connected components → one
@@ -2808,6 +2839,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ann_probe": q_streaming_ann_probe,
         "decontaminate_semantic": q_decontaminate_semantic,
         "knn_graph": q_knn_graph,
+        "knn_graph_pq": q_knn_graph_pq,
         "semantic_dedup": q_semantic_dedup,
         "top_ngrams": q_top_ngrams,
         "events_asof_latest_order": q_events_asof_latest_order,
@@ -3253,6 +3285,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "paragraph_dedup": paragraph_dedup_stats_sql("select * from documents"),
         "knn_graph": knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v"),
+        "knn_graph_pq": knn_graph_pq_sql(
+            EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16
+        ),
         "semantic_dedup": dedup_clusters_sql(
             f"select vec_id from ({EMB_CORPUS_SQL})",
             f"""select src as id_a, dst as id_b

@@ -1389,6 +1389,244 @@ qualify rank <= {k}
 """
 
 
+def _half_up_micro(x: float) -> int:
+    """round(1e6·x) with ties away from zero — the driver-side twin of
+    DuckDB's ``round()`` (Python's built-in round is banker's)."""
+    import math
+
+    return int(math.floor(abs(x) * 1.0e6 + 0.5)) * (1 if x >= 0 else -1)
+
+
+def knn_graph_pq(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    codebooks: DataFrame | None = None,
+    vectorized_encode: bool = False,
+) -> DataFrame:
+    """:func:`knn_graph` with the exact-cosine verification replaced by
+    PQ symmetric distance computation (SDC, Jégou et al. TPAMI'11 §III):
+    both endpoints are PQ codes and score(x, y) ≈ cos(x, y) =
+    Σ_s dot(ĉ_{x,s}, ĉ_{y,s}) — m integer lookups into a broadcast
+    m·ksub² table of centroid-pair dots instead of a dims-wide float
+    dot.  Same banded-LSH blocking, same (score desc, dst asc)
+    dense-rank top-k contract; output carries ``sdc_cos_micro`` (the
+    micro-quantized cosine ESTIMATE) instead of an exact cosine.
+
+    Why it exists — the measured shape (BASELINE.md §round-7c): exact
+    knn_graph's candidate pairs carry two full vectors through the
+    bucket self-join (~1 KB/pair; 140M pairs at 500k vectors) and that
+    shuffle+FMA volume made it the one superlinear build on the 100×
+    curve.  Here the join rows carry (id, band, sig, codes[m bytes]) —
+    ~60× less shuffle, 8 table lookups per pair — and the SDC table
+    (m·ksub² = 2048 entries here) broadcasts as one literal row.
+    Quantization trades recall for that, measured on the planted-twin
+    corpus in tests (twins survive; far pairs reorder) — rerank the
+    top-k with exact cosines via :func:`pq_ann_topk`'s pattern when the
+    downstream gate needs true cosine values.
+
+    The SDC table is computed driver-side from the collected codebook
+    (m·ksub rows — bounded like every k-means collect in this module)
+    with a SEQUENTIAL double fold and half-away-from-zero rounding, so
+    the entries are bit-identical to the DuckDB twin's
+    ``round(1e6·list_dot_product)``."""
+    sub = dims // m
+    books = (
+        codebooks
+        if codebooks is not None
+        else _barrier(pq_codebooks(df, dims, m, ksub, iters, id_col, vec_col))
+    )
+
+    # vectorized_encode: the numpy-matmul encode (pq_codes_vectorized,
+    # pinned bit-equal to the HOF path by test) — at 500k vectors the
+    # windowed HOF encode is the dominant cost; the HOF default stays
+    # bit-identical to the DuckDB oracle for gated use.
+    if vectorized_encode:
+        codes = pq_codes_vectorized(
+            df, books, dims, m, id_col=id_col, vec_col=vec_col, out_id="id"
+        )
+    else:
+        codes = _pq_codes_hof(
+            _pq_subvecs(df, "id", sub, m, id_col, vec_col), books, "id"
+        )
+    codes_arr = codes.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"].cast("int"),
+        ).alias("codes")
+    )
+
+    # SDC table: t[s·ksub² + i·ksub + j] = round_micro(dot(cv_si, cv_sj)).
+    cents = {
+        (r["sub_id"], r["cent_id"]): list(r["cv"])
+        for r in books.select("sub_id", "cent_id", "cv").collect()
+    }
+    t = [0] * (m * ksub * ksub)
+    for (s, i), a in cents.items():
+        for j in range(ksub):
+            b = cents.get((s, j))
+            if b is None:
+                continue  # degenerate subspace: fewer centroids than ksub
+            acc = 0.0
+            for d in range(sub):
+                acc += a[d] * b[d]
+            t[int(s) * ksub * ksub + int(i) * ksub + j] = _half_up_micro(acc)
+    tdf = df.sparkSession.createDataFrame([(t,)], "t array<bigint>")
+
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    e = _barrier(
+        _banded(df, "id", "v", id_col, vec_col, bhp)
+        .select("id", "band", "sig")
+        .join(codes_arr, "id")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("t"),
+            (
+                F.lit(s * ksub * ksub)
+                + F.col("a.codes").getItem(s) * ksub
+                + F.col("b.codes").getItem(s)
+                + 1
+            ).cast("int"),
+        )
+        score = term if score is None else score + term
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .crossJoin(F.broadcast(tdf))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            score.alias("sdc_cos_micro"),
+        )
+    )
+    # duplicates of (src, dst) across bands carry the identical score, so
+    # dense_rank over the raw stream ≡ row_number over the deduped stream
+    # (same argument as knn_graph) and the corpus-sized distinct moves
+    # after the rank filter.
+    w = Window.partitionBy("src").orderBy(
+        F.col("sdc_cos_micro").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.dense_rank().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src", "dst", "sdc_cos_micro",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .distinct()
+    )
+
+
+def knn_graph_pq_sql(
+    source_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 8,
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`knn_graph_pq` — identical subspace k-means
+    and argmin encode (the pq_ann_topk_sql patterns), the SDC table as a
+    books self-join, scoring by the long-form (sub, code, code) join."""
+    sub = dims // m
+    bhp = banded_hyperplanes(dims, bands, rows_per_band)
+    dv = f"cast({vec_col} as double[])"
+    nv = (
+        f"case when sqrt(list_dot_product({dv}, {dv})) = 0 then {dv} "
+        f"else list_transform({dv}, x -> x / "
+        f"sqrt(list_dot_product({dv}, {dv}))) end"
+    )
+    normed = f"select {id_col}, {nv} as _nv from ({source_sql})"
+    d2 = (
+        "(list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+        " - 2 * list_dot_product({a}, {b}))"
+    )
+    book_branches = "\n  union all\n".join(
+        f"  select cast({j} as bigint) as sub_id, cent_id, cv from ("
+        + kmeans_centroids_sql(
+            f"select {id_col}, list_slice(_nv, "
+            f"{j * sub + 1}, {(j + 1) * sub}) as subv "
+            f"from ({normed})",
+            k=ksub,
+            iters=iters,
+            id_col=id_col,
+            vec_col="subv",
+            dims=sub,
+        )
+        + ")"
+        for j in range(m)
+    )
+    sub_branches = "\n  union all\n".join(
+        f"  select {id_col} as id, cast({j} as bigint) as sub_id, "
+        f"list_slice(_nv, {j * sub + 1}, "
+        f"{(j + 1) * sub}) as subv from ({normed})"
+        for j in range(m)
+    )
+    return f"""
+with books as (
+{book_branches}
+),
+csub as (
+{sub_branches}
+),
+codes as (
+  select id, sub_id, cent_id as code from (
+    select c.id, c.sub_id, b.cent_id,
+           row_number() over (
+             partition by c.id, c.sub_id
+             order by {d2.format(a="c.subv", b="b.cv")} asc, b.cent_id asc
+           ) as rn
+    from csub c join books b using (sub_id)
+  ) where rn = 1
+),
+sdc as (
+  select a.sub_id, a.cent_id as ca, b.cent_id as cb,
+         cast(round(1.0e6 * list_dot_product(a.cv, b.cv)) as bigint)
+           as t_micro
+  from books a join books b using (sub_id)
+),
+e as (
+{_banded_sql(source_sql, "id", "v", id_col, vec_col, bhp)}
+),
+pairs as (
+  select distinct a.id as src, b.id as dst
+  from e a join e b on a.band = b.band and a.sig = b.sig and a.id <> b.id
+),
+scored as (
+  select p.src, p.dst, cast(sum(s.t_micro) as bigint) as sdc_cos_micro
+  from pairs p
+  join codes x on x.id = p.src
+  join codes y on y.id = p.dst and y.sub_id = x.sub_id
+  join sdc s on s.sub_id = x.sub_id and s.ca = x.code and s.cb = y.code
+  group by 1, 2
+)
+select src, dst, sdc_cos_micro,
+  cast(row_number() over (
+    partition by src order by sdc_cos_micro desc, dst asc
+  ) as bigint) as rank
+from scored
+qualify rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Group pooling: many vectors → one L2-normalized centroid per group
 # ---------------------------------------------------------------------------

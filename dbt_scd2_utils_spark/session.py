@@ -22,16 +22,13 @@ def get_spark(app_name: str = "dbt_scd2_utils_spark", cpus: int | None = None) -
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # The S5 single-eval barriers persist() delta-sized intermediates;
-        # by default AQE refuses to re-plan inside cached plans
-        # (canChangeCachedPlanOutputPartitioning=false), so a persisted
-        # merge source keeps the full shuffle-partition fan-out even when
-        # its actual size is tiny — observed as 64-96-task stages over
-        # ~60-row SCD2 state in the sequence replay.  Allowing it lets
-        # AQE coalesce cached subtrees like any other; downstream joins
-        # that needed the cache's partitioning re-shuffle a delta-sized
-        # input at worst.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # canChangeCachedPlanOutputPartitioning stays at its default
+        # (false): flipping it globally lets AQE coalesce tiny cached
+        # subtrees (10-20% off the sequence replay's 60-row states) but
+        # was A/B-measured to cost 15-25% on queries whose downstream
+        # joins REUSE a cache's partitioning (decontaminate_semantic,
+        # scd2_bucketed_temporal_join).  The one query that wants it
+        # scopes it locally (entry.q_scd2_sequence_replay).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -48,9 +45,6 @@ def prepare(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-        )
         if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:

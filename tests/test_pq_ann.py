@@ -246,3 +246,67 @@ def test_ivf_pq_disk_index_probe_prunes_partitions(spark, corpus):
     )
     plan = disk._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_knn_graph_pq_matches_duckdb_and_keeps_twins(spark):
+    """knn_graph_pq (SDC-scored graph): Spark ≡ the DuckDB twin
+    value-for-value, and the planted twins survive quantization — the
+    recall claim the BASELINE §round-7c remedy rests on."""
+    import random
+
+    import duckdb
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_pq,
+        knn_graph_pq_sql,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        if i >= 60 and i % 2 == 0:
+            v = list(rows[i - 60][1])
+            v[rng.randrange(16)] += 0.3
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=3, dims=16, m=4, ksub=8, bands=8, rows_per_band=4)
+
+    got = knn_graph_pq(df, **kw).toPandas()
+    con = duckdb.connect()
+    con.register("emb", df.toPandas())
+    want = con.sql(knn_graph_pq_sql("select * from emb", **kw)).df()
+    key = ["src", "dst"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert g[w.columns].astype(str).equals(w.astype(str))
+
+    # every planted twin edge the EXACT graph finds, the SDC graph keeps
+    exact = knn_graph(df, k=3, dims=16, bands=8, rows_per_band=4).toPandas()
+    twins = {(i, i - 60) for i in range(60, 120, 2)}
+    def hits(d):
+        return {(s, t) for s, t in twins if ((d.src == s) & (d.dst == t)).any()}
+    assert hits(g) >= hits(exact)
+    assert len(hits(exact)) > 20
+
+
+def test_knn_graph_pq_vectorized_encode_identical(spark):
+    """vectorized_encode=True (numpy-matmul encode) must leave the graph
+    bit-identical to the HOF default — same pin as the ivf_pq build."""
+    import random
+
+    from dbt_scd2_utils_spark.operators.similarity import knn_graph_pq
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=3, dims=16, m=4, ksub=8, bands=8, rows_per_band=4)
+    key = ["src", "dst"]
+    a = knn_graph_pq(df, **kw).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        knn_graph_pq(df, vectorized_encode=True, **kw)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert a.astype(str).equals(b[a.columns].astype(str))
