@@ -152,13 +152,25 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     k: int = 12,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH banding.
 
     signature (k hashes) → `bands` bands of k/bands rows → bucket join on
     (band index, band signature) → candidate pairs (a < b), deduped.
     Shuffle is on the band-signature key; no O(n²) comparisons.
-    """
+
+    ``max_bucket``: drop buckets larger than this BEFORE the self-join —
+    the mega-bucket safety valve for web-scale corpora, where a
+    boilerplate/exact-duplicate flood hashes a million documents into
+    one bucket and the within-bucket join goes quadratic (10⁶ members →
+    10¹² pairs).  Cost: one map-side-combined count over the banded
+    table.  Recall: a pair is lost only if EVERY band it collides in is
+    over the cap — and a flood cluster that big should have been
+    collapsed by :func:`exact_dedup` / :func:`normalized_exact_dedup`
+    upstream (the curation pipelines do exactly that); the cap is the
+    guard for the corpus you haven't cleaned yet.  Default None keeps
+    every bucket."""
     rows = k // bands
     # Signature table materialized once (persist = barrier): the banding and
     # both self-join sides reference it, and without the barrier Catalyst's
@@ -182,6 +194,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.band_sig")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(small, ["band", "band_sig"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -204,6 +224,7 @@ def minhash_lsh_pairs_sql(
     shingle_n: int = 3,
     k: int = 12,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> str:
     rows = k // bands
     sig_sql = minhash_signature_sql(word_shingles_sql(text_col, shingle_n), k)
@@ -213,6 +234,19 @@ def minhash_lsh_pairs_sql(
         + " as band_sig from sigs"
         for b in range(bands)
     )
+    cap = (
+        ""
+        if max_bucket is None
+        else f""",
+kept as (
+  select band, band_sig from banded
+  group by 1, 2 having count(*) <= {max_bucket}
+),
+banded_capped as (
+  select b.* from banded b join kept using (band, band_sig)
+)"""
+    )
+    src = "banded" if max_bucket is None else "banded_capped"
     return f"""
 with sigs as (
   select {id_col} as id, {sig_sql} as sig
@@ -220,9 +254,9 @@ with sigs as (
 ),
 banded as (
 {band_selects}
-)
+){cap}
 select distinct a.id as id_a, b.id as id_b
-from banded a join banded b
+from {src} a join {src} b
   on a.band = b.band and a.band_sig = b.band_sig and a.id < b.id
 """
 
