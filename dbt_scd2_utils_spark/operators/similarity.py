@@ -1410,6 +1410,7 @@ def knn_graph_pq(
     iters: int = 2,
     codebooks: DataFrame | None = None,
     vectorized_encode: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """:func:`knn_graph` with the exact-cosine verification replaced by
     PQ symmetric distance computation (SDC, Jégou et al. TPAMI'11 §III):
@@ -1428,9 +1429,13 @@ def knn_graph_pq(
     ~60× less shuffle, 8 table lookups per pair — and the SDC table
     (m·ksub² = 2048 entries here) broadcasts as one literal row.
     Quantization trades recall for that, measured on the planted-twin
-    corpus in tests (twins survive; far pairs reorder) — rerank the
-    top-k with exact cosines via :func:`pq_ann_topk`'s pattern when the
-    downstream gate needs true cosine values.
+    corpus in tests (twins survive; far pairs reorder).  ``rerank=C``
+    (IVFADC+R, Jégou et al.) recovers TRUE cosines: SDC keeps each
+    node's top-C candidates, then an exact cosine over only those n·C
+    slim pairs re-ranks to the final top-k — output becomes
+    (src, dst, cosine_sim, rank), a drop-in for threshold consumers
+    like semantic dedup, while the bucket-sized candidate stream (the
+    expensive part) still never carries a vector.
 
     The SDC table is computed driver-side from the collected codebook
     (m·ksub rows — bounded like every k-means collect in this module)
@@ -1520,14 +1525,47 @@ def knn_graph_pq(
     w = Window.partitionBy("src").orderBy(
         F.col("sdc_cos_micro").desc(), F.col("dst").asc()
     )
-    return (
+    sdc_topc = (
         pairs.withColumn("rank", F.dense_rank().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= (rerank or k))
         .select(
             "src", "dst", "sdc_cos_micro",
             F.col("rank").cast("long").alias("rank"),
         )
         .distinct()
+    )
+    if rerank is None:
+        return sdc_topc
+    # Exact re-rank (IVFADC+R): n·C slim (src, dst) pairs pick up the raw
+    # vectors by two id-joins — the same cosine expression as knn_graph
+    # (unrolled dot over raw doubles / norms, DuckDB fold order).
+    nrm_sql = " + ".join(
+        f"_rv[{d}] * _rv[{d}]" for d in range(dims)
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_rid"),
+        as_double(vec_col).alias("_rv"),
+    ).select(
+        "_rid", "_rv", F.sqrt(F.expr(nrm_sql)).alias("_rn")
+    )
+    wr = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        sdc_topc.select("src", "dst")
+        .join(vecs.alias("ra"), F.col("src") == F.col("ra._rid"))
+        .join(vecs.alias("rb"), F.col("dst") == F.col("rb._rid"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.expr(unrolled_dot_sql("ra._rv", "rb._rv", dims))
+                / (F.col("ra._rn") * F.col("rb._rn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -1542,10 +1580,12 @@ def knn_graph_pq_sql(
     m: int = 8,
     ksub: int = 16,
     iters: int = 2,
+    rerank: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`knn_graph_pq` — identical subspace k-means
     and argmin encode (the pq_ann_topk_sql patterns), the SDC table as a
-    books self-join, scoring by the long-form (sub, code, code) join."""
+    books self-join, scoring by the long-form (sub, code, code) join,
+    and the optional exact re-rank over the SDC top-C candidates."""
     sub = dims // m
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     dv = f"cast({vec_col} as double[])"
@@ -1617,13 +1657,35 @@ scored as (
   join codes y on y.id = p.dst and y.sub_id = x.sub_id
   join sdc s on s.sub_id = x.sub_id and s.ca = x.code and s.cb = y.code
   group by 1, 2
+),
+sdc_topc as (
+  select src, dst, sdc_cos_micro,
+    cast(row_number() over (
+      partition by src order by sdc_cos_micro desc, dst asc
+    ) as bigint) as rank
+  from scored
+  qualify rank <= {rerank or k}
 )
-select src, dst, sdc_cos_micro,
+{f'''
+, vecs as (
+  select {id_col} as rid, cast({vec_col} as double[]) as rv,
+         sqrt(list_dot_product(cast({vec_col} as double[]),
+                               cast({vec_col} as double[]))) as rn
+  from ({source_sql})
+),
+reranked as (
+  select c.src, c.dst,
+    round(list_dot_product(a.rv, b.rv) / (a.rn * b.rn), 6) as cosine_sim
+  from sdc_topc c join vecs a on a.rid = c.src join vecs b on b.rid = c.dst
+)
+select src, dst, cosine_sim,
   cast(row_number() over (
-    partition by src order by sdc_cos_micro desc, dst asc
+    partition by src order by cosine_sim desc, dst asc
   ) as bigint) as rank
-from scored
+from reranked
 qualify rank <= {k}
+''' if rerank is not None else
+ "select src, dst, sdc_cos_micro, rank from sdc_topc"}
 """
 
 

@@ -784,6 +784,17 @@ def run_flagship(spark, paths: dict[str, str]) -> dict[str, float]:
     times["ivf_pq_index_append_500"] = round(time.perf_counter() - t0, 2)
     coarse.unpersist()
     enc.unpersist()
+
+    # The SDC-scored graph (the knn_graph remedy, BASELINE §round-7d):
+    # same banded blocking, pair rows carry PQ codes instead of vectors.
+    from dbt_scd2_utils_spark.operators.similarity import knn_graph_pq
+
+    t0 = time.perf_counter()
+    knn_graph_pq(
+        emb, k=5, rows_per_band=rpb, m=8, ksub=16, codebooks=books,
+        vectorized_encode=True,
+    ).write.format("noop").mode("overwrite").save()
+    times["knn_graph_pq"] = round(time.perf_counter() - t0, 2)
     books.unpersist()
 
     from dbt_scd2_utils_spark.operators.bpe import learn_bpe_merges

@@ -310,3 +310,48 @@ def test_knn_graph_pq_vectorized_encode_identical(spark):
         .toPandas().sort_values(key).reset_index(drop=True)
     )
     assert a.astype(str).equals(b[a.columns].astype(str))
+
+
+def test_knn_graph_pq_rerank_recovers_true_cosines(spark):
+    """rerank=C (IVFADC+R): Spark ≡ the DuckDB twin, the output carries
+    TRUE cosines (bit-equal to the exact graph's on shared edges), and
+    every planted twin survives."""
+    import random
+
+    import duckdb
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_pq,
+        knn_graph_pq_sql,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        if i >= 60 and i % 2 == 0:
+            v = list(rows[i - 60][1])
+            v[rng.randrange(16)] += 0.3
+        else:
+            v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=3, dims=16, m=4, ksub=8, bands=8, rows_per_band=4)
+
+    got = knn_graph_pq(df, rerank=10, **kw).toPandas()
+    con = duckdb.connect()
+    con.register("emb", df.toPandas())
+    want = con.sql(
+        knn_graph_pq_sql("select * from emb", rerank=10, **kw)
+    ).df()
+    key = ["src", "dst"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert g[w.columns].astype(str).equals(w.astype(str))
+
+    exact = knn_graph(df, k=3, dims=16, bands=8, rows_per_band=4).toPandas()
+    merged = g.merge(exact, on=key, suffixes=("_pq", "_ex"))
+    assert (merged.cosine_sim_pq == merged.cosine_sim_ex).all()
+    twins = {(i, i - 60) for i in range(60, 120, 2)}
+    kept = {(s, t) for s, t in twins if ((g.src == s) & (g.dst == t)).any()}
+    assert len(kept) == len(twins)
