@@ -1297,6 +1297,26 @@ where rank <= {k}
 """
 
 
+def _cap_buckets(
+    e: DataFrame, max_bucket: int | None, keys: tuple[str, str] = ("band", "sig")
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` before a self-join —
+    the mega-bucket safety valve (same rationale and shape as
+    ``dedup.minhash_lsh_pairs(max_bucket=)``): an exact-duplicate
+    embedding flood hashes everything into one bucket and the
+    within-bucket join goes quadratic.  One map-side-combined count on
+    the join key; None = no-op."""
+    if max_bucket is None:
+        return e
+    small = (
+        e.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select(*keys)
+    )
+    return e.join(small, list(keys), "left_semi")
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 5,
@@ -1305,6 +1325,7 @@ def knn_graph(
     bands: int = 16,
     rows_per_band: int = 8,
     dims: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph over an embedding corpus: for every vector,
     its top-``k`` most-cosine-similar neighbors among the banded-LSH
@@ -1325,9 +1346,16 @@ def knn_graph(
     nearest neighbor for cosine>=0.9 pairs is 1.00 at 16 bands vs 0.83 at
     8, for 2× the candidate pairs (28k vs 14k on 600 vectors — still ~8%
     of the 360k all-pairs); the sign-LSH theory curve at the 0.9 boundary
-    is 1-(1-p^8)^16 ≈ 0.996 with p = 1 - arccos(0.9)/π ≈ 0.856."""
+    is 1-(1-p^8)^16 ≈ 0.996 with p = 1 - arccos(0.9)/π ≈ 0.856.
+
+    ``max_bucket`` drops signature buckets over the cap before the
+    self-join (:func:`_cap_buckets`) — a pair is lost only if EVERY
+    band it collides in is flooded; collapse exact-duplicate vectors
+    upstream and the cap never fires."""
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
-    e = _barrier(_banded(df, "id", "v", id_col, vec_col, bhp))
+    e = _barrier(
+        _cap_buckets(_banded(df, "id", "v", id_col, vec_col, bhp), max_bucket)
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -1361,6 +1389,22 @@ def knn_graph(
     )
 
 
+def _cap_sql(max_bucket: int | None) -> tuple[str, str]:
+    """(extra CTEs, join-source name) mirroring :func:`_cap_buckets`."""
+    if max_bucket is None:
+        return "", "e"
+    return (
+        f""",
+kept as (
+  select band, sig from e group by 1, 2 having count(*) <= {max_bucket}
+),
+e_capped as (
+  select e.* from e join kept using (band, sig)
+)""",
+        "e_capped",
+    )
+
+
 def knn_graph_sql(
     source_sql: str,
     k: int = 5,
@@ -1369,16 +1413,19 @@ def knn_graph_sql(
     bands: int = 16,
     rows_per_band: int = 8,
     dims: int = 64,
+    max_bucket: int | None = None,
 ) -> str:
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     cos = "round(list_dot_product(a.v, b.v) / (a.v_nrm * b.v_nrm), 6)"
+    cap, src = _cap_sql(max_bucket)
     return f"""
 with e as (
 {_banded_sql(source_sql, "id", "v", id_col, vec_col, bhp)}
-),
+){cap},
 pairs as (
   select distinct a.id as src, b.id as dst, {cos} as cosine_sim
-  from e a join e b on a.band = b.band and a.sig = b.sig and a.id <> b.id
+  from {src} a join {src} b
+    on a.band = b.band and a.sig = b.sig and a.id <> b.id
 )
 select src, dst, cosine_sim,
   cast(row_number() over (
@@ -1411,6 +1458,7 @@ def knn_graph_pq(
     codebooks: DataFrame | None = None,
     vectorized_encode: bool = False,
     rerank: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """:func:`knn_graph` with the exact-cosine verification replaced by
     PQ symmetric distance computation (SDC, Jégou et al. TPAMI'11 §III):
@@ -1487,9 +1535,12 @@ def knn_graph_pq(
 
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     e = _barrier(
-        _banded(df, "id", "v", id_col, vec_col, bhp)
-        .select("id", "band", "sig")
-        .join(codes_arr, "id")
+        _cap_buckets(
+            _banded(df, "id", "v", id_col, vec_col, bhp).select(
+                "id", "band", "sig"
+            ),
+            max_bucket,
+        ).join(codes_arr, "id")
     )
     a, b = e.alias("a"), e.alias("b")
     score = None
@@ -1581,6 +1632,7 @@ def knn_graph_pq_sql(
     ksub: int = 16,
     iters: int = 2,
     rerank: int | None = None,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`knn_graph_pq` — identical subspace k-means
     and argmin encode (the pq_ann_topk_sql patterns), the SDC table as a
@@ -1645,10 +1697,11 @@ sdc as (
 ),
 e as (
 {_banded_sql(source_sql, "id", "v", id_col, vec_col, bhp)}
-),
+){_cap_sql(max_bucket)[0]},
 pairs as (
   select distinct a.id as src, b.id as dst
-  from e a join e b on a.band = b.band and a.sig = b.sig and a.id <> b.id
+  from {_cap_sql(max_bucket)[1]} a join {_cap_sql(max_bucket)[1]} b
+    on a.band = b.band and a.sig = b.sig and a.id <> b.id
 ),
 scored as (
   select p.src, p.dst, cast(sum(s.t_micro) as bigint) as sdc_cos_micro

@@ -499,3 +499,51 @@ def test_semantic_decontaminate_blocking_is_lossless(corpus):
     )
     want = {r.cid for r in exact.collect()}
     assert flagged == want and len(want) > 0
+
+
+def test_knn_graph_max_bucket_caps_floods_and_matches_duckdb(spark):
+    """max_bucket on the graph builders: a 30-vector identical flood
+    drops out of the candidate stream, an ordinary twin pair survives,
+    and both graph flavors stay value-identical to their DuckDB twins
+    under the cap."""
+    import random
+
+    import duckdb
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_pq,
+        knn_graph_pq_sql,
+        knn_graph_sql,
+    )
+
+    rng = random.Random(5)
+    flood_vec = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [(i, list(flood_vec)) for i in range(30)]
+    twin = [rng.gauss(0, 1) for _ in range(16)]
+    rows += [(100, list(twin)), (101, twin[:3] + [twin[3] + 0.2] + twin[4:])]
+    rows += [(200 + i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=3, dims=16, bands=8, rows_per_band=4)
+
+    con = duckdb.connect()
+    con.register("emb", df.toPandas())
+    key = ["src", "dst"]
+
+    g = knn_graph(df, max_bucket=10, **kw).toPandas()
+    assert not ((g.src < 30) & (g.dst < 30)).any()          # flood gone
+    assert ((g.src == 100) & (g.dst == 101)).any()          # twin kept
+    w = con.sql(knn_graph_sql("select * from emb", max_bucket=10, **kw)).df()
+    gs = g.sort_values(key).reset_index(drop=True)
+    ws = w.sort_values(key).reset_index(drop=True)
+    assert gs[ws.columns].astype(str).equals(ws.astype(str))
+
+    pq_kw = dict(m=4, ksub=8, **kw)
+    gq = knn_graph_pq(df, max_bucket=10, **pq_kw).toPandas()
+    assert not ((gq.src < 30) & (gq.dst < 30)).any()
+    wq = con.sql(
+        knn_graph_pq_sql("select * from emb", max_bucket=10, **pq_kw)
+    ).df()
+    gqs = gq.sort_values(key).reset_index(drop=True)
+    wqs = wq.sort_values(key).reset_index(drop=True)
+    assert gqs[wqs.columns].astype(str).equals(wqs.astype(str))
