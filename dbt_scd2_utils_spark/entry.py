@@ -2724,17 +2724,26 @@ def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-# Operators whose semantics changed in the CURRENT round: they re-gate in
-# this round's window regardless of how fresh their last green row is.
-# streaming_novelty: r5 made its output epoch-partitioned but its only
-# green row is r4; bpe_*: the r7 max_vocab default bound changes the code
-# path the gated calls take.  Reset this tuple each round.
-SEMANTICS_CHANGED: tuple[str, ...] = (
-    "streaming_novelty",
-    "bpe_learn_merges",
-    "bpe_learn_merges_100",
-    "bpe_token_counts",
-)
+# Operators whose semantics changed: query name -> FIRST gate round whose
+# driver row reflects the change (for a change landed after round N's
+# gating, N+1).  rotation.active_pins keeps the pin leading the window
+# until the committed CORRECTNESS history shows a green row in a round >=
+# that value, then drops it mechanically — entries here never need a
+# per-round reset, only appending when semantics change.  Expired entries
+# are inert and kept as a change log.
+SEMANTICS_CHANGED: dict[str, int] = {
+    # r5 epoch-partitioned output; re-gated green r7 -> expired.
+    "streaming_novelty": 5,
+    # r7 max_vocab default bound; re-gated green r7 -> expired.
+    "bpe_learn_merges": 7,
+    "bpe_learn_merges_100": 7,
+    "bpe_token_counts": 7,
+    # Mega-bucket cap landed AFTER r7 gating (commits 42d2622/b932713):
+    # first gate round that includes the change is r8.
+    "dedup_minhash_lsh": 8,
+    "knn_graph": 8,
+    "knn_graph_pq": 8,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1490,6 +1490,12 @@ def knn_graph_pq(
     with a SEQUENTIAL double fold and half-away-from-zero rounding, so
     the entries are bit-identical to the DuckDB twin's
     ``round(1e6·list_dot_product)``."""
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank ({rerank}) must be >= k ({k}): the exact re-rank "
+            "filters rank <= k over only the SDC top-rerank candidates, "
+            "so rerank < k silently returns fewer than k neighbors"
+        )
     sub = dims // m
     books = (
         codebooks
@@ -1638,6 +1644,12 @@ def knn_graph_pq_sql(
     and argmin encode (the pq_ann_topk_sql patterns), the SDC table as a
     books self-join, scoring by the long-form (sub, code, code) join,
     and the optional exact re-rank over the SDC top-C candidates."""
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank ({rerank}) must be >= k ({k}): the exact re-rank "
+            "filters rank <= k over only the SDC top-rerank candidates, "
+            "so rerank < k silently returns fewer than k neighbors"
+        )
     sub = dims // m
     bhp = banded_hyperplanes(dims, bands, rows_per_band)
     dv = f"cast({vec_col} as double[])"

@@ -72,15 +72,35 @@ def green_history(root: str = _ROOT) -> dict[str, int]:
     return latest
 
 
+def active_pins(
+    semantics_changed: dict[str, int],
+    latest: dict[str, int],
+) -> set[str]:
+    """Pins that still need a re-gate: latest green row predates the
+    first gate round that includes the change.  A pin expires the moment
+    the history shows a green row at-or-after its change round — no
+    per-round hand reset (the r7-ADVICE decay fix)."""
+    return {
+        q for q, rnd in semantics_changed.items() if latest.get(q, 0) < rnd
+    }
+
+
 def rotate(
     registry: dict[str, Callable[..., _V]],
-    semantics_changed: tuple[str, ...] = (),
+    semantics_changed: dict[str, int] | None = None,
     root: str = _ROOT,
 ) -> dict[str, Callable[..., _V]]:
-    """Return ``registry`` reordered stalest-first (see module docstring)."""
+    """Return ``registry`` reordered stalest-first (see module docstring).
+
+    ``semantics_changed`` maps query name -> the FIRST gate round whose
+    driver row would reflect the change (for a change landed after round
+    N's gating, that is N+1).  The pin holds a leading slot until the
+    committed history shows a green row in a round >= that value, then
+    expires mechanically.
+    """
     latest = green_history(root)
     index = {q: i for i, q in enumerate(registry)}
-    changed = set(semantics_changed) & set(registry)
+    changed = active_pins(semantics_changed or {}, latest) & set(registry)
 
     def key(q: str) -> tuple[int, int, int]:
         if q in changed:

@@ -44,27 +44,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def green_history() -> tuple[dict[str, int], int]:
-    """Map query -> latest green round, plus the newest round seen."""
-    latest: dict[str, int] = {}
+    """Latest-green map (single source of truth: rotation.green_history,
+    same criteria + error handling as the driver-facing path) plus the
+    newest CORRECTNESS round seen on disk (derived from filenames only —
+    a malformed file still counts toward "which round are we in")."""
+    from dbt_scd2_utils_spark.rotation import green_history as gh
+
     newest = 0
     for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"r0*(\d+)", os.path.basename(path))
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        newest = max(newest, rnd)
-        with open(path) as f:
-            rows = json.load(f)
-        for q, row in rows.items():
-            ok = (
-                row.get("rows_match") is True
-                and row.get("schema_match") is True
-                and row.get("hash_match") in (True, None)
-                and not row.get("err")
-            )
-            if ok:
-                latest[q] = max(latest.get(q, 0), rnd)
-    return latest, newest
+        if m:
+            newest = max(newest, int(m.group(1)))
+    return gh(ROOT), newest
 
 
 def main() -> int:
@@ -86,6 +77,7 @@ def main() -> int:
 
     import __spark_entry__ as em
     from dbt_scd2_utils_spark.entry import SEMANTICS_CHANGED
+    from dbt_scd2_utils_spark.rotation import active_pins
 
     order = list(em.queries().keys())
     latest, newest = green_history()
@@ -93,7 +85,7 @@ def main() -> int:
     changed = (
         [q for q in args.changed.split(",") if q]
         if args.changed is not None
-        else list(SEMANTICS_CHANGED)
+        else sorted(active_pins(SEMANTICS_CHANGED, latest))
     )
 
     n = len(order)
@@ -114,8 +106,12 @@ def main() -> int:
     never = [q for q in order if q not in latest]
     exempt = set(changed) | set(never)
     # Inversion: a slot in the window holds a query FRESHER than one
-    # waiting outside (exempt entries hold their slot by fiat).
-    max_out = max((staleness(q) for q in rest), default=0)
+    # waiting outside (exempt entries hold their slot by fiat, on BOTH
+    # sides: a never-gated query outside the window has staleness ==
+    # next_round and would otherwise flag every window entry).
+    max_out = max(
+        (staleness(q) for q in rest if q not in exempt), default=0
+    )
     inversions = [
         q for q in window
         if q not in exempt and staleness(q) < max_out

@@ -547,3 +547,23 @@ def test_knn_graph_max_bucket_caps_floods_and_matches_duckdb(spark):
     gqs = gq.sort_values(key).reset_index(drop=True)
     wqs = wq.sort_values(key).reset_index(drop=True)
     assert gqs[wqs.columns].astype(str).equals(wqs.astype(str))
+
+
+def test_knn_graph_pq_rejects_rerank_below_k(spark):
+    """rerank < k would silently return fewer than k neighbors (the
+    exact re-rank filters rank <= k over only the top-rerank SDC
+    candidates) — both builders refuse instead."""
+    import pytest
+
+    from dbt_scd2_utils_spark.operators.similarity import (
+        knn_graph_pq,
+        knn_graph_pq_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        knn_graph_pq(df, k=5, rerank=3, dims=16, m=4, ksub=8)
+    with pytest.raises(ValueError, match="rerank"):
+        knn_graph_pq_sql("select * from emb", k=5, rerank=3, dims=16, m=4)
