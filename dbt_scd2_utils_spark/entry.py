@@ -2200,6 +2200,32 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(emb.select("vec_id"), edges, id_col="vec_id")
 
 
+def q_semantic_dedup_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semantic_dedup routed through the scale-safe graph: edges come
+    from knn_graph_pq with IVFADC+R re-ranking (rerank=20) — SDC-scored
+    candidate generation never carries a vector through the bucket
+    self-join, then TRUE cosines on the n·20 surviving slim pairs — so
+    the 0.9 threshold and the cluster structure are computed on exact
+    cosines exactly like the knn_graph path, at the PQ graph's shuffle
+    cost (the BASELINE §round-7c remedy made consumer-default).  Same
+    components + canonical-survivor composition as q_semantic_dedup."""
+    prepare(spark)
+    from .operators.clustering import dedup_clusters
+    from .operators.similarity import knn_graph_pq
+
+    emb = emb_corpus(spark, sf_dir)
+    edges = (
+        knn_graph_pq(
+            emb, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16, rerank=20
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+        .filter(F.col("src") < F.col("dst"))  # undirected, once per pair
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .distinct()
+    )
+    return dedup_clusters(emb.select("vec_id"), edges, id_col="vec_id")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-paragraph measurement (C4-style): 16-token
     paragraphs, corpus-wide first occurrence canonical, duplicated
@@ -2850,6 +2876,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "knn_graph_pq": q_knn_graph_pq,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_pq": q_semantic_dedup_pq,
         "top_ngrams": q_top_ngrams,
         "events_asof_latest_order": q_events_asof_latest_order,
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -3301,6 +3328,14 @@ def oracle_sql() -> dict[str, str]:
             f"select vec_id from ({EMB_CORPUS_SQL})",
             f"""select src as id_a, dst as id_b
                 from ({knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v")})
+                where cosine_sim >= 0.9 and src < dst""",
+            id_col="vec_id",
+        ),
+        "semantic_dedup_pq": dedup_clusters_sql(
+            f"select vec_id from ({EMB_CORPUS_SQL})",
+            f"""select src as id_a, dst as id_b
+                from ({knn_graph_pq_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id",
+                                        vec_col="v", m=8, ksub=16, rerank=20)})
                 where cosine_sim >= 0.9 and src < dst""",
             id_col="vec_id",
         ),

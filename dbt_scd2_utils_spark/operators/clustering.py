@@ -7,27 +7,49 @@ Beyond-reference surface (BASELINE.json north-star): the pair generators
 edges — if A~B and B~C, exactly one of {A, B, C} survives — which is a
 connected-components problem.
 
-Algorithm: iterative min-label propagation entirely in DataFrame ops.  Each
-round every node adopts the smallest component id among itself and its
-neighbors (one equi-join shuffle + one groupBy shuffle, both keyed on node
-id), so a round costs O(E) and the label table is re-checkpointed to keep
-the plan flat.  Rounds needed = graph diameter.  Near-duplicate clusters
-are dense (LSH buckets emit near-cliques), so diameters of 2-4 dominate
-and the loop converges in a handful of rounds; for adversarially long path
-graphs the alternating large-star/small-star formulation (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) converges in
-O(log n) rounds — the loop structure below accepts that variant without
-interface change.
+Algorithm: alternating large-star/small-star edge contraction (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14) entirely
+in DataFrame ops.  Each round runs two phases over the edge set:
 
-Convergence detection is exact and cheap: labels only ever decrease, so the
-label-sum (accumulated as decimal(38,0) — immune to 64-bit wrap at corpus
-scale) strictly decreases until the fixpoint; one tiny agg job per round.
+* **large-star** — every node u computes m = min(Γ(u) ∪ {u}) and rewires
+  each strictly-LARGER neighbor v > u to m (edge (u,v) → (v, m));
+* **small-star** — edges keyed by their larger endpoint u over its
+  smaller neighbors Γ(u): m = min(Γ(u)); rewire each v ∈ Γ(u)\\{m} to m
+  and keep (u, m).
+
+Both phases are a map-side-combinable ``groupBy(...).agg(min)`` plus one
+equi-join — no neighbor-list materialization, so hub nodes cost a
+combiner, not a wide row, and AQE's skew-join split applies to the
+rewire join.  Edges only ever move toward smaller ids and the set
+CONTRACTS toward one star per component (≤ one edge per non-center
+node), so unlike min-label propagation — whose every round re-shuffles
+the full original edge set for diameter-many rounds — late rounds here
+run on a shrinking relation, and the round bound is O(log² n) on
+adversarial paths (near-duplicate clusters, being near-cliques from LSH
+banding, converge in 1-2 rounds).
+
+Convergence detection is exact and cheap: per-edge rewires never
+increase the (a + b) id sum (large-star: u → m ≤ u; small-star: u → m <
+v ≤ u) and ``distinct`` merges only remove mass, so the
+(count, Σa, Σb) triple — accumulated as decimal(38,0), immune to 64-bit
+wrap at corpus scale — is stationary across a round IFF the edge set is
+the star fixpoint; one tiny agg job per round.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _edge_sig(edges: DataFrame) -> tuple:
+    """(count, Σa, Σb) — stationary iff the round changed nothing."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+    ).first()
+    return (row["n"], row["sa"], row["sb"])
 
 
 def connected_components(
@@ -39,58 +61,75 @@ def connected_components(
     """(id, component) for every node appearing in ``pairs``;
     ``component`` is the minimum node id in the node's connected component.
 
-    ``max_iter`` bounds the worst case (path graphs); the loop exits as
-    soon as a round changes nothing.
+    ``max_iter`` bounds the number of (large-star, small-star) rounds —
+    a guard only: O(log² n) rounds suffice even on path graphs, and the
+    loop exits as soon as a round changes nothing.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+            pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
         )
         .distinct()
-        .persist()
     )
-    # Every node seeds its own component.  localCheckpoint (eager) both
-    # materializes the seed and truncates lineage — without it each round
-    # appends a join+agg onto an ever-deeper plan and analysis cost grows
-    # quadratically.  On a cluster with a checkpoint dir, checkpoint() gives
-    # the same barrier with durability.
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)"))
-    ).first()[0]
+    # localCheckpoint (eager) both materializes and truncates lineage —
+    # without it each round appends joins onto an ever-deeper plan and
+    # analysis cost grows quadratically.  On a cluster with a checkpoint
+    # dir, checkpoint() gives the same barrier with durability.
+    nodes = sym.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    # Canonical orientation: one row per undirected edge, larger id first;
+    # self-loops contribute nodes (above) but no connectivity.
+    edges = sym.filter(F.col("a") > F.col("b")).localCheckpoint()
+    sig = _edge_sig(edges)
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.src") == F.col("l.id"))
-            .groupBy(F.col("e.dst").alias("id"))
-            .agg(F.min("l.component").alias("nmin"))
+        if sig[0] == 0:
+            break
+        # ---- large-star: rewire strict-larger neighbors to the
+        # neighborhood min.  Γ(u) needs both orientations; m(u) =
+        # min(Γ(u) ∪ {u}); each canonical edge (a > b) is emitted from
+        # its smaller endpoint exactly once, as (larger, m(smaller)).
+        nbrs = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        labels = (
-            labels.alias("l")
-            .join(neighbor_min.alias("n"), F.col("l.id") == F.col("n.id"), "left")
-            .select(
-                F.col("l.id").alias("id"),
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("n.nmin"), F.col("l.component")),
-                ).alias("component"),
-            )
+        lmin = nbrs.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        edges = (
+            nbrs.filter(F.col("b") > F.col("a"))
+            .join(lmin, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
             .localCheckpoint()
         )
-        new_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).first()[0]
-        if new_sum == prev_sum:
+        # ---- small-star: edges are canonical (a > b) so groupBy(a)
+        # sees exactly the smaller neighborhood; rewire its non-min
+        # members to the min and keep (a, m).  Output stays canonical.
+        smin = edges.groupBy("a").agg(F.min("b").alias("m"))
+        edges = (
+            edges.join(smin, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smin.select("a", F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
             break
-        prev_sum = new_sum
-    edges.unpersist()
-    return labels
+        sig = new_sig
+    # Fixpoint edges are stars (non-center -> component min); centers and
+    # isolated nodes label themselves.  The groupBy is an identity at the
+    # fixpoint and keeps one row per id if max_iter capped early.
+    labels = edges.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("component")
+    )
+    return (
+        nodes.join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
 
 
 def connected_components_sql(

@@ -118,3 +118,18 @@ def test_random_graphs_match_union_find(spark):
                 r = want[r]
             resolved[x] = r
         assert got == resolved, f"seed {seed} mismatch"
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    """A 200-node path with PERMUTED ids (so id order gives no free
+    collapse) must fully converge within 10 alternating rounds — the
+    O(log² n) bound that motivated replacing min-label propagation
+    (which needs diameter ≈ 200 rounds here)."""
+    import random
+
+    ids = list(range(1, 201))
+    random.Random(17).shuffle(ids)
+    pairs = _pairs(spark, list(zip(ids, ids[1:])))
+    cc = connected_components(pairs, max_iter=10)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {1}

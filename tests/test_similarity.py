@@ -567,3 +567,48 @@ def test_knn_graph_pq_rejects_rerank_below_k(spark):
         knn_graph_pq(df, k=5, rerank=3, dims=16, m=4, ksub=8)
     with pytest.raises(ValueError, match="rerank"):
         knn_graph_pq_sql("select * from emb", k=5, rerank=3, dims=16, m=4)
+
+
+def test_semantic_dedup_pq_matches_exact_on_planted_twins(spark):
+    """Cluster parity of the scale-safe composition (knn_graph_pq with
+    IVFADC+R re-rank -> threshold -> components) against the exact path
+    (knn_graph -> threshold -> components) on a corpus of planted twin
+    pairs among well-separated random vectors: twins sit far above the
+    0.9 threshold and everything else far below, so both paths must
+    produce the IDENTICAL cluster table — the evidence that consumers
+    can default to the PQ graph at scale."""
+    import random
+
+    from dbt_scd2_utils_spark.operators.clustering import dedup_clusters
+    from dbt_scd2_utils_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_pq,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 4 == 0:  # plant a twin: tiny perturbation, cosine ~0.999
+            rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=3, dims=16, bands=8, rows_per_band=4, id_col="vec_id",
+              vec_col="embedding")
+
+    def clusters(graph):
+        edges = (
+            graph.filter(F.col("cosine_sim") >= 0.9)
+            .filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+            .distinct()
+        )
+        out = dedup_clusters(df.select("vec_id"), edges, id_col="vec_id")
+        return {(r.vec_id, r.cluster_rep, r.is_canonical) for r in out.collect()}
+
+    exact = clusters(knn_graph(df, **kw))
+    pq = clusters(knn_graph_pq(df, m=4, ksub=8, rerank=12, **kw))
+    assert pq == exact
+    # and the twins actually clustered (non-trivial parity)
+    reps = {v: r for v, r, _ in exact}
+    assert all(reps[1000 + i] == reps[i] for i in range(0, 40, 4))
