@@ -11,7 +11,16 @@ past 2000 chars and truncated to garbage):
     plus the slowest-35 per-query map and a pointer to the full file.
 
 Each query is forced end-to-end with a noop-format write (count() would let
-Catalyst prune the computed columns away)."""
+Catalyst prune the computed columns away).
+
+Drift-resistant mode (round 8 — host-state drift masqueraded as regression
+in r6→r7 comparisons twice): ``SPARK_GRAFT_REPEAT=N`` (or ``--repeat N``)
+runs N FULL interleaved passes over the query list in the same session and
+reports the per-query MEDIAN — a transient host stall inflates one pass,
+not the median, and interleaving (pass-major, not query-major) means slow
+host phases spread across all queries instead of poisoning whichever query
+they landed on.  ``--queries a,b,c`` restricts the list for targeted A/B
+runs.  Defaults (repeat=1, full list) keep the driver-run cost unchanged."""
 
 from __future__ import annotations
 
@@ -116,6 +125,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "knn_graph_pq",
     "semantic_dedup",
+    "semantic_dedup_pq",
     "multimodal_decode",
     "multimodal_frame_sample",
     "audio_frame_features",
@@ -130,6 +140,23 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    import argparse
+    import statistics
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_REPEAT", "1")),
+        help="full interleaved passes; per-query time is the median",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of BENCH_QUERIES for targeted A/B runs",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -137,7 +164,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    names = [n for n in BENCH_QUERIES if n in qs]
+    wanted = (
+        [q for q in args.queries.split(",") if q]
+        if args.queries
+        else BENCH_QUERIES
+    )
+    names = [n for n in wanted if n in qs]
 
     # Warm the JVM + parquet footers once (excluded from timings), and spawn
     # the Python worker pool (one-time ~2 s session setup shared by every
@@ -169,11 +201,17 @@ def main() -> None:
     # query cost is encode+probe; see entry._INDEX_CACHE.
     entry_mod.prewarm_indexes(spark, sf_dir)
 
-    times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(max(1, args.repeat)):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.perf_counter() - t0)
+    times = {
+        n: round(statistics.median(ts), 3) for n, ts in samples.items()
+    }
 
     total = round(sum(times.values()), 3)
     full = {
@@ -183,11 +221,19 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "repeat": max(1, args.repeat),
     }
+    if args.repeat > 1:
+        full["samples"] = {
+            n: [round(t, 3) for t in ts] for n, ts in samples.items()
+        }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-        f.write("\n")
+    if not args.queries:  # targeted A/B runs must not clobber the artifact
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    else:
+        print(json.dumps(full, indent=1, sort_keys=True))
 
     slowest = dict(
         sorted(times.items(), key=lambda kv: -kv[1])[:35]

@@ -67,12 +67,18 @@ def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def _driver_learn(
-    vocab: list[tuple[str, int]], n_merges: int
-) -> tuple[list[tuple[int, str, str, int]], dict[str, list[str]]]:
-    """Classical in-memory BPE over a frequency-weighted vocabulary with
-    incremental pair-count maintenance (only words containing the chosen
-    pair are reprocessed per round — Sennrich's learn_bpe optimization).
-    Returns (merge table, word → symbol-list segmentation state)."""
+    vocab, n_merges: int
+) -> tuple[
+    list[tuple[int, str, str, int]],
+    dict[str, list[str]],
+    dict[str, int],
+]:
+    """Classical in-memory BPE over a frequency-weighted (word, freq)
+    iterable (consumed ONCE — callers may pass the lazy Arrow-batch
+    stream) with incremental pair-count maintenance (only words
+    containing the chosen pair are reprocessed per round — Sennrich's
+    learn_bpe optimization).  Returns (merge table, word → symbol-list
+    segmentation state, word → freq)."""
     syms: dict[str, list[str]] = {}
     freq: dict[str, int] = {}
     for w, f in vocab:
@@ -127,24 +133,34 @@ def _driver_learn(
                     i += 1
             syms[w] = out
             add_word(w)
-    return merges, syms
+    return merges, syms, freq
 
 
 def _collect_vocab(
     df: DataFrame, text_col: str, max_vocab: int | None
-) -> list[tuple[str, int]]:
-    """The one distributed pass: (word, freq), optionally truncated to
-    the ``max_vocab`` most frequent words (freq desc, word asc — a
+):
+    """The one distributed pass: (word, freq) pairs, optionally truncated
+    to the ``max_vocab`` most frequent words (freq desc, word asc — a
     deterministic frequency-ranked cut; any pair count learned on the
     truncated table is within the truncated tail's total token mass of
-    the exact count)."""
+    the exact count).
+
+    Fetched as ARROW batches (``DataFrame.toArrow``) and yielded lazily:
+    at the 2M-word bound the resident footprint is the columnar table
+    (string data + one int64 column, ~tens of MB) instead of 2M pickled
+    Row objects + a 2M-tuple list (~10× that) — the consumer builds its
+    own dicts in one pass, so no row-object intermediate ever exists."""
     v = _word_vocab(df, text_col)
     if max_vocab is not None:
         v = (
             v.orderBy(F.col("freq").desc(), F.col("w").asc())
             .limit(int(max_vocab))
         )
-    return [(r["w"], int(r["freq"])) for r in v.collect()]
+    for batch in v.toArrow().to_batches():
+        yield from zip(
+            batch.column(0).to_pylist(),
+            map(int, batch.column(1).to_pylist()),
+        )
 
 
 def learn_bpe_merges(
@@ -188,9 +204,9 @@ def _learn(
     segmentation of every vocabulary word under the learned merges,
     which :func:`bpe_token_counts` joins documents against."""
     spark = df.sparkSession
-    vocab = _collect_vocab(df, text_col, max_vocab)
-    merges, syms = _driver_learn(vocab, n_merges)
-    freq = dict(vocab)
+    merges, syms, freq = _driver_learn(
+        _collect_vocab(df, text_col, max_vocab), n_merges
+    )
     state = spark.createDataFrame(
         [(w, freq[w], s) for w, s in syms.items()],
         "w string, freq long, syms array<string>",
