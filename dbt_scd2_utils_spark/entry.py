@@ -2382,11 +2382,13 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from .operators.clustering import dedup_clusters
     from .operators.sampling import per_group_cap
-    from .operators.similarity import knn_graph
+    from .operators.similarity import knn_graph_pq
 
     emb = emb_corpus(spark, sf_dir)
     edges = (
-        knn_graph(emb, k=5, id_col="vec_id", vec_col="v")
+        knn_graph_pq(
+            emb, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16, rerank=20
+        )
         .filter(F.col("cosine_sim") >= 0.9)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
@@ -2769,6 +2771,8 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "dedup_minhash_lsh": 8,
     "knn_graph": 8,
     "knn_graph_pq": 8,
+    # r8: edges now come from the PQ graph (consumer-default scale path).
+    "cluster_balanced_sample": 8,
 }
 
 
@@ -3453,7 +3457,9 @@ where q.keep
             dedup_clusters_sql(
                 f"select vec_id from ({EMB_CORPUS_SQL})",
                 f"""select src as id_a, dst as id_b
-                    from ({knn_graph_sql(EMB_CORPUS_SQL, k=5, id_col="vec_id", vec_col="v")})
+                    from ({knn_graph_pq_sql(EMB_CORPUS_SQL, k=5,
+                                            id_col="vec_id", vec_col="v",
+                                            m=8, ksub=16, rerank=20)})
                     where cosine_sim >= 0.9 and src < dst""",
                 id_col="vec_id",
             ),
