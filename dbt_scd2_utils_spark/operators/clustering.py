@@ -65,18 +65,22 @@ def connected_components(
     a guard only: O(log² n) rounds suffice even on path graphs, and the
     loop exits as soon as a round changes nothing.
     """
+    # localCheckpoint (eager) both materializes and truncates lineage —
+    # without it each round appends joins onto an ever-deeper plan and
+    # analysis cost grows quadratically.  On a cluster with a checkpoint
+    # dir, checkpoint() gives the same barrier with durability.
+    # Checkpointing `sym` ONCE matters: `nodes` and `edges` both derive
+    # from it, and without the shared barrier the upstream pair pipeline
+    # (e.g. a full knn-graph build) would be computed twice.
     sym = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(
             pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
         )
         .distinct()
+        .localCheckpoint()
     )
-    # localCheckpoint (eager) both materializes and truncates lineage —
-    # without it each round appends joins onto an ever-deeper plan and
-    # analysis cost grows quadratically.  On a cluster with a checkpoint
-    # dir, checkpoint() gives the same barrier with durability.
-    nodes = sym.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    nodes = sym.select(F.col("a").alias("id")).distinct()
     # Canonical orientation: one row per undirected edge, larger id first;
     # self-loops contribute nodes (above) but no connectivity.
     edges = sym.filter(F.col("a") > F.col("b")).localCheckpoint()
