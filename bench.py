@@ -169,6 +169,17 @@ def main() -> None:
         if args.queries
         else BENCH_QUERIES
     )
+    unknown = sorted(set(wanted) - set(qs))
+    if unknown and args.queries:
+        # A misspelled A/B target must fail loudly, not run 0 queries.
+        raise SystemExit(
+            f"unknown --queries names (not in queries()): {', '.join(unknown)}"
+        )
+    if unknown:
+        print(
+            f"WARNING: BENCH_QUERIES not in queries(): {', '.join(unknown)}",
+            file=sys.stderr,
+        )
     names = [n for n in wanted if n in qs]
 
     # Warm the JVM + parquet footers once (excluded from timings), and spawn

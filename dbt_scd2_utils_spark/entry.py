@@ -316,6 +316,33 @@ def _pq_books(spark: SparkSession, sf_dir: str, subset: str = "full"):
     return books
 
 
+def _pq_books_graph(spark: SparkSession, sf_dir: str):
+    """Session-cached PQ codebooks trained on the PLANTED-TWIN graph
+    corpus (emb_corpus: base + perturbed twins, vec_col ``v``) — the
+    exact training pass the knn_graph_pq / semantic_dedup_pq /
+    cluster_balanced_sample DuckDB oracles replicate.  ONE training
+    pass serves all three graph-family queries; before r9 each of them
+    retrained identical codebooks inline (same corpus, m=8, ksub=16 —
+    bit-deterministic, so the shared artifact changes nothing but the
+    build count)."""
+    from .operators.similarity import pq_codebooks
+
+    key = (spark, sf_dir, "pq_books_graph")
+    books = _INDEX_CACHE.get(key)
+    if books is None:
+        books = pq_codebooks(
+            emb_corpus(spark, sf_dir),
+            dim=64,
+            m=8,
+            ksub=16,
+            id_col="vec_id",
+            vec_col="v",
+        ).persist()
+        books.count()
+        _INDEX_CACHE[key] = books
+    return books
+
+
 def _ivf_coarse(spark: SparkSession, sf_dir: str, subset: str = "full"):
     """Session-cached IVF coarse centroids; ``subset='base'`` trains on
     the 80% pre-append corpus (vec_id % 5 != 0) — the fixed quantizer
@@ -412,6 +439,7 @@ def prewarm_indexes(spark: SparkSession, sf_dir: str) -> None:
     prepare(spark)
     _pq_books(spark, sf_dir)
     _pq_books(spark, sf_dir, "base")
+    _pq_books_graph(spark, sf_dir)
     _ivf_coarse(spark, sf_dir)
     _ivf_coarse(spark, sf_dir, "base")
     _ivf_pq_encoded(spark, sf_dir)
@@ -2169,13 +2197,16 @@ def q_knn_graph_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     superlinear build on the 100× curve (pair rows carry m bytes of
     codes, not two full vectors; measured 944 s → see BASELINE for the
     s10 row).  Output ranks by the micro-quantized cosine ESTIMATE
-    (operators/similarity.py::knn_graph_pq)."""
+    (operators/similarity.py::knn_graph_pq).  Codebooks come from the
+    shared session memo (_pq_books_graph) — the build-once artifact all
+    three graph-family queries probe; training inline is bit-identical
+    (deterministic k-means), just 3× the build count per session."""
     prepare(spark)
     from .operators.similarity import knn_graph_pq
 
     return knn_graph_pq(
         emb_corpus(spark, sf_dir), k=5, id_col="vec_id", vec_col="v",
-        m=8, ksub=16,
+        m=8, ksub=16, codebooks=_pq_books_graph(spark, sf_dir),
     )
 
 
@@ -2208,7 +2239,10 @@ def q_semantic_dedup_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.9 threshold and the cluster structure are computed on exact
     cosines exactly like the knn_graph path, at the PQ graph's shuffle
     cost (the BASELINE §round-7c remedy made consumer-default).  Same
-    components + canonical-survivor composition as q_semantic_dedup."""
+    components + canonical-survivor composition as q_semantic_dedup.
+    Consumer composition (r9): codebooks from the shared _pq_books_graph
+    memo, numpy-matmul encode (pinned bit-equal to the gated HOF path by
+    tests/test_pq_ann.py) — output unchanged, build cost shared."""
     prepare(spark)
     from .operators.clustering import dedup_clusters
     from .operators.similarity import knn_graph_pq
@@ -2216,7 +2250,9 @@ def q_semantic_dedup_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb_corpus(spark, sf_dir)
     edges = (
         knn_graph_pq(
-            emb, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16, rerank=20
+            emb, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16, rerank=20,
+            codebooks=_pq_books_graph(spark, sf_dir),
+            vectorized_encode=True,
         )
         .filter(F.col("cosine_sim") >= 0.9)
         .filter(F.col("src") < F.col("dst"))  # undirected, once per pair
@@ -2378,7 +2414,9 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling (DataComp-style): at most 2 vectors per
     semantic cluster, smallest ids first — semantic_dedup's component
     table capped by one per-group window
-    (operators/sampling.py::per_group_cap)."""
+    (operators/sampling.py::per_group_cap).  Consumer composition (r9):
+    shared _pq_books_graph codebooks + vectorized encode — identical
+    output (both pinned bit-equal), no inline retrain."""
     prepare(spark)
     from .operators.clustering import dedup_clusters
     from .operators.sampling import per_group_cap
@@ -2387,7 +2425,9 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb_corpus(spark, sf_dir)
     edges = (
         knn_graph_pq(
-            emb, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16, rerank=20
+            emb, k=5, id_col="vec_id", vec_col="v", m=8, ksub=16, rerank=20,
+            codebooks=_pq_books_graph(spark, sf_dir),
+            vectorized_encode=True,
         )
         .filter(F.col("cosine_sim") >= 0.9)
         .filter(F.col("src") < F.col("dst"))
@@ -2766,13 +2806,32 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "bpe_learn_merges": 7,
     "bpe_learn_merges_100": 7,
     "bpe_token_counts": 7,
-    # Mega-bucket cap landed AFTER r7 gating (commits 42d2622/b932713):
-    # first gate round that includes the change is r8.
+    # Mega-bucket cap landed AFTER r7 gating (commits 42d2622/b932713);
+    # re-gated green r8 -> expired.
     "dedup_minhash_lsh": 8,
     "knn_graph": 8,
-    "knn_graph_pq": 8,
-    # r8: edges now come from the PQ graph (consumer-default scale path).
-    "cluster_balanced_sample": 8,
+    # r8 BPE Arrow vocab fetch landed after r8 gating (no bpe_* row in
+    # CORRECTNESS_r08) — first gate round that includes it is r9.
+    "bpe_learn_merges": 9,
+    "bpe_learn_merges_100": 9,
+    "bpe_token_counts": 9,
+    # r8 star-contraction connected_components + r9 shared-sym checkpoint:
+    # consumers without an r8 row re-gate now (dedup_clusters itself,
+    # semantic_dedup and curation_pipeline re-gated green r8 under the
+    # star-contraction code, but the r9 checkpoint change re-pins them).
+    "dedup_clusters": 9,
+    "semantic_dedup": 9,
+    "curation_pipeline": 9,
+    "curation_pipeline_v2": 9,
+    "curation_pipeline_v4": 9,
+    "dup_rate_by_source": 9,
+    "dedup_survivor_quality": 9,
+    # r9: graph-family queries share the _pq_books_graph memo; the two
+    # consumer compositions also switch to the vectorized encode (pinned
+    # bit-equal, tests/test_pq_ann.py) — re-gate all three.
+    "knn_graph_pq": 9,
+    "semantic_dedup_pq": 9,
+    "cluster_balanced_sample": 9,
 }
 
 
