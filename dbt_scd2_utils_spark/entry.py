@@ -689,7 +689,13 @@ def q_scd2_sequence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the seed state is ~60 rows; a real deployment reads the
             # persisted target table here, cf. _staged_target).
             state = spark.createDataFrame(state.collect(), state.schema)
-            state = scd2_incremental(state, batch(i), SEQ_CFG)
+            # broadcast_source=True skips the eager broadcast-sizing
+            # count (operators/scd2.py:374) — these batches are <=37
+            # rows, always broadcast; one fewer synchronous job per
+            # iteration (~2 s over the six; output proven bit-equal).
+            state = scd2_incremental(
+                state, batch(i), SEQ_CFG, broadcast_source=True
+            )
     finally:
         spark.conf.set(_ccp, prior)
     return state
@@ -2832,6 +2838,9 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "knn_graph_pq": 9,
     "semantic_dedup_pq": 9,
     "cluster_balanced_sample": 9,
+    # r9: replay passes broadcast_source=True (skips the eager sizing
+    # count; proven bit-equal) — re-gate the choreography.
+    "scd2_sequence_replay": 9,
 }
 
 
