@@ -211,6 +211,13 @@ class ScdTable:
         stage = self.path + "__stage"
         (
             merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
+            # One file per touched bucket partition (not one per shuffle
+            # task per partition): without this co-location the swap-in
+            # dirs inherit the task fan-out and the table's file count
+            # grows ∝ writes × buckets — every later merge then pays a
+            # full-listing of all of them (measured: the s40 bucketed
+            # merge cost grew WITH the table until this fix).
+            .repartition(len(affected), F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(stage)
@@ -236,6 +243,11 @@ class ScdTable:
         writer = df.write.mode("overwrite")
         if self.partition_buckets:
             df = df.withColumn(BUCKET_COL, self._bucket_expr(df))
+            # One ~50k-row file per bucket dir; without the co-locating
+            # repartition the initial build writes up to tasks×buckets
+            # small files and every incremental merge pays an O(files)
+            # listing of the whole table (see _build_bucketed_incremental).
+            df = df.repartition(self.partition_buckets, F.col(BUCKET_COL))
             writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
         writer.parquet(tmp)
         old = self.path + "__old"

@@ -578,6 +578,110 @@ def run(spark, paths: dict[str, str]) -> dict[str, float]:
     return times
 
 
+def merge_contrast(spark, events, work_dir: str) -> dict[str, float]:
+    """Sink-shape contrast on the SAME small delta batch (≤16 business
+    keys): the vanilla sink re-reads and REWRITES the whole table
+    (O(n) regardless of batch size), the bucketed partition-overwrite
+    sink reads and rewrites only the bucket partitions the batch's keys
+    hash into.  Buckets are sized ∝ events (≈50k rows each, the
+    fixed-partition-size rule a 100 TB table would use), so ≤16 keys
+    touch ≤16 fixed-size partitions and the bucketed merge cost stays
+    ~flat across the curve while the vanilla one grows with the table."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark import ScdConfig
+    from dbt_scd2_utils_spark.plans.build import ScdTable
+
+    feed = events.select(
+        "user_id", "event_type", "value", "props",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+        F.col("ts").alias("_updated_at"),
+    )
+    cfg = ScdConfig(
+        unique_key=("user_id",), deleted_at_column="deleted_at",
+        default_valid_to="2200-01-01 00:00:00",
+    )
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    n_events = events.count()
+    # Materialize the delta batch to its own parquet UNTIMED: a real
+    # incremental run receives the delta as a delta (CDC feed, staged
+    # batch), it does not re-scan the full history to find it — leaving
+    # the filter inline makes both flavors' timed numbers grow with an
+    # O(events-scan) term that measures the harness, not the sink.
+    batch_path = os.path.join(work_dir, "merge_contrast_batch.parquet")
+    _sh.rmtree(batch_path, ignore_errors=True)
+    feed.filter(
+        (F.col("_updated_at") > split) & (F.col("user_id") < 16)
+    ).coalesce(1).write.parquet(batch_path)
+    small_batch = spark.read.parquet(batch_path)
+    times: dict[str, float] = {}
+    for flavor, buckets in (
+        ("vanilla", None),
+        ("bucketed", max(16, n_events // 50_000)),
+    ):
+        tpath = os.path.join(work_dir, f"scd_tbl_{flavor}")
+        _sh.rmtree(tpath, ignore_errors=True)
+        tbl = ScdTable(spark, tpath, cfg, partition_buckets=buckets)
+        tbl.build(feed.filter(F.col("_updated_at") <= split))  # untimed init
+        t0 = time.perf_counter()
+        tbl.build(small_batch)
+        times[f"scd2_merge_small_batch_{flavor}"] = round(
+            time.perf_counter() - t0, 2
+        )
+        _sh.rmtree(tpath, ignore_errors=True)
+        _sh.rmtree(tpath + "__tmp", ignore_errors=True)
+    return times
+
+
+def run_merge_contrast_curve(spark) -> None:
+    """--merge-contrast: the sink-shape contrast alone, extended one
+    synthetic decade past the flagship curve (s40 = the s10 events
+    replicated 4× under disjoint key ranges — the contrast depends on
+    TABLE SIZE, not event content, so Spark-side replication is an
+    honest way to reach a 40M-row table without a half-hour Python
+    generator pass).  The ≤16-key batch lives entirely in replica 0,
+    so the delta is IDENTICAL at every scale; only the table grows."""
+    from pyspark.sql import functions as F
+
+    paths = ensure_data(("s1", "s10"))
+    s40_dir = os.path.join(DATA_DIR, "s40")
+    s40_events = os.path.join(s40_dir, "events.parquet")
+    if not os.path.exists(s40_events):
+        os.makedirs(s40_dir, exist_ok=True)
+        ev = spark.read.parquet(paths["s10"]["events"])
+        out = None
+        for r in range(4):
+            rep = ev.select(
+                (F.col("event_id") + F.lit(r * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * 10_000_000)).alias("user_id"),
+                "event_type", "value", "props",
+            )
+            out = rep if out is None else out.unionByName(rep)
+        out.write.parquet(s40_events)
+        print(f"generated {s40_events} (4x s10)", file=sys.stderr)
+
+    results: dict[str, dict[str, float]] = {}
+    for scale, path, work in (
+        ("s1", paths["s1"]["events"], os.path.dirname(paths["s1"]["events"])),
+        ("s10", paths["s10"]["events"], os.path.dirname(paths["s10"]["events"])),
+        ("s40", s40_events, s40_dir),
+    ):
+        events = spark.read.parquet(path)
+        results[scale] = merge_contrast(spark, events, work)
+        print(json.dumps({"scale": scale, "times": results[scale]}))
+    for lo, hi, label in (("s1", "s10", "ratio_10x"), ("s10", "s40", "ratio_4x")):
+        print(json.dumps({
+            "metric": f"merge_contrast_{label}",
+            "ratios": {
+                op: round(results[hi][op] / max(results[lo][op], 1e-9), 2)
+                for op in results[hi]
+            },
+        }))
+
+
 def run_flagship(spark, paths: dict[str, str]) -> dict[str, float]:
     """The 100×-curve subset: the headline dedup / merge / index-probe /
     append operators whose 100 TB claims BASELINE.md rests on, with the
@@ -658,40 +762,9 @@ def run_flagship(spark, paths: dict[str, str]) -> dict[str, float]:
     times["scd2_incremental_merge"] = round(time.perf_counter() - t0, 2)
     state.unpersist()
 
-    # Sink-shape contrast on the SAME small delta batch (≤16 business
-    # keys): the vanilla sink re-reads and REWRITES the whole table
-    # (O(n) regardless of batch size — the 4.9×/dec2 row above), the
-    # bucketed partition-overwrite sink reads and rewrites only the
-    # bucket partitions the batch's keys hash into.  Buckets are sized
-    # ∝ events (≈50k rows each, the fixed-partition-size rule a 100 TB
-    # table would use), so ≤16 keys touch ≤16 fixed-size partitions and
-    # the bucketed merge cost stays ~flat across the curve while the
-    # vanilla one grows with the table.
-    import shutil as _sh
-
-    from dbt_scd2_utils_spark.plans.build import ScdTable
-
-    n_events = events.count()
-    small_batch = feed.filter(
-        (F.col("_updated_at") > split) & (F.col("user_id") < 16)
+    times.update(
+        merge_contrast(spark, events, os.path.dirname(paths["events"]))
     )
-    for flavor, buckets in (
-        ("vanilla", None),
-        ("bucketed", max(16, n_events // 50_000)),
-    ):
-        tpath = os.path.join(
-            os.path.dirname(paths["events"]), f"scd_tbl_{flavor}"
-        )
-        _sh.rmtree(tpath, ignore_errors=True)
-        tbl = ScdTable(spark, tpath, cfg, partition_buckets=buckets)
-        tbl.build(feed.filter(F.col("_updated_at") <= split))  # untimed init
-        t0 = time.perf_counter()
-        tbl.build(small_batch)
-        times[f"scd2_merge_small_batch_{flavor}"] = round(
-            time.perf_counter() - t0, 2
-        )
-        _sh.rmtree(tpath, ignore_errors=True)
-        _sh.rmtree(tpath + "__tmp", ignore_errors=True)
 
     t0 = time.perf_counter()
     graph = knn_graph(
@@ -891,6 +964,12 @@ def main() -> None:
     from dbt_scd2_utils_spark.session import get_spark
 
     flagship = "--flagship-curve" in sys.argv
+    if "--merge-contrast" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+        spark = get_spark("scale-proof", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        run_merge_contrast_curve(spark)
+        return
     if flagship:
         scales = ["s0.1", "s1", "s10"]
     elif "--small-only" in sys.argv:
