@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "domain_mixture_sample",
     "corpus_mixture_report",
     "temperature_mixture_sample",
+    "dsir_logratio",
+    "dsir_resample",
     "cluster_balanced_sample",
     "token_shards",
     "pack_sequences",

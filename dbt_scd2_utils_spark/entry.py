@@ -2405,6 +2405,34 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. NeurIPS'23,
+    operators/dsir.py): every document scored by the log-ratio of two
+    bag-of-hashed-ngram LMs — target = the English slice, raw = the
+    whole corpus — in exact integer micros.  Fixed 4096-bucket feature
+    space keeps both models one broadcastable table at any corpus
+    size; the corpus is touched by ONE explode+combine pass."""
+    prepare(spark)
+    from .operators.dsir import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio(docs, docs.filter(F.col("lang") == "en"))
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-200 importance resampling over the DSIR scores
+    (without replacement, deterministic hashed-uniform noise — the
+    sampler the DSIR paper prescribes): sort-limit global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort)."""
+    prepare(spark)
+    from .operators.dsir import dsir_logratio, dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        dsir_logratio(docs, docs.filter(F.col("lang") == "en")), k=200
+    )
+
+
 def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture (p_d ∝ n_d^0.5, target 30% of the corpus):
     rates derived in-plan from domain counts — one map-side-combined agg +
@@ -2918,6 +2946,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_coverage": q_duplicate_span_coverage,
         "dataset_card": q_dataset_card,
         "temperature_mixture_sample": q_temperature_mixture_sample,
+        "dsir_logratio": q_dsir_logratio,
+        "dsir_resample": q_dsir_resample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "dedup_incremental_novelty": q_dedup_incremental_novelty,
         "domain_mixture_sample": q_domain_mixture_sample,
@@ -3012,6 +3042,8 @@ def oracle_sql() -> dict[str, str]:
     from .operators.dedup import (
         normalized_exact_dedup_sql as _normalized_exact_dedup_sql,
     )
+    from .operators.dsir import dsir_logratio_sql as _dsir_logratio_sql
+    from .operators.dsir import dsir_resample_sql as _dsir_resample_sql
     from .operators.profile import dataset_card_sql as _dataset_card_sql
     from .operators.profile import (
         numeric_quantiles_sql as _numeric_quantiles_sql,
@@ -3520,6 +3552,17 @@ where q.keep
         ),
         "temperature_mixture_sample": _temperature_mixture_sample_sql(
             "select * from documents"
+        ),
+        "dsir_logratio": _dsir_logratio_sql(
+            "select * from documents",
+            "select * from documents where lang = 'en'",
+        ),
+        "dsir_resample": _dsir_resample_sql(
+            _dsir_logratio_sql(
+                "select * from documents",
+                "select * from documents where lang = 'en'",
+            ),
+            k=200,
         ),
         "cluster_balanced_sample": _per_group_cap_sql(
             dedup_clusters_sql(

@@ -1,0 +1,128 @@
+"""DSIR importance resampling (operators/dsir.py): Spark ≡ DuckDB
+value-for-value on both stages, and the score actually separates
+target-like documents from the rest."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.dsir import (
+    dsir_logratio,
+    dsir_logratio_sql,
+    dsir_resample,
+    dsir_resample_sql,
+)
+
+RAW_SQL = "select * from raw"
+TGT_SQL = "select * from raw where doc_id % 3 = 0"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # doc_id % 3 == 0 docs share a distinctive vocabulary (the "target"
+    # style); the rest are drawn from a different word set.
+    rows = []
+    for i in range(90):
+        if i % 3 == 0:
+            words = ["alpha", "beta", "gamma", "delta"][i % 4 :] * 3
+        else:
+            words = ["omega", "sigma", "tau", "phi"][i % 4 :] * 3
+        rows.append((i, " ".join(words) + f" shared{i % 5}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _duck(corpus):
+    con = duckdb.connect()
+    con.register("raw", corpus.toPandas())
+    return con
+
+
+def test_logratio_matches_duckdb(spark, corpus):
+    got = (
+        dsir_logratio(corpus, corpus.filter(F.col("doc_id") % 3 == 0))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = _duck(corpus)
+    want = (
+        con.sql(dsir_logratio_sql(RAW_SQL, TGT_SQL))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got[want.columns].astype(str).equals(want.astype(str))
+    # every document scored, exact integers
+    assert len(got) == 90
+    assert (got.n_grams > 0).all()
+
+
+def test_logratio_separates_target_style(spark, corpus):
+    import pandas as pd
+
+    got = dsir_logratio(
+        corpus, corpus.filter(F.col("doc_id") % 3 == 0)
+    ).toPandas()
+    tgt = got[got.doc_id % 3 == 0].logratio_micro
+    rest = got[got.doc_id % 3 != 0].logratio_micro
+    # target-style docs must score strictly higher — the whole point
+    assert tgt.min() > rest.max()
+
+
+def test_resample_matches_duckdb_and_is_stable(spark, corpus):
+    scored = dsir_logratio(corpus, corpus.filter(F.col("doc_id") % 3 == 0))
+    got = (
+        dsir_resample(scored, k=20)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    scored_sql = dsir_logratio_sql(RAW_SQL, TGT_SQL)
+    con = _duck(corpus)
+    want = (
+        con.sql(dsir_resample_sql(scored_sql, k=20))
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert got[want.columns].astype(str).equals(want.astype(str))
+    assert len(got) == 20 and got["rank"].tolist() == list(range(1, 21))
+    # deterministic: a second run returns the identical sample
+    again = (
+        dsir_resample(scored, k=20)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert got.astype(str).equals(again.astype(str))
+    # Gumbel noise actually perturbs: the sample is NOT simply the
+    # top-20 by raw score (the target tier has 30 members, all with
+    # near-identical scores — noise must reorder within it)
+    top_by_score = set(
+        scored.orderBy(F.col("logratio_micro").desc(), "doc_id")
+        .limit(20)
+        .toPandas()
+        .doc_id
+    )
+    assert set(got.doc_id) != top_by_score
+
+
+def test_resample_plan_no_global_sort(spark, corpus):
+    scored = dsir_logratio(corpus, corpus.filter(F.col("doc_id") % 3 == 0))
+    plan = (
+        dsir_resample(scored, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the two 1-row model-total scalars join as broadcast nested loops —
+    # the standard scalar-subquery shape (same allowance as the LM plan
+    # test); anything beyond those two is a real defect
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
