@@ -1,0 +1,145 @@
+"""Randomized property harness for operators/dsir.py: the Spark scorer,
+the DuckDB twin, and an independent pure-Python re-derivation (written
+from the DSIR formulas + the package hash spec, not from the Spark code)
+must agree value-for-value on random corpora — including empty
+documents, single-token documents, and non-ASCII tokens."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+from collections import Counter
+
+import duckdb
+from pyspark.sql import functions as F
+
+from dbt_scd2_utils_spark.operators.dsir import (
+    dsir_logratio,
+    dsir_logratio_sql,
+    dsir_resample,
+    dsir_resample_sql,
+)
+
+VOCAB = "alpha beta γάμμα delta ζeta eta θήτα iota κappa lam".split()
+BUCKETS = 64  # small so collisions actually happen
+ALPHA = 0.5
+
+
+def _bucket(gram: str) -> int:
+    h = hashlib.md5(f"dsir|{gram}".encode()).hexdigest()
+    return int(h[:8], 16) % BUCKETS
+
+
+def _grams(text: str) -> list[str]:
+    toks = [w for w in text.lower().strip().split() if w]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _py_logratio(raw_docs, target_docs):
+    raw_feat = {i: Counter(_bucket(g) for g in _grams(t)) for i, t in raw_docs}
+    tgt_cnt: Counter = Counter()
+    for _, t in target_docs:
+        tgt_cnt.update(_bucket(g) for g in _grams(t))
+    raw_cnt: Counter = Counter()
+    for c in raw_feat.values():
+        raw_cnt.update(c)
+    t_tot, q_tot = sum(tgt_cnt.values()), sum(raw_cnt.values())
+    out = {}
+    for i, c in raw_feat.items():
+        n_grams = sum(c.values())
+        s = 0
+        for b, tf in c.items():
+            delta = round(
+                1e6
+                * (
+                    math.log((tgt_cnt[b] + ALPHA) / (t_tot + ALPHA * BUCKETS))
+                    - math.log((raw_cnt[b] + ALPHA) / (q_tot + ALPHA * BUCKETS))
+                )
+            )
+            s += tf * delta
+        out[i] = (n_grams, s)
+    return out
+
+
+def _py_resample(scores, k, salt="dsir-resample"):
+    keyed = []
+    for i, s in scores.items():
+        h = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()
+        bp = int(h[:8], 16) % 10_000
+        g = round(1e6 * -math.log(-math.log((bp + 0.5) / 1e4)))
+        keyed.append((s + g, i))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [(r + 1, i, key) for r, (key, i) in enumerate(keyed[:k])]
+
+
+def test_dsir_property_random_corpora(spark):
+    rng = random.Random(99)
+    for trial in range(8):
+        raw = [
+            (j, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 10))))
+            for j in range(rng.randint(1, 15))
+        ]
+        target = [r for r in raw if r[0] % 2 == 0] or raw[:1]
+
+        raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+        tgt_df = raw_df.filter(F.col("doc_id") % 2 == 0) if len(target) > 1 \
+            else raw_df.limit(1)
+        got = {
+            r.doc_id: (r.n_grams, r.logratio_micro)
+            for r in dsir_logratio(
+                raw_df, tgt_df, buckets=BUCKETS, alpha=ALPHA
+            ).collect()
+        }
+        want = _py_logratio(raw, target)
+        for i, _ in raw:
+            assert got[i] == want.get(i, (0, 0)), (trial, i, got[i], want.get(i))
+
+        # DuckDB twin on the same corpus
+        con = duckdb.connect()
+        con.sql(
+            "create table raw as select * from (values "
+            + ", ".join(f"({i}, '{t}')" for i, t in raw)
+            + ") as t(doc_id, text)"
+        )
+        tgt_sql = (
+            "select * from raw where doc_id % 2 = 0"
+            if len(target) > 1
+            else f"select * from raw where doc_id = {raw[0][0]}"
+        )
+        duck = {
+            int(r[0]): (int(r[1]), int(r[2]))
+            for r in con.sql(
+                dsir_logratio_sql(
+                    "select * from raw", tgt_sql,
+                    buckets=BUCKETS, alpha=ALPHA,
+                )
+            ).fetchall()
+        }
+        assert duck == {i: want.get(i, (0, 0)) for i, _ in raw}, trial
+
+        # resample: all three agree on the gumbel top-k
+        k = rng.randint(1, len(raw))
+        scores = {i: want.get(i, (0, 0))[1] for i, _ in raw}
+        py_top = _py_resample(scores, k)
+        sp_top = [
+            (r.rank, r.doc_id, r.key_micro)
+            for r in dsir_resample(
+                dsir_logratio(raw_df, tgt_df, buckets=BUCKETS, alpha=ALPHA),
+                k=k,
+            ).collect()
+        ]
+        assert sorted(sp_top) == py_top, (trial, sp_top, py_top)
+        duck_top = [
+            (int(r[0]), int(r[1]), int(r[3]))
+            for r in con.sql(
+                dsir_resample_sql(
+                    dsir_logratio_sql(
+                        "select * from raw", tgt_sql,
+                        buckets=BUCKETS, alpha=ALPHA,
+                    ),
+                    k=k,
+                )
+            ).fetchall()
+        ]
+        assert duck_top == py_top, trial
