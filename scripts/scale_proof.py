@@ -950,13 +950,41 @@ def run_flagship(spark, paths: dict[str, str]) -> dict[str, float]:
         emb.select("vec_id"), pq_edges, id_col="vec_id"
     ).write.format("noop").mode("overwrite").save()
     times["semantic_dedup_pq"] = round(time.perf_counter() - t0, 2)
-    books.unpersist()
 
     from dbt_scd2_utils_spark.operators.bpe import learn_bpe_merges
 
     t0 = time.perf_counter()
     learn_bpe_merges(docs, n_merges=10).count()
     times["bpe_learn_10"] = round(time.perf_counter() - t0, 2)
+
+    # Fixed-cell IVF-PQ build — the deployment rule for the √n-cell
+    # worst case above (BASELINE round-9e): with the cell count pinned,
+    # the assign pass is ∝ n.
+    t0 = time.perf_counter()
+    fixed_coarse = kmeans_centroids_vectorized(
+        normed.filter(F.pmod(F.xxhash64("pid"), max(1, n_vec // (16 * 1024))) == 0),
+        k=1024, iters=2, id_col="pid", vec_col="nv",
+    ).persist()
+    fixed_coarse.count()
+    enc2 = ivf_pq_encode(
+        emb, dim=64, coarse=fixed_coarse, codebooks=books, m=8,
+        vectorized_assign=True,
+    )
+    enc2.write.format("noop").mode("overwrite").save()
+    times["ivf_pq_build_fixed_1024_cells"] = round(time.perf_counter() - t0, 2)
+    fixed_coarse.unpersist()
+    books.unpersist()
+
+    # DSIR importance scoring over the realistic Zipf corpus (target =
+    # every 20th doc): one explode+combine corpus pass + a broadcast
+    # 4096-row ratio join — expected ~linear in rows.
+    from dbt_scd2_utils_spark.operators.dsir import dsir_logratio
+
+    t0 = time.perf_counter()
+    dsir_logratio(
+        zdocs, zdocs.filter(F.col("doc_id") % 20 == 0)
+    ).write.format("noop").mode("overwrite").save()
+    times["dsir_logratio"] = round(time.perf_counter() - t0, 2)
     return times
 
 
