@@ -2836,16 +2836,13 @@ def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMANTICS_CHANGED: dict[str, int] = {
     # r5 epoch-partitioned output; re-gated green r7 -> expired.
     "streaming_novelty": 5,
-    # r7 max_vocab default bound; re-gated green r7 -> expired.
-    "bpe_learn_merges": 7,
-    "bpe_learn_merges_100": 7,
-    "bpe_token_counts": 7,
     # Mega-bucket cap landed AFTER r7 gating (commits 42d2622/b932713);
     # re-gated green r8 -> expired.
     "dedup_minhash_lsh": 8,
     "knn_graph": 8,
-    # r8 BPE Arrow vocab fetch landed after r8 gating (no bpe_* row in
-    # CORRECTNESS_r08) — first gate round that includes it is r9.
+    # bpe_* changed twice: r7 max_vocab default bound (re-gated green r7),
+    # then the r8 Arrow vocab fetch which landed after r8 gating (no bpe_*
+    # row in CORRECTNESS_r08) — first gate round that includes it is r9.
     "bpe_learn_merges": 9,
     "bpe_learn_merges_100": 9,
     "bpe_token_counts": 9,

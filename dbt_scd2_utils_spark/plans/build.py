@@ -16,8 +16,10 @@ Mirrors the reference lifecycle (``materialization_scd.sql:19-38`` +
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +63,9 @@ class ScdTable:
         self.path = path
         self.cfg = cfg.validate()
         self.partition_buckets = partition_buckets
+        # Driver-side phase timings of the last incremental merge (e.g.
+        # "list_affected"), for scale instrumentation (scripts/scale_proof).
+        self.last_phase_times: dict[str, float] = {}
 
     # -- state ----------------------------------------------------------
 
@@ -71,6 +76,99 @@ class ScdTable:
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_scd_meta.json")
+
+    # -- partition manifest ----------------------------------------------
+    #
+    # The in-repo stand-in for a table format's commit log (Delta/Iceberg,
+    # which this environment cannot install): a tiny JSON file mapping
+    # bucket id -> {files, rows} plus the on-disk data schema, rewritten
+    # ATOMICALLY (tmp + os.replace) at every swap.  Without it, an
+    # incremental merge's target-slice read (`spark.read.parquet(table)`)
+    # pays a full InMemoryFileIndex listing of EVERY bucket partition —
+    # with fixed ~50k-row buckets that listing grows O(table size) while
+    # the data work is O(affected buckets), and at 100 TB the metadata
+    # term dominates the merge (measured at s40: ~2.3 s of a ~11 s merge,
+    # growing).  With the manifest, a merge resolves its affected buckets'
+    # file paths with one driver-side JSON read — O(batch), not O(table).
+    #
+    # Crash safety: the manifest is advisory, never authoritative.  Every
+    # read verifies the listed files still exist; a bucket whose entry is
+    # stale (crash between partition swap and manifest write) or missing
+    # falls back to an os.listdir of THAT bucket directory only — still
+    # O(affected).  A wrong manifest can therefore cost a re-list, never
+    # wrong data.
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_scd_manifest.json")
+
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_path()) as f:
+                m = json.load(f)
+            return m if isinstance(m.get("buckets"), dict) else None
+        except (OSError, ValueError):
+            return None
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+
+    @staticmethod
+    def _scan_bucket_dir(part_dir: str) -> dict | None:
+        """{files, rows} for one bucket partition directory (None if the
+        partition does not exist).  Row counts come from parquet footers
+        (driver-local metadata reads, O(files in this bucket))."""
+        try:
+            names = sorted(
+                n for n in os.listdir(part_dir)
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            )
+        except OSError:
+            return None
+        rows = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for n in names:
+                rows += pq.ParquetFile(os.path.join(part_dir, n)).metadata.num_rows
+        except Exception:
+            rows = -1  # unknown; files list is still valid
+        return {"files": names, "rows": rows}
+
+    def _scan_full_manifest(self, data_schema_json: str) -> dict:
+        """Full-table scan building a fresh manifest.  Used only where a
+        full listing is already proportional to the work just done (the
+        initial/full-refresh write) or as a one-time migration for a
+        pre-manifest table."""
+        buckets: dict[str, dict] = {}
+        for name in os.listdir(self.path):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            entry = self._scan_bucket_dir(os.path.join(self.path, name))
+            if entry is not None:
+                buckets[name.split("=", 1)[1]] = entry
+        return {"buckets": buckets, "schema": data_schema_json}
+
+    def _affected_files(self, manifest: dict | None, affected: list) -> list[str]:
+        """Absolute data-file paths for the affected buckets, manifest-first
+        with per-bucket verify-and-relist fallback (see class note above)."""
+        buckets = (manifest or {}).get("buckets", {})
+        out: list[str] = []
+        for b in affected:
+            part_dir = os.path.join(self.path, f"{BUCKET_COL}={b}")
+            entry = buckets.get(str(b))
+            names = entry["files"] if entry else None
+            if names is None or not all(
+                os.path.exists(os.path.join(part_dir, n)) for n in names
+            ):
+                # Missing or stale entry (e.g. crash between swap and
+                # manifest write): re-list this one directory.
+                fresh = self._scan_bucket_dir(part_dir)
+                names = fresh["files"] if fresh else []
+            out.extend(os.path.join(part_dir, n) for n in names)
+        return out
 
     def _write_meta(self) -> None:
         """Record how this relation was built so the next run can apply the
@@ -202,11 +300,49 @@ class ScdTable:
             r[0]
             for r in batch.select(self._bucket_expr(batch).alias("b")).distinct().collect()
         ]
-        target_slice = (
-            self.spark.read.parquet(self.path)
-            .filter(F.col(BUCKET_COL).isin(affected))  # partition pruning
-            .drop(BUCKET_COL)
+        if not affected:
+            # Empty incremental batch (a realistic CDC input): no bucket is
+            # touched, so the merge is a no-op — and `.repartition(0, ...)`
+            # below would raise.  Keep provenance current and leave the
+            # table untouched, same net effect as the vanilla path merging
+            # an empty batch.
+            self._write_meta()
+            return
+        # Resolve the target slice through the manifest: O(affected-bucket)
+        # driver work instead of a full-table file listing.  Reading the
+        # leaf files directly (no partition discovery) also skips footer
+        # schema merging — the manifest carries the data schema.
+        t0 = time.perf_counter()
+        manifest = self._read_manifest()
+        if manifest is None and any(
+            n.startswith(f"{BUCKET_COL}=") for n in os.listdir(self.path)
+        ):
+            # Pre-manifest table: one-time migration listing (same cost the
+            # old full-listing path paid EVERY merge).
+            sample = self.spark.read.parquet(self.path).drop(BUCKET_COL)
+            manifest = self._scan_full_manifest(sample.schema.json())
+            self._write_manifest(manifest)
+        files = self._affected_files(manifest, affected)
+        schema_json = (manifest or {}).get("schema")
+        from pyspark.sql.types import StructType
+
+        data_schema = (
+            StructType.fromJson(json.loads(schema_json)) if schema_json else None
         )
+        if files:
+            reader = self.spark.read
+            if data_schema is not None:
+                reader = reader.schema(data_schema)
+            target_slice = reader.parquet(*files)
+        elif data_schema is not None:
+            # All affected buckets are brand new — merge against an empty
+            # target slice of the recorded schema.
+            target_slice = self.spark.createDataFrame([], data_schema)
+        else:
+            # No files AND no recorded schema (legacy empty table): derive
+            # the SCD output schema from the batch itself.
+            target_slice = scd2_initial_load(batch.limit(0), self.cfg)
+        self.last_phase_times = {"list_affected": time.perf_counter() - t0}
         merged = scd2_incremental(target_slice, batch, self.cfg)
         stage = self.path + "__stage"
         (
@@ -235,11 +371,27 @@ class ScdTable:
             # else: the merge emptied this bucket — leave it deleted.
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+        # Commit the manifest: only the affected buckets' entries change —
+        # O(batch) scanning, not O(table).  A crash before this point
+        # leaves stale entries that the next merge's verify-and-relist
+        # fallback repairs per-bucket.
+        manifest = manifest or {"buckets": {}}
+        manifest["schema"] = merged.schema.json()
+        for b in affected:
+            entry = self._scan_bucket_dir(
+                os.path.join(self.path, f"{BUCKET_COL}={b}")
+            )
+            if entry is None:
+                manifest["buckets"].pop(str(b), None)
+            else:
+                manifest["buckets"][str(b)] = entry
+        self._write_manifest(manifest)
         self._write_meta()
         self.spark.catalog.refreshByPath(self.path)
 
     def _atomic_write(self, df: DataFrame) -> None:
         tmp = self.path + "__tmp"
+        data_schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
         if self.partition_buckets:
             df = df.withColumn(BUCKET_COL, self._bucket_expr(df))
@@ -255,6 +407,11 @@ class ScdTable:
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+        if self.partition_buckets:
+            # Seed the partition manifest.  The full listing here is
+            # proportional to the write that just happened, not to future
+            # merges — incremental runs only ever patch affected entries.
+            self._write_manifest(self._scan_full_manifest(data_schema_json))
         self._write_meta()
         # Invalidate cached file listings for readers of the swapped path.
         self.spark.catalog.refreshByPath(self.path)

@@ -63,3 +63,124 @@ def test_bucketed_read_roundtrip(spark, tmp_path):
     out = t.build(b1)
     assert BUCKET_COL not in out.columns  # internal column hidden from readers
     assert out.count() > 0
+
+
+# -- partition manifest -------------------------------------------------
+
+
+def _disk_buckets(path):
+    out = {}
+    for b in os.listdir(path):
+        if b.startswith(f"{BUCKET_COL}="):
+            d = os.path.join(path, b)
+            out[b.split("=", 1)[1]] = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    return out
+
+
+def _expected(spark, path, batches):
+    """The unbucketed build over the same batch sequence."""
+    t = ScdTable(spark, path, CFG)
+    out = None
+    for b in batches:
+        out = t.build(spark.createDataFrame(b, CUSTOMERS_SCHEMA))
+    return out
+
+
+def _assert_same(a, b):
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_manifest_matches_disk_and_is_patched_incrementally(spark, tmp_path):
+    path = str(tmp_path / "m")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    m1 = t._read_manifest()
+    assert m1 is not None and m1["schema"]
+    assert {b: e["files"] for b, e in m1["buckets"].items()} == _disk_buckets(path)
+    assert all(e["rows"] > 0 for e in m1["buckets"].values())
+
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    m2 = t._read_manifest()
+    assert {b: e["files"] for b, e in m2["buckets"].items()} == _disk_buckets(path)
+    # Untouched buckets keep their exact (files, rows) entries.
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    touched = {
+        r[0] for r in b2.select(t._bucket_expr(b2).alias("b")).distinct().collect()
+    }
+    for b, e in m1["buckets"].items():
+        if int(b) not in touched:
+            assert m2["buckets"][b] == e
+
+
+def test_manifest_crash_recovery_stale_entry(spark, tmp_path):
+    """Simulate a crash between the partition swap and the manifest commit:
+    a bucket's entry lists files that no longer exist.  The next merge must
+    fall back to re-listing that bucket and still produce correct rows, and
+    its commit repairs the manifest."""
+    import json
+
+    path = str(tmp_path / "crash")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    mp = t._manifest_path()
+    m = json.load(open(mp))
+    for e in m["buckets"].values():  # every entry stale
+        e["files"] = ["part-gone-from-a-crashed-swap.parquet"]
+    json.dump(m, open(mp, "w"))
+
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    touched = {
+        str(r[0]) for r in b2.select(t._bucket_expr(b2).alias("b")).distinct().collect()
+    }
+    out = t.build(b2)
+    _assert_same(out, _expected(spark, str(tmp_path / "p1"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+    # The merge's commit repairs every bucket it touched; untouched stale
+    # entries stay (a real crash only stales the crashed merge's own
+    # buckets) and are verified-then-relisted whenever a merge reads them.
+    m2 = t._read_manifest()
+    disk = _disk_buckets(path)
+    for b in touched:
+        assert m2["buckets"][b]["files"] == disk[b]
+
+
+def test_manifest_missing_migrates_legacy_table(spark, tmp_path):
+    """A pre-manifest table (manifest deleted) merges correctly via the
+    one-time migration listing, after which the manifest exists."""
+    path = str(tmp_path / "legacy")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    os.remove(t._manifest_path())
+
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "p2"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+    assert t._read_manifest() is not None
+
+
+def test_bucketed_merge_into_brand_new_bucket(spark, tmp_path):
+    """A batch whose keys hash to buckets with no existing partition must
+    merge against an empty slice (manifest schema), not crash."""
+    path = str(tmp_path / "newbucket")
+    t = ScdTable(spark, path, CFG, partition_buckets=64)
+    only_k1 = [r for r in CUSTOMERS_RAW[1] if r[0] == 1]
+    t.build(spark.createDataFrame(only_k1, CUSTOMERS_SCHEMA))
+    # Merge the full batch-2: with 64 buckets the other keys land in
+    # partitions that do not exist yet.
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "p3"),
+                                [only_k1, CUSTOMERS_RAW[2]]))
+    m = t._read_manifest()
+    assert {b: e["files"] for b, e in m["buckets"].items()} == _disk_buckets(path)
+
+
+def test_bucketed_merge_empty_batch_is_noop(spark, tmp_path):
+    """An empty CDC delta merges as a no-op (guard for repartition(0))."""
+    path = str(tmp_path / "empty")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    before = t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    empty = spark.createDataFrame([], CUSTOMERS_SCHEMA)
+    after = t.build(empty)
+    _assert_same(before, after)

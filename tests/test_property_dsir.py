@@ -9,6 +9,7 @@ from __future__ import annotations
 import hashlib
 import math
 import random
+import re
 from collections import Counter
 
 import duckdb
@@ -21,7 +22,12 @@ from dbt_scd2_utils_spark.operators.dsir import (
     dsir_resample_sql,
 )
 
-VOCAB = "alpha beta γάμμα delta ζeta eta θήτα iota κappa lam".split()
+VOCAB = "alpha beta γάμμα delta ζeta eta θήτα iota κappa lam".split() + [
+    # Contains U+00A0 (non-breaking space): both engines' ASCII \s+ keep it
+    # one token — pins that this harness tokenizes like the engines, not
+    # like str.split() (which would split it in two and diverge).
+    "nb\xa0sp",
+]
 BUCKETS = 64  # small so collisions actually happen
 ALPHA = 0.5
 
@@ -32,7 +38,16 @@ def _bucket(gram: str) -> int:
 
 
 def _grams(text: str) -> list[str]:
-    toks = [w for w in text.lower().strip().split() if w]
+    # Mirror _SPARK_TOKENS / _DUCK_TOKENS exactly: both engines split on
+    # ASCII-only \s+ (Java / DuckDB regex classes) after an ASCII trim, so
+    # this re-derivation must NOT use str.split()/str.strip() (which treat
+    # all Unicode whitespace, e.g. \xa0, as separators) or a corpus with
+    # such characters would diverge from both engines at once.
+    toks = [
+        w
+        for w in re.split(r"\s+", text.lower().strip(" \t\n\r\x0b\x0c"), flags=re.ASCII)
+        if w
+    ]
     return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
 
