@@ -442,4 +442,11 @@ def scd2_incremental(
     result = resolved.unionByName(inserts)
     if tgt_out is not None:
         result = result.unionByName(tgt_out.select(*[F.col(c) for c in all_cols]))
+    # Hand the persisted intermediates to the caller: once the result has
+    # been materialized (written/collected) they are dead weight in the
+    # CacheManager — and worse, after a sink swap deletes their input files,
+    # any later refreshByPath re-lists the dead plans (observed as
+    # "deleted very recently" listing warnings).  ScdTable and the streaming
+    # sink unpersist them post-write via this attribute.
+    result._scd_intermediates = [source, prev]
     return result

@@ -37,6 +37,17 @@ from .config import ScdConfig
 BUCKET_COL = "_scd_bucket"
 
 
+def _release_intermediates(result: DataFrame) -> None:
+    """Unpersist the merge intermediates an operator attached to its result
+    (see ``scd2_incremental``).  Call only after the result has been
+    materialized — unpersisting earlier just recomputes, never corrupts."""
+    for df in getattr(result, "_scd_intermediates", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 class ScdTable:
     """An SCD-materialized table over a parquet directory.
 
@@ -266,6 +277,7 @@ class ScdTable:
                 result = scd0_incremental(self.read(), model_df, cfg)
 
         self._atomic_write(result)
+        _release_intermediates(result)
         model_df.unpersist()  # S8: drop the temp relation
         return self.read()
 
@@ -387,6 +399,11 @@ class ScdTable:
                 manifest["buckets"][str(b)] = entry
         self._write_manifest(manifest)
         self._write_meta()
+        # Release the merge's persisted intermediates BEFORE refreshing:
+        # they were planned over leaf files the swap just deleted, and
+        # refreshByPath would otherwise try to recache the dead plans
+        # (re-listing deleted files).
+        _release_intermediates(merged)
         self.spark.catalog.refreshByPath(self.path)
 
     def _atomic_write(self, df: DataFrame) -> None:

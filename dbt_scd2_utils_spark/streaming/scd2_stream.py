@@ -54,6 +54,12 @@ class Scd2ParquetSink:
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+        # Release the merge's persisted intermediates: a long-running stream
+        # would otherwise accumulate one dead (input files swapped away)
+        # cache entry pair PER MICRO-BATCH in the CacheManager.
+        from ..plans.build import _release_intermediates
+
+        _release_intermediates(result)
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         self.apply_batch(batch)
