@@ -223,8 +223,31 @@ class ScdTable:
         return meta.get("materialized") == self.MATERIALIZATION
 
     def read(self) -> DataFrame:
-        df = self.spark.read.parquet(self.path)
-        return df.drop(BUCKET_COL) if self.partition_buckets else df
+        if not self.partition_buckets:
+            return self.spark.read.parquet(self.path)
+        manifest = self._read_manifest()
+        if not manifest:
+            # Pre-manifest table: recursive discovery (one-time; the next
+            # build writes the manifest).
+            return self.spark.read.parquet(self.path).drop(BUCKET_COL)
+        # Manifest-backed full read: ONE root readdir (catches bucket dirs a
+        # crashed swap created before its manifest commit) + per-bucket
+        # verify-and-relist, instead of Spark's recursive stat walk over
+        # every partition — the read-side twin of the merge path's listing
+        # fix.  Data files never contain BUCKET_COL (a partition-dir
+        # column), so reading leaf files directly needs no drop().
+        from pyspark.sql.types import StructType
+
+        disk_buckets = [
+            n.split("=", 1)[1]
+            for n in os.listdir(self.path)
+            if n.startswith(f"{BUCKET_COL}=")
+        ]
+        files = self._affected_files(manifest, disk_buckets)
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def _bucket_expr(self, df: DataFrame):
         # Stable across runs and engines enough for partitioning: md5 of the
@@ -355,6 +378,7 @@ class ScdTable:
             # the SCD output schema from the batch itself.
             target_slice = scd2_initial_load(batch.limit(0), self.cfg)
         self.last_phase_times = {"list_affected": time.perf_counter() - t0}
+        t0 = time.perf_counter()
         merged = scd2_incremental(target_slice, batch, self.cfg)
         stage = self.path + "__stage"
         (
@@ -370,6 +394,8 @@ class ScdTable:
             .partitionBy(BUCKET_COL)
             .parquet(stage)
         )
+        self.last_phase_times["merge_and_stage"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         # Staging is durable; now swap each affected partition directory.
         for b in affected:
             part = f"{BUCKET_COL}={b}"
@@ -399,6 +425,7 @@ class ScdTable:
                 manifest["buckets"][str(b)] = entry
         self._write_manifest(manifest)
         self._write_meta()
+        self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
         # Release the merge's persisted intermediates BEFORE refreshing:
         # they were planned over leaf files the swap just deleted, and
         # refreshByPath would otherwise try to recache the dead plans

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Measure the SCD2 window chain's hot-key straggler tail at 1M/10M
+versions per key — the evidence behind operators/scd2.py's decision NOT
+to salt the audit windows by default (module note option (c): a salted
+two-phase lead/lag with boundary fixup "only pays off past ~10M
+versions/key").
+
+Provocation (same shape as tests/test_scd2_incremental.py::
+test_hot_key_window_skew_completes, scaled up): ONE business key with H
+versions among 10k single-version keys; the key-partitioned windows put
+all H rows on one task, AQE cannot split a window stage.  For
+H ∈ {0 (baseline), 100k, 1M, 10M} we time initial load + one incremental
+merge.  tail(H) = wall(H) − wall(0) isolates the straggler; the
+per-version rate says what a salted variant would have to beat, and the
+baseline's own wall time is the floor a salt-shuffle + fixup join would
+add to EVERY run.
+
+Prints one JSON line per H plus a summary; results go to BASELINE.md and
+the scd2.py note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbt_scd2_utils_spark import (  # noqa: E402
+    ScdConfig,
+    scd2_incremental,
+    scd2_initial_load,
+)
+from dbt_scd2_utils_spark.session import get_spark  # noqa: E402
+
+NORM_K = 10_000
+BASE = "timestamp'2020-01-01 00:00:00'"
+
+
+def feed_for(spark, hot_versions: int):
+    norm = spark.range(1, NORM_K + 1).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("x").alias("payload"),
+        F.expr(BASE).alias("_updated_at"),
+    )
+    if not hot_versions:
+        return norm
+    hot = spark.range(hot_versions).select(
+        F.lit(0).cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+        F.expr(f"{BASE} + make_interval(0,0,0,0,0,0,id)").alias("_updated_at"),
+    )
+    return hot.unionByName(norm)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    spark = get_spark("hot-key-window-tail", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = ScdConfig(unique_key=("k",), default_valid_to="2200-01-01 00:00:00")
+
+    results = []
+    for hot in (0, 100_000, 1_000_000, 10_000_000):
+        feed = feed_for(spark, hot)
+        # Split so roughly half the hot key's history lands in each phase
+        # (seconds since BASE run 0..hot-1; normal keys are all at BASE).
+        split_s = max(1, hot // 2)
+        split = F.expr(f"{BASE} + make_interval(0,0,0,0,0,0,{split_s})")
+        t0 = time.perf_counter()
+        state = scd2_initial_load(
+            feed.filter(F.col("_updated_at") <= split), cfg
+        ).persist()
+        state.write.format("noop").mode("overwrite").save()
+        initial_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        scd2_incremental(
+            state, feed.filter(F.col("_updated_at") > split), cfg
+        ).write.format("noop").mode("overwrite").save()
+        incr_s = round(time.perf_counter() - t0, 2)
+        state.unpersist()
+        results.append({
+            "hot_versions": hot, "initial_s": initial_s, "incremental_s": incr_s,
+        })
+        print(json.dumps(results[-1]), flush=True)
+
+    base = results[0]
+    summary = {
+        "metric": "scd2_hot_key_window_tail",
+        "cpus": cpus,
+        "norm_keys": NORM_K,
+        "points": results,
+        "tails": [
+            {
+                "hot_versions": r["hot_versions"],
+                "initial_tail_s": round(r["initial_s"] - base["initial_s"], 2),
+                "incremental_tail_s": round(
+                    r["incremental_s"] - base["incremental_s"], 2
+                ),
+            }
+            for r in results[1:]
+        ],
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

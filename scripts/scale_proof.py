@@ -617,6 +617,7 @@ def merge_contrast(spark, events, work_dir: str) -> dict[str, float]:
     ).coalesce(1).write.parquet(batch_path)
     small_batch = spark.read.parquet(batch_path)
     times: dict[str, float] = {}
+    outputs: dict[str, object] = {}
     for flavor, buckets in (
         ("vanilla", None),
         ("bucketed", max(16, n_events // 50_000)),
@@ -630,6 +631,20 @@ def merge_contrast(spark, events, work_dir: str) -> dict[str, float]:
         times[f"scd2_merge_small_batch_{flavor}"] = round(
             time.perf_counter() - t0, 2
         )
+        # Driver-side phase split of the bucketed merge (the r9d residual
+        # was an O(bucket-count) listing term; the manifest should hold
+        # list_affected ~flat as buckets grow with the table).
+        for ph, sec in tbl.last_phase_times.items():
+            times[f"bucketed_phase_{ph}"] = round(sec, 3)
+        outputs[flavor] = tbl.read()
+    # Untimed value-parity gate: the two sink shapes must produce the SAME
+    # table (a timing win that changed the data would be a defect, not a
+    # result).
+    a, b = outputs["vanilla"], outputs["bucketed"]
+    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    times["flavor_value_mismatch_rows"] = mismatch
+    for flavor in outputs:
+        tpath = os.path.join(work_dir, f"scd_tbl_{flavor}")
         _sh.rmtree(tpath, ignore_errors=True)
         _sh.rmtree(tpath + "__tmp", ignore_errors=True)
     return times
