@@ -226,7 +226,7 @@ class ScdTable:
         if not self.partition_buckets:
             return self.spark.read.parquet(self.path)
         manifest = self._read_manifest()
-        if not manifest:
+        if not manifest or not manifest.get("schema"):
             # Pre-manifest table: recursive discovery (one-time; the next
             # build writes the manifest).
             return self.spark.read.parquet(self.path).drop(BUCKET_COL)
