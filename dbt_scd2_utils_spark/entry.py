@@ -458,6 +458,27 @@ def q_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_incremental(target, b2, SCD2_CFG)
 
 
+def q_scd2_salted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opt-in hot-key salted window strategy
+    (operators/scd2_salted.py) end-to-end against the SAME full-refresh
+    oracle as scd2_incremental_merge: a 2%-of-keys slice of the staged
+    pipeline (per-key independence makes the filtered oracle exact) with
+    the hot threshold at 2 so nearly every key routes through the salted
+    chain — gating both the reference's incremental≡full-refresh claim
+    AND salted≡unsalted in one row.  salts=4 keeps real salt boundaries
+    in play at sf0.01 history lengths."""
+    prepare(spark)
+    from .operators.scd2_salted import scd2_incremental_salted
+
+    target = _staged_target(spark, sf_dir, SCD2_CFG, "collapse").filter(
+        F.col("user_id") % 50 == 0
+    )
+    b2 = _split(change_feed(spark, sf_dir))[1].filter(F.col("user_id") % 50 == 0)
+    return scd2_incremental_salted(
+        target, b2, SCD2_CFG, salts=4, hot_key_threshold=2
+    )
+
+
 def q_scd2_incremental_no_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-previous branch: persisted versions are never dropped; the
     oracle re-derives the staged pipeline CTE-for-CTE."""
@@ -2989,6 +3010,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_incremental_merge": q_scd2_incremental_merge,
+        "scd2_salted_merge": q_scd2_salted_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
         "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
         "scd2_composite_null_key": q_scd2_composite_null_key,
@@ -3147,6 +3169,11 @@ def oracle_sql() -> dict[str, str]:
         # collapse ⇒ incremental ≡ full refresh: the oracle is the
         # full-refresh derivation (independent path through the semantics).
         "scd2_incremental_merge": scd2_built,
+        # Salted hot-key chain on a 2%-of-keys slice — per-key independence
+        # makes the filtered full-refresh derivation the exact oracle.
+        "scd2_salted_merge": (
+            f"select * from ({scd2_built}) where user_id % 50 = 0"
+        ),
         # Same equivalence, exercised through the foreachBatch stream sink.
         "streaming_scd2_merge": scd2_built,
         # And through the state-store CDC operator (events reconstructed).

@@ -32,11 +32,20 @@ data bugs (a NULL-ish sentinel key) — surface them with
 ``batch.groupBy(keys).count().orderBy(F.desc("count"))`` and quarantine;
 (b) if a hot key is legitimate, pre-collapse its intra-batch churn (e.g.
 keep last version per (key, hour)) BEFORE the merge, shrinking the window
-input; (c) a salted two-phase window (salt → per-salt partial lead/lag →
-boundary-row fixup join) is possible but only pays off past ~10M versions
-per key — below that the straggler finishes before the extra shuffle+join
-would.  The operator deliberately does not salt by default: correctness of
-the fixup is subtle and the 99.99% case pays the cost for nothing.
+input; (c) a salted window (contiguous time-range salts + boundary-ghost
+rows) IS shipped, opt-in, as ``operators/scd2_salted.py``, with a
+randomized exact-equivalence harness
+(``tests/test_property_salted_scd2.py``).  Measured
+(``scripts/hot_key_window_tail.py``, BASELINE round-10c): the plain
+incremental straggler is ~2 s at 100k versions, ~16-22 s at 1M, ~142-176 s
+at 10M on local[32] — and the salted path does NOT beat it at any locally
+measurable size (1M: 34 vs 21 s; 10M: the salted run's materialized stage
+copies exceed the 8 GB single-JVM heap while the plain single-task sort
+completes).  Its domain is a REAL cluster at ≥10M-version keys, where the
+one task holding the whole history is itself the thing that spills or
+OOMs — salting spreads that history S ways across executors, which
+single-JVM local mode structurally cannot demonstrate.  The DEFAULT
+therefore remains unsalted everywhere.
 """
 
 from __future__ import annotations
@@ -165,7 +174,60 @@ def _audit_select(
     )
 
 
-def scd2_initial_load(df: DataFrame, cfg: ScdConfig) -> DataFrame:
+class KeyWindows:
+    """Window strategy for the per-key history chain — the seam the salted
+    hot-key path (``operators/scd2_salted.py``) plugs into.  This default
+    implementation is the plain key-partitioned chain (one task per key);
+    every method's semantics are per key and order-local, so a strategy may
+    compute them over any partitioning that preserves them."""
+
+    def dedup_first_per_version(
+        self, df: DataFrame, cfg: ScdConfig, business_cols: Sequence[str],
+        with_priority: bool,
+    ) -> DataFrame:
+        return _dedup_first_per_version(df, cfg, business_cols, with_priority)
+
+    def compare_versions(
+        self, df: DataFrame, cfg: ScdConfig, with_runs: bool,
+    ) -> DataFrame:
+        """Attach ``_prev_hash`` (lag of the content hash) and, for the
+        merge path, ``_run_id`` (conditional_change_event run ids)."""
+        w = key_window(cfg.unique_key, cfg.updated_at_column)
+        out = df.withColumn(PREV_HASH_COL, F.lag(HASH_COL).over(w))
+        if with_runs:
+            out = out.withColumn(
+                RUN_ID_COL,
+                conditional_change_event(
+                    HASH_COL, cfg.unique_key, cfg.updated_at_column
+                ),
+            )
+        return out
+
+    def collapse_survivors(
+        self, df: DataFrame, cfg: ScdConfig, order: Sequence[Column],
+    ) -> DataFrame:
+        """Keep the first row of each (key, run) under ``order`` —
+        get_incremental_scd2_sql.sql:178-197."""
+        run_rn = F.row_number().over(
+            Window.partitionBy(*cfg.unique_key, RUN_ID_COL).orderBy(*order)
+        )
+        return (
+            df.withColumn("_rrn", run_rn).filter(F.col("_rrn") == 1).drop("_rrn")
+        )
+
+    def audit_select(
+        self, df: DataFrame, cfg: ScdConfig, business_cols: Sequence[str],
+        extra: Sequence[Column] = (),
+    ) -> DataFrame:
+        return _audit_select(df, cfg, business_cols, extra)
+
+
+DEFAULT_WINDOWS = KeyWindows()
+
+
+def scd2_initial_load(
+    df: DataFrame, cfg: ScdConfig, windows: KeyWindows = DEFAULT_WINDOWS
+) -> DataFrame:
     """Bootstrap an SCD2 table from a (possibly duplicated, multi-version)
     change batch — ``get_initial_load_scd2_sql.sql:52-96``.
 
@@ -187,18 +249,17 @@ def scd2_initial_load(df: DataFrame, cfg: ScdConfig) -> DataFrame:
     # partition, rows sort by (updated_at, tiebreak) and the first row of
     # each updated_at-group survives — identical survivor to a per-_scd2_key
     # row_number, one Exchange less.
-    deduped = _dedup_first_per_version(
+    deduped = windows.dedup_first_per_version(
         source_data, cfg, business_cols, with_priority=False
     )
 
     # compare_versions + changes_only
-    w = key_window(cfg.unique_key, cfg.updated_at_column)
-    with_prev = deduped.withColumn(PREV_HASH_COL, F.lag(HASH_COL).over(w))
+    with_prev = windows.compare_versions(deduped, cfg, with_runs=False)
     changes_only = with_prev.filter(
         F.col(PREV_HASH_COL).isNull() | (F.col(HASH_COL) != F.col(PREV_HASH_COL))
     )
 
-    return _audit_select(changes_only, cfg, business_cols)
+    return windows.audit_select(changes_only, cfg, business_cols)
 
 
 def previous_records(
@@ -243,7 +304,8 @@ def previous_records(
 
 
 def build_scd2_merge_source(
-    target: DataFrame, batch: DataFrame, cfg: ScdConfig
+    target: DataFrame, batch: DataFrame, cfg: ScdConfig,
+    windows: KeyWindows = DEFAULT_WINDOWS,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """The MERGE source: canonical timeline (upserts) + redundant versions
     (deletes) — the CTE chain of ``get_incremental_scd2_sql.sql:79-236``.
@@ -280,17 +342,12 @@ def build_scd2_merge_source(
 
     # pick_a_key_any_key — previous wins (priority 0 < 17), then values;
     # key-partitioned so it shares the window chain's shuffle.
-    deduped = _dedup_first_per_version(
+    deduped = windows.dedup_first_per_version(
         all_records, cfg, business_cols, with_priority=True
     )
 
     # compare_versions: lag hash + conditional_change_event run ids.
-    w = key_window(cfg.unique_key, u)
-    compare = deduped.withColumn(
-        PREV_HASH_COL, F.lag(HASH_COL).over(w)
-    ).withColumn(
-        RUN_ID_COL, conditional_change_event(HASH_COL, cfg.unique_key, u)
-    )
+    compare = windows.compare_versions(deduped, cfg, with_runs=True)
 
     # changes_only: canonical timeline.
     if cfg.effective_collapse:
@@ -300,12 +357,7 @@ def build_scd2_merge_source(
         if cfg.loaded_at_column.lower() in {c.lower() for c in business_cols}:
             order.append(F.col(cfg.loaded_at_column).asc_nulls_last())
         order.append(F.col(u).asc_nulls_last())
-        run_rn = F.row_number().over(
-            Window.partitionBy(*cfg.unique_key, RUN_ID_COL).orderBy(*order)
-        )
-        changes_only = (
-            compare.withColumn("_rrn", run_rn).filter(F.col("_rrn") == 1).drop("_rrn")
-        )
+        changes_only = windows.collapse_survivors(compare, cfg, order)
     else:
         changes_only = compare.filter(
             F.col(PREV_HASH_COL).isNull()
@@ -314,7 +366,7 @@ def build_scd2_merge_source(
         )
 
     # scd2_versions: recompute audit columns over the canonical timeline.
-    upserts = _audit_select(
+    upserts = windows.audit_select(
         changes_only, cfg, business_cols,
         extra=[F.lit("upsert").alias(OP_COL), F.col(KEY_COL)],
     )
@@ -344,6 +396,7 @@ def scd2_incremental(
     target: DataFrame, batch: DataFrame, cfg: ScdConfig,
     broadcast_source: bool | None = None,
     broadcast_max_rows: int = 5_000_000,
+    windows: KeyWindows = DEFAULT_WINDOWS,
 ) -> DataFrame:
     """Apply one incremental SCD2 batch and return the NEW full table.
 
@@ -366,7 +419,9 @@ def scd2_incremental(
     count is free, it materializes the persisted source the downstream
     action needs anyway.  Pass True/False to force either shape.
     """
-    source, prev, business_cols = build_scd2_merge_source(target, batch, cfg)
+    source, prev, business_cols = build_scd2_merge_source(
+        target, batch, cfg, windows=windows
+    )
     # The merge source (delta-sized) feeds both the broadcast join and the
     # inserts anti-join — persist so its window chain runs once.
     source = source.persist()

@@ -63,6 +63,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = ScdConfig(unique_key=("k",), default_valid_to="2200-01-01 00:00:00")
 
+    from dbt_scd2_utils_spark.operators.scd2_salted import (
+        scd2_incremental_salted,
+        scd2_initial_load_salted,
+    )
+
+    salted_flavors = {
+        1_000_000: True, 10_000_000: True,  # measure the opt-in path here
+    }
     results = []
     for hot in (0, 100_000, 1_000_000, 10_000_000):
         feed = feed_for(spark, hot)
@@ -81,11 +89,36 @@ def main() -> None:
             state, feed.filter(F.col("_updated_at") > split), cfg
         ).write.format("noop").mode("overwrite").save()
         incr_s = round(time.perf_counter() - t0, 2)
-        state.unpersist()
-        results.append({
+        row = {
             "hot_versions": hot, "initial_s": initial_s, "incremental_s": incr_s,
-        })
-        print(json.dumps(results[-1]), flush=True)
+        }
+        if salted_flavors.get(hot):
+            # Salted twin, INCLUDING hot-key auto-detection cost.  Guarded:
+            # at 10M versions the salted path's eager stage barriers hold
+            # several materialized copies of the hot history, which can
+            # exceed a single local-mode JVM heap (that is exactly the
+            # cluster failure mode salting exists to spread out — but here
+            # it means the measurement itself can die).
+            try:
+                t0 = time.perf_counter()
+                scd2_initial_load_salted(
+                    feed.filter(F.col("_updated_at") <= split), cfg,
+                    salts=32, hot_key_threshold=500_000,
+                ).write.format("noop").mode("overwrite").save()
+                row["initial_salted_s"] = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                scd2_incremental_salted(
+                    state, feed.filter(F.col("_updated_at") > split), cfg,
+                    salts=32, hot_key_threshold=500_000,
+                ).write.format("noop").mode("overwrite").save()
+                row["incremental_salted_s"] = round(
+                    time.perf_counter() - t0, 2
+                )
+            except Exception as exc:  # noqa: BLE001 — record, keep curve
+                row["salted_error"] = type(exc).__name__
+        state.unpersist()
+        results.append(row)
+        print(json.dumps(row), flush=True)
 
     base = results[0]
     summary = {
