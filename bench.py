@@ -39,6 +39,7 @@ from dbt_scd2_utils_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "scd2_initial_load",
     "scd2_incremental_merge",
+    "scd2_salted_merge",
     "scd2_incremental_no_collapse",
     "scd1_initial_load",
     "scd0_initial_load",

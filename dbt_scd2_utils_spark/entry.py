@@ -2897,9 +2897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (rotation.rotate over the committed CORRECTNESS_r*.json history):
     SEMANTICS_CHANGED names lead, then never-gated queries, then
     stalest-first by latest green round, stable by registry order.
-    Rotation cadence: with ~116 queries and a 50-slot window, every
+    Rotation cadence: with ~121 queries and a 50-slot window, every
     oracle-backed query gets a driver row at least every THIRD round
-    (⌈116/50⌉) with zero per-round editing — an idle round no longer
+    (⌈121/50⌉) with zero per-round editing — an idle round no longer
     decays the cadence, the next gated round picks up exactly where the
     history says.  Audit with scripts/rotation_plan.py; preflight the
     upcoming window with scripts/gate_preflight.py."""

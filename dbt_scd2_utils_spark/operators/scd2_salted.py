@@ -396,9 +396,15 @@ def scd2_initial_load_salted(
     if not hot_keys.limit(1).count():
         return scd2_initial_load(df, cfg)
     hot_df, norm_df = _split(df, cfg, hot_keys)
-    return scd2_initial_load(norm_df, cfg).unionByName(
-        scd2_initial_load(hot_df, cfg, windows=SaltedKeyWindows(salts))
+    strat = SaltedKeyWindows(salts)
+    out = scd2_initial_load(norm_df, cfg).unionByName(
+        scd2_initial_load(hot_df, cfg, windows=strat)
     )
+    # Hand the strategy's checkpointed stage intermediates to the caller's
+    # release hook (ScdTable/_release_intermediates) — their storage blocks
+    # are dead weight once the result is materialized.
+    out._scd_intermediates = strat.cached
+    return out
 
 
 def scd2_incremental_salted(
@@ -430,13 +436,13 @@ def scd2_incremental_salted(
         return scd2_incremental(target, batch, cfg, **kwargs)
     hot_t, norm_t = _split(target, cfg, hot_keys)
     hot_b, norm_b = _split(batch, cfg, hot_keys)
+    strat = SaltedKeyWindows(salts)
     norm = scd2_incremental(norm_t, norm_b, cfg, **kwargs)
-    hot = scd2_incremental(
-        hot_t, hot_b, cfg, windows=SaltedKeyWindows(salts), **kwargs
-    )
+    hot = scd2_incremental(hot_t, hot_b, cfg, windows=strat, **kwargs)
     out = norm.unionByName(hot)
     out._scd_intermediates = (
-        getattr(norm, "_scd_intermediates", []) +
-        getattr(hot, "_scd_intermediates", [])
+        getattr(norm, "_scd_intermediates", [])
+        + getattr(hot, "_scd_intermediates", [])
+        + strat.cached
     )
     return out

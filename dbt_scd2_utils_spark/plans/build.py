@@ -40,7 +40,10 @@ BUCKET_COL = "_scd_bucket"
 def _release_intermediates(result: DataFrame) -> None:
     """Unpersist the merge intermediates an operator attached to its result
     (see ``scd2_incremental``).  Call only after the result has been
-    materialized — unpersisting earlier just recomputes, never corrupts."""
+    materialized: persisted entries released early just recompute, but the
+    salted chain's entries are CHECKPOINTED (lineage truncated), so the
+    result DataFrame must not be re-executed after this call — both sinks
+    satisfy that by writing first and re-reading from disk."""
     for df in getattr(result, "_scd_intermediates", []):
         try:
             df.unpersist()
