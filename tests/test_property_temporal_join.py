@@ -183,7 +183,7 @@ def test_scd2_join_shared_business_column_suffix_pinned(spark):
         ),
         cfg,
     )
-    out = scd2_join([mk("left"), mk("right")], ["k"])
+    out = scd2_join([mk("left"), mk("right")], ["k"], default_valid_to=DEFAULT_VT)
     assert out.columns == [
         "k", "status", "status_1", "_is_current", "_valid_from", "_valid_to"
     ]
