@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_normalized",
     "duplicate_span_coverage",
+    "exact_substring_dedup",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

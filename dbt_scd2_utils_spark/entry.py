@@ -1688,6 +1688,20 @@ def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(doc_corpus(spark, sf_dir), span_n=8)
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step of exact-substring dedup (Lee et al. ACL'22
+    ExactSubstr, token-granular) over the dup-planted corpus: every
+    token covered by an 8-token window occurring in ≥2 documents is cut;
+    rows report surviving-token counts plus an md5 over the retained
+    text (operators/dedup.py::exact_substring_dedup).  The planted
+    exact copies must empty out; the 80%-prefix truncations must lose
+    exactly their shared prefix."""
+    prepare(spark)
+    from .operators.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(doc_corpus(spark, sf_dir), span_n=8)
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form exact dedup (operators/dedup.py::
     normalized_exact_dedup): reformatted copies planted as
@@ -2885,8 +2899,37 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "semantic_dedup_pq": 9,
     "cluster_balanced_sample": 9,
     # r9: replay passes broadcast_source=True (skips the eager sizing
-    # count; proven bit-equal) — re-gate the choreography.
-    "scd2_sequence_replay": 9,
+    # count; proven bit-equal) — re-gate the choreography (green r9),
+    # then re-pinned r10 below with the rest of the chain.
+    # r10: the SCD2 window chain grew the KeyWindows strategy seam
+    # (operators/scd2.py — scd2_initial_load + scd2_incremental signatures
+    # and internals) and scd2_incremental now hands its persisted
+    # intermediates to the sink for post-materialization release
+    # (scd2.py/scd2_stream.py/plans/build.py).  Output proven unchanged
+    # by pytest + the salted equivalence harness, but no consumer has a
+    # committed green row at-or-after the change — re-gate every query
+    # that routes through the chain.
+    "scd2_initial_load": 10,
+    "scd2_incremental_merge": 10,
+    "scd2_incremental_no_collapse": 10,
+    "scd2_incremental_update_all_false": 10,
+    "scd2_composite_null_key": 10,
+    "scd2_born_deleted": 10,
+    "scd2_loaded_at_tiebreak": 10,
+    "scd2_change_columns_exclude": 10,
+    "scd2_change_columns_include": 10,
+    "scd2_incremental_predicates": 10,
+    "scd2_diff_cdc": 10,
+    "scd2_current_snapshot": 10,
+    "scd2_snapshot_asof": 10,
+    "scd2_sequence_replay": 10,
+    "streaming_scd2_merge": 10,
+    "streaming_scd2_stateful": 10,
+    "invariant_one_current_per_key": 10,
+    "invariant_no_validity_overlaps": 10,
+    "invariant_store_failures": 10,
+    "scd2_temporal_join": 10,
+    "scd2_bucketed_temporal_join": 10,
 }
 
 
@@ -2962,6 +3005,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_features": q_image_tile_features,
         "training_order": q_training_order,
         "duplicate_span_coverage": q_duplicate_span_coverage,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "dataset_card": q_dataset_card,
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "dsir_logratio": q_dsir_logratio,
@@ -3057,6 +3101,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from .operators.dedup import (
         duplicate_span_coverage_sql as _duplicate_span_coverage_sql,
+    )
+    from .operators.dedup import (
+        exact_substring_dedup_sql as _exact_substring_dedup_sql,
     )
     from .operators.dedup import (
         normalized_exact_dedup_sql as _normalized_exact_dedup_sql,
@@ -3514,6 +3561,9 @@ where q.keep
             DOC_CORPUS_SQL, line_tokens=16, min_count=2
         ),
         "duplicate_span_coverage": _duplicate_span_coverage_sql(
+            DOC_CORPUS_SQL, span_n=8
+        ),
+        "exact_substring_dedup": _exact_substring_dedup_sql(
             DOC_CORPUS_SQL, span_n=8
         ),
         "dedup_normalized": _normalized_exact_dedup_sql(

@@ -1189,3 +1189,165 @@ from ({source_sql}) s
 left join totals t on s.{id_col} = t.id
 left join dups d on s.{id_col} = d.id
 """
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL step of exact-substring deduplication ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al., ACL'22 —
+    their ExactSubstr tool cuts every duplicated byte span; this is the
+    token-granular Spark formulation, sharing
+    :func:`duplicate_span_coverage`'s definition of "duplicated"): a
+    ``span_n``-token window whose text occurs in ≥ ``min_docs`` distinct
+    documents is a duplicated span, and every token covered by at least
+    one duplicated span is cut from its document.  Overlapping spans
+    merge naturally (a token is cut once no matter how many spans cover
+    it), which reproduces ExactSubstr's maximal-span behavior without
+    building a suffix array: the union of all duplicated fixed-length
+    windows IS the set of maximal duplicated regions of length ≥ span_n.
+
+    Output per input document: ``(id, n_tokens, n_removed_tokens,
+    retained_hash)`` where ``retained_hash`` is md5 over the surviving
+    tokens re-joined in original order (md5('') for a fully-duplicated
+    document — filtering emptied docs is the caller's policy call, as in
+    :func:`text.remove_repeated_lines`).
+
+    Scale shape (the 100-TB budget is corpus TOKEN count, same class as
+    exact decontamination): one explode of n·L windows → distinct
+    (gram, doc) → map-side-combined document-frequency count; duplicated
+    window starts fan out to ≤ span_n (id, token_idx) rows, distinct'd;
+    reconstruction is one anti-join on (id, idx) plus one groupBy(id) of
+    (idx, token) structs — bounded by document length, never
+    corpus-sized.  No suffix array, no UDFs, no driver collect."""
+    from ..functions.partitioning import parallelize_narrow
+
+    words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    base = _barrier(
+        parallelize_narrow(df).select(F.col(id_col).alias("id"), words.alias("w"))
+    )
+    toks = base.select(
+        "id", F.posexplode("w").alias("idx", "tok")
+    )
+    grams = F.when(
+        F.size("w") >= span_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - span_n),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, span_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    windows = base.select("id", F.posexplode(grams).alias("start", "g"))
+    dup_grams = (
+        windows.select("id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        windows.join(dup_grams, "g", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + span_n - 1)
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    removed = covered.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_removed_tokens")
+    )
+    retained = (
+        toks.join(covered, ["id", "idx"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("retained_hash")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(removed, "id", "left")
+        .join(retained, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.coalesce(
+                "retained_hash", F.md5(F.lit(""))
+            ).alias("retained_hash"),
+        )
+    )
+
+
+def exact_substring_dedup_sql(
+    source_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_dedup`."""
+    words = f"string_split_regex(trim({text_col}), '\\s+')"
+    return f"""
+with src as (
+  select {id_col} as id, {words} as w from ({source_sql})
+),
+toks as (
+  select id, unnest(range(0, len(w))) as idx, w from src
+),
+tok as (
+  select id, idx, w[idx + 1] as tok from toks
+),
+starts as (
+  select id, unnest(range(0, greatest(len(w) - {span_n} + 1, 0))) as start, w
+  from src
+),
+windows as (
+  select id, start,
+         array_to_string(list_slice(w, start + 1, start + {span_n}), ' ') as g
+  from starts
+),
+dup_grams as (
+  select g from (select distinct id, g from windows)
+  group by g having count(*) >= {min_docs}
+),
+covered as (
+  select distinct id, idx from (
+    select id, unnest(range(start, start + {span_n})) as idx
+    from windows where g in (select g from dup_grams)
+  )
+),
+totals as (select id, count(*) as n_tokens from tok group by id),
+removed as (select id, count(*) as n_removed_tokens from covered group by id),
+retained as (
+  select t.id, md5(array_to_string(list(t.tok order by t.idx), ' '))
+           as retained_hash
+  from tok t anti join covered c on t.id = c.id and t.idx = c.idx
+  group by t.id
+)
+select s.id as {id_col},
+       cast(coalesce(tt.n_tokens, 0) as bigint) as n_tokens,
+       cast(coalesce(r.n_removed_tokens, 0) as bigint) as n_removed_tokens,
+       coalesce(re.retained_hash, md5('')) as retained_hash
+from src s
+left join totals tt on s.id = tt.id
+left join removed r on s.id = r.id
+left join retained re on s.id = re.id
+"""
