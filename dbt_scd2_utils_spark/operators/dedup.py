@@ -1220,18 +1220,19 @@ def exact_substring_dedup(
     Scale shape (the 100-TB budget is corpus TOKEN count, same class as
     exact decontamination): one explode of n·L windows → distinct
     (gram, doc) → map-side-combined document-frequency count; duplicated
-    window starts fan out to ≤ span_n (id, token_idx) rows, distinct'd;
-    reconstruction is one anti-join on (id, idx) plus one groupBy(id) of
-    (idx, token) structs — bounded by document length, never
-    corpus-sized.  No suffix array, no UDFs, no driver collect."""
+    window starts fan out to ≤ span_n (id, token_idx) rows, distinct'd
+    and folded to ONE sorted index array per affected document — every
+    shuffle after the window explode is DUPLICATE-scale, not
+    corpus-token-scale.  Counts and the retained text are then derived
+    in-plan from the doc's token array and its covered-index array (one
+    codegen'd filter over the array — no token explode, no anti-join,
+    no per-token reconstruction shuffle).  No suffix array, no UDFs, no
+    driver collect."""
     from ..functions.partitioning import parallelize_narrow
 
     words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
     base = _barrier(
         parallelize_narrow(df).select(F.col(id_col).alias("id"), words.alias("w"))
-    )
-    toks = base.select(
-        "id", F.posexplode("w").alias("idx", "tok")
     )
     grams = F.when(
         F.size("w") >= span_n,
@@ -1258,40 +1259,21 @@ def exact_substring_dedup(
             ).alias("idx"),
         )
         .distinct()
-    )
-    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    removed = covered.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_removed_tokens")
-    )
-    retained = (
-        toks.join(covered, ["id", "idx"], "left_anti")
         .groupBy("id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("idx", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                )
-            ).alias("retained_hash")
-        )
+        .agg(F.sort_array(F.collect_list("idx")).alias("cov"))
+    )
+    masked = F.filter(
+        "w", lambda x, i: ~F.coalesce(F.array_contains("cov", i), F.lit(False))
     )
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(removed, "id", "left")
-        .join(retained, "id", "left")
+        base.join(covered, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce("n_removed_tokens", F.lit(0))
+            F.size("w").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0))
             .cast("long")
             .alias("n_removed_tokens"),
-            F.coalesce(
-                "retained_hash", F.md5(F.lit(""))
-            ).alias("retained_hash"),
+            F.md5(F.concat_ws(" ", masked)).alias("retained_hash"),
         )
     )
 

@@ -758,6 +758,16 @@ def run_flagship(spark, paths: dict[str, str]) -> dict[str, float]:
     minhash_lsh_pairs(zdocs).write.format("noop").mode("overwrite").save()
     times["minhash_lsh_pairs_zipf"] = round(time.perf_counter() - t0, 2)
 
+    # r10: exact-substring removal on the same realistic corpus — work is
+    # ∝ corpus tokens (window explode + df count + ≤span_n covered-index
+    # fan-out per duplicated window), so the decade ratio should track
+    # the minhash row's, not the pair-explosion stresses.
+    from dbt_scd2_utils_spark.operators.dedup import exact_substring_dedup
+
+    t0 = time.perf_counter()
+    exact_substring_dedup(zdocs).write.format("noop").mode("overwrite").save()
+    times["exact_substring_dedup_zipf"] = round(time.perf_counter() - t0, 2)
+
     feed = events.select(
         "user_id", "event_type", "value", "props",
         F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
