@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "streaming_ann_probe",
     "streaming_ivf_pq_probe",
     "streaming_curation_gate",
+    "streaming_dsir_gate",
     "embedding_pool",
     "embedding_random_projection",
     "ann_bruteforce_topk",

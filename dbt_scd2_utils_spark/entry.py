@@ -1677,6 +1677,51 @@ def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR admission gate: the (b, delta_micro) ratio table is
+    trained ONCE on (documents, en-slice) — the build-once model state,
+    operators/dsir.py::dsir_ratio — then documents stream in micro-batches
+    and each batch is scored against the FIXED broadcast table
+    (dsir_score), keeping docs within 1.0 log-units of the raw average
+    (logratio_micro > -1e6 micros — an admission gate, not a top-k).
+    Scoring is per-row narrow work, so the drained union equals the batch
+    scoring of the whole corpus; the batch SQL twin (dsir_logratio_sql +
+    the same threshold) gates it."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.dsir import dsir_ratio, dsir_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = _qcache(
+        dsir_ratio(docs, docs.filter(F.col("lang") == "en"))
+    )
+    base = tempfile.mkdtemp(prefix="scd_stream_dsir_")
+    src, out = f"{base}/src", f"{base}/out"
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _gate(batch_df, _epoch: int) -> None:
+        (
+            dsir_score(batch_df, ratio)
+            .filter(F.col("logratio_micro") > -1_000_000)
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
 def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-text coverage (Lee et al. ACL'22
     measurement) over the dup-planted corpus: the share of 8-token
@@ -3010,6 +3055,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_sample": q_temperature_mixture_sample,
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
+        "streaming_dsir_gate": q_streaming_dsir_gate,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "dedup_incremental_novelty": q_dedup_incremental_novelty,
         "domain_mixture_sample": q_domain_mixture_sample,
@@ -3638,6 +3684,13 @@ where q.keep
             ),
             k=200,
         ),
+        # build-once/score-many ≡ one-shot scoring (pinned by test), so
+        # the drained stream shares dsir_logratio's twin plus the gate.
+        "streaming_dsir_gate": f"""
+select * from ({_dsir_logratio_sql(
+            "select * from documents",
+            "select * from documents where lang = 'en'",
+        )}) where logratio_micro > -1000000""",
         "cluster_balanced_sample": _per_group_cap_sql(
             dedup_clusters_sql(
                 f"select vec_id from ({EMB_CORPUS_SQL})",

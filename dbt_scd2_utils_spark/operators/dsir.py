@@ -46,8 +46,10 @@ from .search import _DUCK_TOKENS, _SPARK_TOKENS, _dbl
 __all__ = [
     "dsir_logratio",
     "dsir_logratio_sql",
+    "dsir_ratio",
     "dsir_resample",
     "dsir_resample_sql",
+    "dsir_score",
 ]
 
 _SALT = "dsir"
@@ -144,22 +146,34 @@ def dsir_logratio(
         .agg(F.sum("tf").alias("tc"))
     )
     raw_cnt = raw_feat.groupBy("b").agg(F.sum("tf").alias("qc"))
+    ratio = _ratio_table(raw_cnt, tgt_cnt, buckets, alpha)
+    return _score_features(raw, raw_feat, ratio, id_col)
+
+
+def _ratio_table(
+    raw_cnt: DataFrame, tgt_cnt: DataFrame, buckets: int, alpha: float
+) -> DataFrame:
+    """(b, delta_micro) from (b, qc) raw counts and (b, tc) target counts.
+    Every scored bucket occurs in raw (qc >= 1); absent target buckets
+    smooth to alpha.  <= `buckets` rows — broadcast is unconditionally
+    safe (constant-size hyperparameter, not corpus)."""
     tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot"))
     raw_tot = raw_cnt.agg(F.coalesce(F.sum("qc"), F.lit(0)).alias("q_tot"))
-
     delta = _DELTA.format(a=_dbl(alpha), B=buckets)
-    # ratio table: every scored bucket occurs in raw (qc >= 1); absent
-    # target buckets smooth to alpha.  <= `buckets` rows — broadcast is
-    # unconditionally safe (constant-size hyperparameter, not corpus).
-    ratio = (
+    return (
         raw_cnt.join(tgt_cnt, "b", "left")
         .withColumn("tc", F.coalesce("tc", F.lit(0)))
         .crossJoin(F.broadcast(tgt_tot))
         .crossJoin(F.broadcast(raw_tot))
         .select("b", F.expr(delta).alias("delta_micro"))
     )
+
+
+def _score_features(
+    docs: DataFrame, feat: DataFrame, ratio: DataFrame, id_col: str
+) -> DataFrame:
     scored = (
-        raw_feat.join(F.broadcast(ratio), "b")
+        feat.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_grams"),
@@ -167,7 +181,7 @@ def dsir_logratio(
         )
     )
     return (
-        raw.select(F.col(id_col).alias("doc_id"))
+        docs.select(F.col(id_col).alias("doc_id"))
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
@@ -177,6 +191,52 @@ def dsir_logratio(
             .alias("logratio_micro"),
         )
     )
+
+
+def dsir_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The BUILD step split out for build-once/score-many deployments
+    (streaming gates, cross-corpus scoring): train the two hashed-ngram
+    LMs on (raw, target) once and return the ≤ ``buckets``-row
+    ``(b, delta_micro)`` scoring table.  ``dsir_score(raw, ratio)`` is
+    provably identical to ``dsir_logratio(raw, target)`` (pinned by
+    test) — the ratio table is the whole model state, so persisting it
+    is the streaming twin of save_codebooks/save_bm25_index."""
+    raw_cnt = (
+        _features(raw, id_col, text_col, buckets)
+        .groupBy("b")
+        .agg(F.sum("tf").alias("qc"))
+    )
+    tgt_cnt = (
+        _features(target, id_col, text_col, buckets)
+        .groupBy("b")
+        .agg(F.sum("tf").alias("tc"))
+    )
+    return _ratio_table(raw_cnt, tgt_cnt, buckets, alpha)
+
+
+def dsir_score(
+    docs: DataFrame,
+    ratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Score ``docs`` against a FIXED :func:`dsir_ratio` table — per-row
+    narrow work (explode grams → bucket → broadcast-join the ratio →
+    per-doc sum), so scoring is batch-boundary-invariant: a drained
+    stream of micro-batches equals one batch call exactly.  Grams whose
+    bucket is absent from the trained table contribute nothing (can only
+    happen when ``docs`` extends beyond the training raw corpus —
+    with a real corpus every one of the 4096 buckets is populated)."""
+    feat = _features(docs, id_col, text_col, buckets)
+    return _score_features(docs, feat, ratio, id_col)
 
 
 def dsir_logratio_sql(

@@ -126,3 +126,34 @@ def test_resample_plan_no_global_sort(spark, corpus):
     # the standard scalar-subquery shape (same allowance as the LM plan
     # test); anything beyond those two is a real defect
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_build_score_split_equals_one_shot(spark, corpus):
+    """dsir_score(raw, dsir_ratio(raw, target)) ≡ dsir_logratio(raw,
+    target) — the build-once/score-many split is lossless, and scoring
+    is batch-boundary-invariant (streaming_dsir_gate's correctness)."""
+    from dbt_scd2_utils_spark.operators.dsir import dsir_ratio, dsir_score
+
+    target = corpus.filter(F.col("doc_id") % 3 == 0)
+    one_shot = (
+        dsir_logratio(corpus, target)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ratio = dsir_ratio(corpus, target)
+    split = (
+        dsir_score(corpus, ratio)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert split.astype(str).equals(one_shot.astype(str))
+    # micro-batch union: score two arbitrary halves separately against
+    # the same fixed table — identical to the whole-corpus call
+    a = dsir_score(corpus.filter(F.col("doc_id") < 40), ratio)
+    b = dsir_score(corpus.filter(F.col("doc_id") >= 40), ratio)
+    union = (
+        a.unionByName(b).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert union.astype(str).equals(one_shot.astype(str))
