@@ -218,7 +218,14 @@ def dsir_ratio(
         .groupBy("b")
         .agg(F.sum("tf").alias("tc"))
     )
-    return _ratio_table(raw_cnt, tgt_cnt, buckets, alpha)
+    # Carry the trained modulus with the model state: scoring with a
+    # DIFFERENT buckets value would hash grams into buckets the table
+    # never saw (silently dropped by the inner join) and join the rest
+    # against deltas computed under another modulus — numerically wrong
+    # with no error.  dsir_score reads/validates this column.
+    return _ratio_table(raw_cnt, tgt_cnt, buckets, alpha).withColumn(
+        "_buckets", F.lit(buckets)
+    )
 
 
 def dsir_score(
@@ -226,7 +233,7 @@ def dsir_score(
     ratio: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    buckets: int = 4096,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Score ``docs`` against a FIXED :func:`dsir_ratio` table — per-row
     narrow work (explode grams → bucket → broadcast-join the ratio →
@@ -234,7 +241,29 @@ def dsir_score(
     stream of micro-batches equals one batch call exactly.  Grams whose
     bucket is absent from the trained table contribute nothing (can only
     happen when ``docs`` extends beyond the training raw corpus —
-    with a real corpus every one of the 4096 buckets is populated)."""
+    with a real corpus every bucket is populated).
+
+    ``buckets`` defaults to the modulus recorded in the ratio table's
+    ``_buckets`` column (written by :func:`dsir_ratio`); passing an
+    explicit value that contradicts it raises instead of silently
+    hashing grams under the wrong modulus.  A hand-built table without
+    the column requires an explicit ``buckets``."""
+    trained = None
+    if "_buckets" in ratio.columns:
+        row = ratio.select("_buckets").first()
+        trained = row[0] if row else None
+        ratio = ratio.drop("_buckets")
+    if trained is not None and buckets is not None and buckets != trained:
+        raise ValueError(
+            f"dsir_score(buckets={buckets}) contradicts the ratio table's "
+            f"trained modulus (_buckets={trained})"
+        )
+    buckets = trained if trained is not None else buckets
+    if buckets is None:
+        raise ValueError(
+            "dsir_score needs the trained modulus: pass buckets= or use a "
+            "ratio table built by dsir_ratio (which records _buckets)"
+        )
     feat = _features(docs, id_col, text_col, buckets)
     return _score_features(docs, feat, ratio, id_col)
 

@@ -355,6 +355,40 @@ class SaltedKeyWindows(KeyWindows):
 # -- hot-key split entry points -------------------------------------------
 
 
+def _require_orderable_updated_at(df: DataFrame, cfg: ScdConfig) -> None:
+    """Salt ranges are derived from ``unix_micros(updated_at::timestamp)``
+    while every chain window orders by the RAW column — the two must agree
+    on row order or boundary ghosts are not the true lag/lead neighbors.
+    Temporal types cast identically; integer epochs cast monotonically;
+    anything else (strings especially: lexicographic '2024-1-2...' vs
+    parsed) can disagree, so refuse it rather than silently break the
+    exact-equivalence contract."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    dt = df.schema[cfg.updated_at_column].dataType
+    if not isinstance(
+        dt,
+        (
+            DateType, TimestampType, TimestampNTZType,
+            ByteType, ShortType, IntegerType, LongType,
+        ),
+    ):
+        raise ValueError(
+            f"salted SCD2 windows require a temporal or integer "
+            f"'{cfg.updated_at_column}' column (got {dt.simpleString()}): "
+            "salt ranges come from the timestamp cast, which must be "
+            "order-consistent with the raw window ordering"
+        )
+
+
 def detect_hot_keys(
     key_rows: DataFrame, cfg: ScdConfig, threshold: int
 ) -> DataFrame:
@@ -389,11 +423,18 @@ def scd2_initial_load_salted(
     """``scd2_initial_load`` with hot keys routed through the salted
     strategy; exact same output (SCD2 is per-key independent)."""
     cfg = cfg.validate()
-    if hot_keys is None:
+    _require_orderable_updated_at(df, cfg)
+    own_hot = hot_keys is None
+    if own_hot:
+        # Persisted: the key set feeds four joins below (two semi, two
+        # anti, each broadcasting it) — without the barrier every
+        # broadcast exchange re-executes the detection aggregation.
         hot_keys = detect_hot_keys(
             df.select(*cfg.unique_key), cfg, hot_key_threshold
-        )
+        ).persist()
     if not hot_keys.limit(1).count():
+        if own_hot:
+            hot_keys.unpersist()
         return scd2_initial_load(df, cfg)
     hot_df, norm_df = _split(df, cfg, hot_keys)
     strat = SaltedKeyWindows(salts)
@@ -403,7 +444,7 @@ def scd2_initial_load_salted(
     # Hand the strategy's checkpointed stage intermediates to the caller's
     # release hook (ScdTable/_release_intermediates) — their storage blocks
     # are dead weight once the result is materialized.
-    out._scd_intermediates = strat.cached
+    out._scd_intermediates = strat.cached + ([hot_keys] if own_hot else [])
     return out
 
 
@@ -422,17 +463,25 @@ def scd2_incremental_salted(
     detection costs one broadcast-semi scan — comparable to the merge's
     own previous-records pass."""
     cfg = cfg.validate()
+    _require_orderable_updated_at(batch, cfg)
     keys = list(cfg.unique_key)
-    if hot_keys is None:
+    own_hot = hot_keys is None
+    if own_hot:
         cand = batch.select(*keys).distinct()
         cond = _ns_eq("l", "h", keys)
         affected = target.alias("l").join(
             F.broadcast(cand).alias("h"), cond, "left_semi"
         ).select(*keys)
+        # Persisted: the key set feeds four joins below (two semi, two
+        # anti, each broadcasting it) — without the barrier every
+        # broadcast exchange re-executes the detection aggregation AND
+        # its target semi-join.
         hot_keys = detect_hot_keys(
             affected.unionByName(batch.select(*keys)), cfg, hot_key_threshold
-        )
+        ).persist()
     if not hot_keys.limit(1).count():
+        if own_hot:
+            hot_keys.unpersist()
         return scd2_incremental(target, batch, cfg, **kwargs)
     hot_t, norm_t = _split(target, cfg, hot_keys)
     hot_b, norm_b = _split(batch, cfg, hot_keys)
@@ -444,5 +493,6 @@ def scd2_incremental_salted(
         getattr(norm, "_scd_intermediates", [])
         + getattr(hot, "_scd_intermediates", [])
         + strat.cached
+        + ([hot_keys] if own_hot else [])
     )
     return out

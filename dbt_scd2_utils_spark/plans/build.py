@@ -165,11 +165,20 @@ class ScdTable:
                 buckets[name.split("=", 1)[1]] = entry
         return {"buckets": buckets, "schema": data_schema_json}
 
-    def _affected_files(self, manifest: dict | None, affected: list) -> list[str]:
-        """Absolute data-file paths for the affected buckets, manifest-first
-        with per-bucket verify-and-relist fallback (see class note above)."""
+    def _affected_files(
+        self, manifest: dict | None, affected: list
+    ) -> tuple[list[str], bool]:
+        """(absolute data-file paths for the affected buckets, any_stale) —
+        manifest-first with per-bucket verify-and-relist fallback (see class
+        note above).  ``any_stale`` tells the caller the manifest is behind
+        the disk state (crash between swap and commit), in which case its
+        recorded SCHEMA must not be trusted either: the swapped-in files may
+        carry a newer schema, and pinning the old one would silently drop
+        columns — the one way an advisory manifest could yield wrong data
+        rather than a re-list."""
         buckets = (manifest or {}).get("buckets", {})
         out: list[str] = []
+        any_stale = False
         for b in affected:
             part_dir = os.path.join(self.path, f"{BUCKET_COL}={b}")
             entry = buckets.get(str(b))
@@ -179,10 +188,11 @@ class ScdTable:
             ):
                 # Missing or stale entry (e.g. crash between swap and
                 # manifest write): re-list this one directory.
+                any_stale = True
                 fresh = self._scan_bucket_dir(part_dir)
                 names = fresh["files"] if fresh else []
             out.extend(os.path.join(part_dir, n) for n in names)
-        return out
+        return out, any_stale
 
     def _write_meta(self) -> None:
         """Record how this relation was built so the next run can apply the
@@ -246,10 +256,14 @@ class ScdTable:
             for n in os.listdir(self.path)
             if n.startswith(f"{BUCKET_COL}=")
         ]
-        files = self._affected_files(manifest, disk_buckets)
+        files, stale = self._affected_files(manifest, disk_buckets)
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not files:
             return self.spark.createDataFrame([], schema)
+        if stale:
+            # Crash-recovery path: don't pin the (possibly older) recorded
+            # schema over just-swapped files — merge it from footers.
+            return self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self.spark.read.schema(schema).parquet(*files)
 
     def _bucket_expr(self, df: DataFrame):
@@ -303,7 +317,6 @@ class ScdTable:
                 result = scd0_incremental(self.read(), model_df, cfg)
 
         self._atomic_write(result)
-        _release_intermediates(result)
         model_df.unpersist()  # S8: drop the temp relation
         return self.read()
 
@@ -360,7 +373,7 @@ class ScdTable:
             sample = self.spark.read.parquet(self.path).drop(BUCKET_COL)
             manifest = self._scan_full_manifest(sample.schema.json())
             self._write_manifest(manifest)
-        files = self._affected_files(manifest, affected)
+        files, stale = self._affected_files(manifest, affected)
         schema_json = (manifest or {}).get("schema")
         from pyspark.sql.types import StructType
 
@@ -369,8 +382,12 @@ class ScdTable:
         )
         if files:
             reader = self.spark.read
-            if data_schema is not None:
+            if data_schema is not None and not stale:
                 reader = reader.schema(data_schema)
+            elif stale:
+                # Crash-recovery path: the relisted files may be newer than
+                # the manifest's recorded schema — derive it from footers.
+                reader = reader.option("mergeSchema", "true")
             target_slice = reader.parquet(*files)
         elif data_schema is not None:
             # All affected buckets are brand new — merge against an empty
@@ -438,6 +455,7 @@ class ScdTable:
 
     def _atomic_write(self, df: DataFrame) -> None:
         tmp = self.path + "__tmp"
+        result = df  # the operator output carrying _scd_intermediates
         data_schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
         if self.partition_buckets:
@@ -460,6 +478,12 @@ class ScdTable:
             # merges — incremental runs only ever patch affected entries.
             self._write_manifest(self._scan_full_manifest(data_schema_json))
         self._write_meta()
+        # Release the merge's persisted intermediates BEFORE refreshing —
+        # same ordering as _build_bucketed_incremental: they were planned
+        # over leaf files the swap just deleted, and refreshByPath would
+        # otherwise recache the dead plans (re-listing deleted files on
+        # every vanilla merge).
+        _release_intermediates(result)
         # Invalidate cached file listings for readers of the swapped path.
         self.spark.catalog.refreshByPath(self.path)
 

@@ -101,14 +101,24 @@ def main() -> None:
         t0 = time.perf_counter()
         cents = centroids_for(n_cells)
         train_s = round(time.perf_counter() - t0, 1)
-        # Assign every vector to its nearest centroid, chunked.
+        # Rank cells EXACTLY as the engine does (similarity.py `_assign`:
+        # cosine rounded to 6, lowest cent_id on ties) — centroids are
+        # means of unit vectors with varying norms, so a raw dot product
+        # would rank cells by a different rule than the shipped quantizer.
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        # Assign every vector to its nearest centroid, chunked; argmax on
+        # the rounded cosine returns the FIRST (lowest cent_id) max.
         assign = np.empty(n_vec, dtype=np.int32)
         for lo in range(0, n_vec, 50_000):
             hi = min(lo + 50_000, n_vec)
-            assign[lo:hi] = (mat[lo:hi] @ cents.T).argmax(axis=1)
+            assign[lo:hi] = np.round(mat[lo:hi] @ cn.T, 6).argmax(axis=1)
         cell_sizes = np.bincount(assign, minlength=len(cents))
-        q_cent = q @ cents.T  # (queries x cells)
-        order = np.argsort(-q_cent, axis=1)
+        q_cent = np.round(q @ cn.T, 6)  # (queries x cells)
+        # stable sort on -cosine ⇒ ties break toward lower cent_id,
+        # matching the engine's (csim desc, cent_id asc) ordering.
+        order = np.argsort(-q_cent, axis=1, kind="stable")
         for nprobe in (2, 4, 8, 16, 32):
             probed = order[:, :nprobe]  # (queries x nprobe)
             hits = 0

@@ -184,3 +184,42 @@ def test_bucketed_merge_empty_batch_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], CUSTOMERS_SCHEMA)
     after = t.build(empty)
     _assert_same(before, after)
+
+
+def test_manifest_stale_schema_not_pinned_over_swapped_files(spark, tmp_path):
+    """A crash between swap and manifest commit can straddle a SCHEMA
+    change: the swapped-in files carry a column the recorded manifest
+    schema lacks.  The stale-detecting read must derive the schema from
+    the files (mergeSchema) instead of pinning the old recorded one —
+    otherwise the new column is silently dropped (wrong data, not a
+    re-list)."""
+    path = str(tmp_path / "schema_crash")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    # Simulate the crashed swap: one bucket dir's files are replaced by
+    # files with an EXTRA column under fresh names; manifest not updated.
+    bdir = next(
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith(f"{BUCKET_COL}=")
+    )
+    swapped = spark.read.parquet(bdir).withColumn("tier", F.lit("gold"))
+    staging = str(tmp_path / "swapped_files")
+    swapped.coalesce(1).write.parquet(staging)
+    for f in os.listdir(bdir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(bdir, f))
+    import shutil
+
+    for i, f in enumerate(sorted(os.listdir(staging))):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(staging, f),
+                os.path.join(bdir, f"part-swapped-{i}.parquet"),
+            )
+
+    out = t.read()
+    assert "tier" in out.columns, "new column silently dropped"
+    assert out.filter(F.col("tier") == "gold").count() > 0
+    assert out.filter(F.col("tier").isNull()).count() > 0  # other buckets

@@ -157,3 +157,26 @@ def test_build_score_split_equals_one_shot(spark, corpus):
         a.unionByName(b).toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert union.astype(str).equals(one_shot.astype(str))
+
+
+def test_score_guards_bucket_modulus(spark, corpus):
+    """dsir_score must refuse a modulus that contradicts the ratio
+    table's trained _buckets, and must require one when neither the
+    column nor the parameter supplies it."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.operators.dsir import dsir_ratio, dsir_score
+
+    target = corpus.filter(F.col("doc_id") % 3 == 0)
+    ratio = dsir_ratio(corpus, target, buckets=1024)
+    # trained modulus honored implicitly
+    got = dsir_score(corpus.limit(5), ratio).collect()
+    assert len(got) == 5
+    # explicit agreement is fine
+    dsir_score(corpus.limit(1), ratio, buckets=1024).collect()
+    # contradiction raises instead of silently mis-hashing
+    with _pytest.raises(ValueError, match="trained modulus"):
+        dsir_score(corpus.limit(1), ratio, buckets=4096)
+    # a hand-built table without _buckets needs an explicit value
+    with _pytest.raises(ValueError, match="trained modulus"):
+        dsir_score(corpus.limit(1), ratio.drop("_buckets"))

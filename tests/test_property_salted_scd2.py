@@ -126,3 +126,27 @@ def test_salted_degenerate_single_instant_key(spark):
     v = scd2_initial_load(feed, cfg)
     s = scd2_initial_load_salted(feed, cfg, salts=4, hot_keys=hot)
     assert _same(v, s) == 0
+
+
+def test_salted_rejects_unorderable_updated_at(spark):
+    """Salt ranges come from the timestamp CAST while chain windows order
+    by the RAW column; a string updated_at can order differently under
+    the two rules ('2024-1-2' vs '2024-01-10'), so the salted entry
+    points refuse it rather than silently break exact equivalence."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark import ScdConfig
+    from dbt_scd2_utils_spark.operators.scd2_salted import (
+        scd2_incremental_salted,
+        scd2_initial_load_salted,
+    )
+
+    cfg = ScdConfig(unique_key=("k",))
+    df = spark.createDataFrame(
+        [(1, "2024-1-2 00:00:00", "a"), (1, "2024-01-10 00:00:00", "b")],
+        "k long, _updated_at string, v string",
+    )
+    with _pytest.raises(ValueError, match="temporal or integer"):
+        scd2_initial_load_salted(df, cfg, hot_key_threshold=1)
+    with _pytest.raises(ValueError, match="temporal or integer"):
+        scd2_incremental_salted(df, df, cfg, hot_key_threshold=1)
