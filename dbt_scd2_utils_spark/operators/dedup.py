@@ -1227,12 +1227,19 @@ def exact_substring_dedup(
     in-plan from the doc's token array and its covered-index array (one
     codegen'd filter over the array — no token explode, no anti-join,
     no per-token reconstruction shuffle).  No suffix array, no UDFs, no
-    driver collect."""
+    driver collect.
+
+    ``base`` is deliberately NOT persisted even though two consumers read
+    it: it holds the tokenized corpus (larger than the text itself), and
+    at scale two narrow columnar scans of the text column are cheaper
+    than pinning token arrays in executor storage — measured locally,
+    the persist also evicted other queries' memoized artifacts in
+    long-lived sessions."""
     from ..functions.partitioning import parallelize_narrow
 
     words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
-    base = _barrier(
-        parallelize_narrow(df).select(F.col(id_col).alias("id"), words.alias("w"))
+    base = parallelize_narrow(df).select(
+        F.col(id_col).alias("id"), words.alias("w")
     )
     grams = F.when(
         F.size("w") >= span_n,
