@@ -222,9 +222,13 @@ def dsir_ratio(
     # DIFFERENT buckets value would hash grams into buckets the table
     # never saw (silently dropped by the inner join) and join the rest
     # against deltas computed under another modulus — numerically wrong
-    # with no error.  dsir_score reads/validates this column.
+    # with no error.  dsir_score reads/validates this.  The value rides
+    # in the column's schema METADATA (driver-side, zero jobs to read,
+    # survives a 0-row table); the column itself keeps the value visible
+    # in persisted copies.
     return _ratio_table(raw_cnt, tgt_cnt, buckets, alpha).withColumn(
-        "_buckets", F.lit(buckets)
+        "_buckets",
+        F.lit(buckets).alias("_buckets", metadata={"trained_buckets": buckets}),
     )
 
 
@@ -250,8 +254,14 @@ def dsir_score(
     the column requires an explicit ``buckets``."""
     trained = None
     if "_buckets" in ratio.columns:
-        row = ratio.select("_buckets").first()
-        trained = row[0] if row else None
+        # Schema metadata first (no Spark job); fall back to reading a
+        # row only for hand-built tables that attached the column
+        # without metadata.
+        md = ratio.schema["_buckets"].metadata or {}
+        trained = md.get("trained_buckets")
+        if trained is None:
+            row = ratio.select("_buckets").first()
+            trained = row[0] if row else None
         ratio = ratio.drop("_buckets")
     if trained is not None and buckets is not None and buckets != trained:
         raise ValueError(

@@ -359,30 +359,18 @@ def _require_orderable_updated_at(df: DataFrame, cfg: ScdConfig) -> None:
     """Salt ranges are derived from ``unix_micros(updated_at::timestamp)``
     while every chain window orders by the RAW column — the two must agree
     on row order or boundary ghosts are not the true lag/lead neighbors.
-    Temporal types cast identically; integer epochs cast monotonically;
+    Temporal types cast identically; numeric epochs cast monotonically;
     anything else (strings especially: lexicographic '2024-1-2...' vs
     parsed) can disagree, so refuse it rather than silently break the
     exact-equivalence contract."""
-    from pyspark.sql.types import (
-        ByteType,
-        DateType,
-        IntegerType,
-        LongType,
-        ShortType,
-        TimestampNTZType,
-        TimestampType,
-    )
+    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
 
     dt = df.schema[cfg.updated_at_column].dataType
     if not isinstance(
-        dt,
-        (
-            DateType, TimestampType, TimestampNTZType,
-            ByteType, ShortType, IntegerType, LongType,
-        ),
+        dt, (DateType, TimestampType, TimestampNTZType, NumericType)
     ):
         raise ValueError(
-            f"salted SCD2 windows require a temporal or integer "
+            f"salted SCD2 windows require a temporal or numeric "
             f"'{cfg.updated_at_column}' column (got {dt.simpleString()}): "
             "salt ranges come from the timestamp cast, which must be "
             "order-consistent with the raw window ordering"
@@ -426,12 +414,16 @@ def scd2_initial_load_salted(
     _require_orderable_updated_at(df, cfg)
     own_hot = hot_keys is None
     if own_hot:
-        # Persisted: the key set feeds four joins below (two semi, two
-        # anti, each broadcasting it) — without the barrier every
-        # broadcast exchange re-executes the detection aggregation.
-        hot_keys = detect_hot_keys(
-            df.select(*cfg.unique_key), cfg, hot_key_threshold
-        ).persist()
+        # Registered persist (functions/caching.barrier, so a session-wide
+        # release_caches() can sweep it): the key set feeds four joins
+        # below (two semi, two anti, each broadcasting it) — without the
+        # barrier every broadcast exchange re-executes the detection
+        # aggregation.
+        from ..functions.caching import barrier as _cache_barrier
+
+        hot_keys = _cache_barrier(
+            detect_hot_keys(df.select(*cfg.unique_key), cfg, hot_key_threshold)
+        )
     if not hot_keys.limit(1).count():
         if own_hot:
             hot_keys.unpersist()
@@ -464,6 +456,10 @@ def scd2_incremental_salted(
     own previous-records pass."""
     cfg = cfg.validate()
     _require_orderable_updated_at(batch, cfg)
+    # The target's column participates in the same windows after the
+    # union (type coercion could resolve a string target against a
+    # timestamp batch) — gate both sides.
+    _require_orderable_updated_at(target, cfg)
     keys = list(cfg.unique_key)
     own_hot = hot_keys is None
     if own_hot:
@@ -472,13 +468,18 @@ def scd2_incremental_salted(
         affected = target.alias("l").join(
             F.broadcast(cand).alias("h"), cond, "left_semi"
         ).select(*keys)
-        # Persisted: the key set feeds four joins below (two semi, two
-        # anti, each broadcasting it) — without the barrier every
-        # broadcast exchange re-executes the detection aggregation AND
-        # its target semi-join.
-        hot_keys = detect_hot_keys(
-            affected.unionByName(batch.select(*keys)), cfg, hot_key_threshold
-        ).persist()
+        # Registered persist (functions/caching.barrier, so a session-wide
+        # release_caches() can sweep it): the key set feeds four joins
+        # below (two semi, two anti, each broadcasting it) — without the
+        # barrier every broadcast exchange re-executes the detection
+        # aggregation AND its target semi-join.
+        from ..functions.caching import barrier as _cache_barrier
+
+        hot_keys = _cache_barrier(
+            detect_hot_keys(
+                affected.unionByName(batch.select(*keys)), cfg, hot_key_threshold
+            )
+        )
     if not hot_keys.limit(1).count():
         if own_hot:
             hot_keys.unpersist()

@@ -182,12 +182,24 @@ class ScdTable:
         for b in affected:
             part_dir = os.path.join(self.path, f"{BUCKET_COL}={b}")
             entry = buckets.get(str(b))
-            names = entry["files"] if entry else None
-            if names is None or not all(
+            if entry is None:
+                # No manifest entry: either a BRAND-NEW bucket (no
+                # directory yet — normal growth, an empty slice, NOT
+                # stale) or a crash left a directory the manifest never
+                # learned about (stale).
+                fresh = self._scan_bucket_dir(part_dir)
+                if fresh is not None:
+                    any_stale = True
+                    out.extend(
+                        os.path.join(part_dir, n) for n in fresh["files"]
+                    )
+                continue
+            names = entry["files"]
+            if not all(
                 os.path.exists(os.path.join(part_dir, n)) for n in names
             ):
-                # Missing or stale entry (e.g. crash between swap and
-                # manifest write): re-list this one directory.
+                # Stale entry (crash between swap and manifest write):
+                # re-list this one directory.
                 any_stale = True
                 fresh = self._scan_bucket_dir(part_dir)
                 names = fresh["files"] if fresh else []

@@ -101,10 +101,14 @@ def main() -> None:
         t0 = time.perf_counter()
         cents = centroids_for(n_cells)
         train_s = round(time.perf_counter() - t0, 1)
-        # Rank cells EXACTLY as the engine does (similarity.py `_assign`:
-        # cosine rounded to 6, lowest cent_id on ties) — centroids are
-        # means of unit vectors with varying norms, so a raw dot product
-        # would rank cells by a different rule than the shipped quantizer.
+        # Rank cells as the engine does (similarity.py `_assign`: cosine
+        # rounded to 6, lowest cent_id on ties) — centroids are means of
+        # unit vectors with varying norms, so a raw dot product would
+        # rank cells by a different rule than the shipped quantizer.
+        # (Corpus/query vectors are already unit-norm, so dividing by
+        # the centroid norm IS the cosine.  np.round ties half-to-even
+        # vs Spark's HALF_UP — a measure-zero difference on float64
+        # cosines, noted for honesty rather than handled.)
         cn = cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
         )

@@ -223,3 +223,27 @@ def test_manifest_stale_schema_not_pinned_over_swapped_files(spark, tmp_path):
     assert "tier" in out.columns, "new column silently dropped"
     assert out.filter(F.col("tier") == "gold").count() > 0
     assert out.filter(F.col("tier").isNull()).count() > 0  # other buckets
+
+
+def test_new_bucket_is_growth_not_stale(spark, tmp_path):
+    """A bucket with no manifest entry AND no directory is normal growth
+    (a batch introducing keys there), not a crash artifact — it must not
+    poison the read into abandoning the pinned manifest schema.  Only an
+    on-disk directory the manifest never learned about, or a listed file
+    that vanished, counts as stale."""
+    path = str(tmp_path / "growth")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    manifest = t._read_manifest()
+    known = list(manifest["buckets"])
+    # brand-new bucket id: no entry, no dir -> no files, NOT stale
+    fresh_id = next(str(b) for b in range(8) if str(b) not in known)
+    files, stale = t._affected_files(manifest, [fresh_id])
+    assert files == [] and stale is False
+    # known bucket + new bucket -> known files, still not stale
+    files, stale = t._affected_files(manifest, [known[0], fresh_id])
+    assert files and stale is False
+    # a listed file vanishing IS stale
+    manifest["buckets"][known[0]]["files"] = ["part-vanished.parquet"]
+    files, stale = t._affected_files(manifest, [known[0]])
+    assert stale is True

@@ -180,3 +180,18 @@ def test_score_guards_bucket_modulus(spark, corpus):
     # a hand-built table without _buckets needs an explicit value
     with _pytest.raises(ValueError, match="trained modulus"):
         dsir_score(corpus.limit(1), ratio.drop("_buckets"))
+
+
+def test_score_modulus_from_metadata_even_for_empty_table(spark, corpus):
+    """The trained modulus rides in the _buckets column's schema
+    metadata, so dsir_score needs no Spark job to read it and a
+    legitimately EMPTY ratio table (no-gram corpus) still scores —
+    returning zero rows' worth of zero scores rather than raising."""
+    from dbt_scd2_utils_spark.operators.dsir import dsir_ratio, dsir_score
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ratio = dsir_ratio(empty, empty, buckets=512)
+    assert ratio.schema["_buckets"].metadata["trained_buckets"] == 512
+    got = dsir_score(corpus.limit(3), ratio).collect()
+    assert len(got) == 3
+    assert all(r.logratio_micro == 0 for r in got)

@@ -146,7 +146,7 @@ def test_salted_rejects_unorderable_updated_at(spark):
         [(1, "2024-1-2 00:00:00", "a"), (1, "2024-01-10 00:00:00", "b")],
         "k long, _updated_at string, v string",
     )
-    with _pytest.raises(ValueError, match="temporal or integer"):
+    with _pytest.raises(ValueError, match="temporal or numeric"):
         scd2_initial_load_salted(df, cfg, hot_key_threshold=1)
-    with _pytest.raises(ValueError, match="temporal or integer"):
+    with _pytest.raises(ValueError, match="temporal or numeric"):
         scd2_incremental_salted(df, df, cfg, hot_key_threshold=1)
