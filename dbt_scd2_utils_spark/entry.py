@@ -120,6 +120,22 @@ from .session import prepare
 from .sources.incremental import high_water_mark
 from .sources.tables import load_table, write_bucketed_table
 
+def _drain_stream(q, timeout: int = 600) -> None:
+    """Drain an ``availableNow`` streaming query, failing loudly on a hang.
+
+    ``awaitTermination(timeout)`` returns False when the query is still
+    running; every streaming gate query shares this helper so a hung
+    stream raises a clear TimeoutError instead of letting the oracle
+    compare read a partially-written sink and report a confusing
+    row-count diff (ADVICE r10)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout}s "
+            f"(id={q.id}, lastProgress={q.lastProgress})"
+        )
+
+
 # Mid-month split for the staged (initial + one incremental batch) queries —
 # the events tables span 2024-01-01 .. 2024-01-31 at every scale factor.
 SPLIT = "2024-01-16 00:00:00"
@@ -747,7 +763,7 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -777,7 +793,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -807,7 +823,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -861,7 +877,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -888,7 +904,7 @@ def q_streaming_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = scd2_write_stream(stream, target, SCD2_CFG, checkpoint=ckpt)
-    q.awaitTermination(600)
+    _drain_stream(q)
     return Scd2ParquetSink(spark, target, SCD2_CFG).read()
 
 
@@ -917,7 +933,7 @@ def q_streaming_scd2_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     got = spark.read.parquet(out)
     ins = got.filter(F.col("_op") == "insert").drop("_op")
     exp = got.filter(F.col("_op") == "expire").drop("_op")
@@ -1673,7 +1689,7 @@ def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -1718,7 +1734,7 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -1792,7 +1808,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return spark.table(name)
 
 
@@ -1920,7 +1936,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_index=load_minhash_index(spark, idx_path),
         threshold=0.5,
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return read_novelty_output(spark, out)
 
 
@@ -1963,7 +1979,7 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         k=5,
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return read_probe_output(spark, out)
 
 
@@ -2022,7 +2038,7 @@ def q_streaming_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         m=8,
     )
-    q.awaitTermination(600)
+    _drain_stream(q)
     return read_ivf_pq_probe_output(spark, out)
 
 

@@ -1205,7 +1205,17 @@ def exact_substring_dedup(
     :func:`duplicate_span_coverage`'s definition of "duplicated"): a
     ``span_n``-token window whose text occurs in ≥ ``min_docs`` distinct
     documents is a duplicated span, and every token covered by at least
-    one duplicated span is cut from its document.  Overlapping spans
+    one duplicated span is cut from its document.
+
+    DELIBERATE DIVERGENCE from Lee et al.'s ExactSubstr: their
+    suffix-array tool counts OCCURRENCES, so a span repeated twice
+    within one document is cut; here ``min_docs`` counts DISTINCT
+    documents, so intra-document repeats alone never trigger a cut.
+    This matches :func:`duplicate_span_coverage` (the detection twin)
+    and is cross-engine-consistent with the DuckDB oracle — it is a
+    definition choice, not an equivalence claim to the ACL'22 tool for
+    self-repeating documents (use :func:`text.remove_repeated_lines`
+    for those).  Overlapping spans
     merge naturally (a token is cut once no matter how many spans cover
     it), which reproduces ExactSubstr's maximal-span behavior without
     building a suffix array: the union of all duplicated fixed-length

@@ -365,6 +365,11 @@ def _require_orderable_updated_at(df: DataFrame, cfg: ScdConfig) -> None:
     exact-equivalence contract."""
     from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
 
+    if cfg.updated_at_column not in df.columns:
+        # Let the downstream window raise Spark's usual unresolved-column
+        # analysis error (same message as the vanilla path) instead of a
+        # raw KeyError from StructType.__getitem__ here.
+        return
     dt = df.schema[cfg.updated_at_column].dataType
     if not isinstance(
         dt, (DateType, TimestampType, TimestampNTZType, NumericType)
