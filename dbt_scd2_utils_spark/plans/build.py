@@ -35,6 +35,14 @@ from .config import ScdConfig
 
 
 BUCKET_COL = "_scd_bucket"
+# Generation directories hold each bucketed merge's rewritten bucket files
+# (immutable once written; underscore prefix keeps them invisible to Spark's
+# partition discovery until the manifest references them).
+GEN_PREFIX = "_gen-"
+
+
+def _gen_dirname(gen: int) -> str:
+    return f"{GEN_PREFIX}{gen:08d}"
 
 
 def _release_intermediates(result: DataFrame) -> None:
@@ -72,11 +80,19 @@ class ScdTable:
         path: str,
         cfg: ScdConfig,
         partition_buckets: int | None = None,
+        retain_generations: int = 2,
     ):
         self.spark = spark
         self.path = path
         self.cfg = cfg.validate()
         self.partition_buckets = partition_buckets
+        if retain_generations < 1:
+            raise ValueError("retain_generations must be >= 1")
+        # Snapshot-isolation window: files displaced by a merge stay on disk
+        # until `retain_generations` FURTHER commits have happened, so a
+        # DataFrame planned against any of the last `retain_generations`
+        # manifests never races a deletion (see the manifest note below).
+        self.retain_generations = retain_generations
         # Driver-side phase timings of the last incremental merge (e.g.
         # "list_affected"), for scale instrumentation (scripts/scale_proof).
         self.last_phase_times: dict[str, float] = {}
@@ -111,6 +127,37 @@ class ScdTable:
     # falls back to an os.listdir of THAT bucket directory only — still
     # O(affected).  A wrong manifest can therefore cost a re-list, never
     # wrong data.
+    #
+    # SNAPSHOT ISOLATION (r11): the manifest is now a versioned commit log
+    # in miniature, the same shape Delta/Iceberg use (immutable data files
+    # + an atomically-replaced pointer):
+    #
+    #   { "gen": G,                      -- monotonically increasing commit id
+    #     "schema": <json>,
+    #     "buckets": { "<b>": {"paths": [<root-relative paths>], "rows": n} },
+    #     "superseded": { "<S>": [<paths displaced by commit S>] } }
+    #
+    # A merge never mutates or deletes a live file: it writes its rewritten
+    # buckets into a fresh immutable `_gen-<G>/` directory (invisible to
+    # readers until committed), then commits by atomically replacing the
+    # manifest.  A reader therefore serves a CONSISTENT SNAPSHOT from
+    # whichever manifest it loaded — a concurrent merge can no longer pull
+    # files out from under a planned query, which the old in-place partition
+    # swap did.  Files displaced by commit S (last referenced by manifest
+    # S-1) go on the `superseded` ledger and are vacuumed only once
+    # `retain_generations` further commits have happened (S <= G - retain),
+    # so any snapshot stays readable across at least `retain_generations`
+    # subsequent merges; vacuum work is O(files displaced then), never
+    # O(table).  A crash after the gen-dir write but before the manifest
+    # commit leaves an invisible orphan `_gen-*` directory (gen > committed
+    # gen) that the next merge sweeps.  Legacy pre-generation manifests
+    # ({"files": [names]} entries, no "gen") keep the old verify-and-relist
+    # read path and are migrated in place by their next merge.
+    #
+    # Full refresh/initial builds still swap the whole table directory
+    # (`_atomic_write`) — snapshot isolation covers the incremental merge
+    # path, where the race was real; a full refresh replaces the table
+    # wholesale, same as the reference's table materialization.
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_scd_manifest.json")
@@ -152,18 +199,145 @@ class ScdTable:
         return {"files": names, "rows": rows}
 
     def _scan_full_manifest(self, data_schema_json: str) -> dict:
-        """Full-table scan building a fresh manifest.  Used only where a
-        full listing is already proportional to the work just done (the
-        initial/full-refresh write) or as a one-time migration for a
-        pre-manifest table."""
+        """Full-table scan building a fresh new-style manifest.  Used only
+        where a full listing is already proportional to the work just done
+        (the initial/full-refresh write) or as a one-time migration for a
+        manifest-less table.  Scans both the root bucket dirs (gen-0 /
+        legacy layout) and any ``_gen-*`` dirs; where a bucket appears in
+        several, the NEWEST generation wins — for a generational table whose
+        manifest was lost this is at-least-once commit semantics (a fully
+        written but uncommitted generation is adopted; its data is a valid
+        merged SCD state)."""
         buckets: dict[str, dict] = {}
+
+        def scan_layer(rel_root: str, gen: int) -> None:
+            layer = os.path.join(self.path, rel_root) if rel_root else self.path
+            try:
+                names = os.listdir(layer)
+            except OSError:
+                return
+            for name in names:
+                if not name.startswith(f"{BUCKET_COL}="):
+                    continue
+                entry = self._scan_bucket_dir(os.path.join(layer, name))
+                if entry is None:
+                    continue
+                b = name.split("=", 1)[1]
+                prefix = f"{rel_root}/" if rel_root else ""
+                buckets[b] = {
+                    "paths": [f"{prefix}{name}/{n}" for n in entry["files"]],
+                    "rows": entry["rows"],
+                    "_gen": gen,
+                }
+        scan_layer("", 0)
+        gen_dirs = sorted(
+            n for n in os.listdir(self.path) if n.startswith(GEN_PREFIX)
+        )
+        top = 0
+        for gd in gen_dirs:
+            try:
+                g = int(gd[len(GEN_PREFIX):])
+            except ValueError:
+                continue
+            scan_layer(gd, g)
+            top = max(top, g)
+        for e in buckets.values():
+            e.pop("_gen", None)
+        return {
+            "gen": top,
+            "buckets": buckets,
+            "schema": data_schema_json,
+            "superseded": {},
+        }
+
+    @staticmethod
+    def _entry_paths(bucket_id, entry: dict) -> list[str]:
+        """Root-relative data-file paths for one manifest bucket entry —
+        new-style entries carry them directly; legacy entries carry bare
+        file names relative to the root bucket dir."""
+        if "paths" in entry:
+            return list(entry["paths"])
+        return [f"{BUCKET_COL}={bucket_id}/{n}" for n in entry["files"]]
+
+    def _normalize_manifest(self, manifest: dict) -> dict:
+        """Upgrade a legacy manifest to the generational form in memory
+        (the caller's commit persists it): entries become root-relative
+        path lists, gen 0 and an empty superseded ledger are seeded, and
+        any root bucket dir the legacy manifest never learned about (a
+        crashed old-protocol swap wrote it live) is adopted — after which
+        the manifest is authoritative for bucket membership and the read
+        path never has to guess whether an unlisted root dir is live data
+        or vacuum-pending garbage."""
+        if "gen" in manifest:
+            manifest.setdefault("superseded", {})
+            return manifest
+        buckets: dict[str, dict] = {}
+        for b, e in manifest.get("buckets", {}).items():
+            buckets[str(b)] = {
+                "paths": self._entry_paths(b, e),
+                "rows": e.get("rows", -1),
+            }
         for name in os.listdir(self.path):
             if not name.startswith(f"{BUCKET_COL}="):
                 continue
-            entry = self._scan_bucket_dir(os.path.join(self.path, name))
-            if entry is not None:
-                buckets[name.split("=", 1)[1]] = entry
-        return {"buckets": buckets, "schema": data_schema_json}
+            b = name.split("=", 1)[1]
+            if b in buckets:
+                continue
+            fresh = self._scan_bucket_dir(os.path.join(self.path, name))
+            if fresh is not None:
+                buckets[b] = {
+                    "paths": [f"{name}/{n}" for n in fresh["files"]],
+                    "rows": fresh["rows"],
+                }
+        return {
+            "gen": 0,
+            "buckets": buckets,
+            "schema": manifest.get("schema"),
+            "superseded": {},
+        }
+
+    def _sweep_orphan_generations(self, committed_gen: int) -> None:
+        """Remove `_gen-*` dirs newer than the committed generation — a
+        crash between the gen-dir write and the manifest commit leaves one;
+        it was never visible to readers, so deleting it is safe, and it
+        must go before this merge reuses its generation number."""
+        for name in os.listdir(self.path):
+            if not name.startswith(GEN_PREFIX):
+                continue
+            try:
+                g = int(name[len(GEN_PREFIX):])
+            except ValueError:
+                continue
+            if g > committed_gen:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _vacuum(self, manifest: dict, gen: int) -> int:
+        """Delete superseded files whose displacing commit has fallen out
+        of the retention window (S <= gen - retain_generations): they are
+        unreferenced by every manifest a live reader could still hold.
+        O(files displaced by those commits), never O(table).  Empty bucket
+        and generation directories are pruned as their files go.  Missing
+        files are ignored (a crash mid-vacuum just retries here next
+        commit).  Returns the number of files removed."""
+        ledger = manifest.setdefault("superseded", {})
+        removed = 0
+        root = os.path.abspath(self.path)
+        for key in [k for k in ledger if int(k) <= gen - self.retain_generations]:
+            for rel in ledger.pop(key):
+                p = os.path.join(self.path, rel)
+                try:
+                    os.remove(p)
+                    removed += 1
+                except OSError:
+                    pass
+                d = os.path.dirname(p)
+                while os.path.abspath(d) != root:
+                    try:
+                        os.rmdir(d)
+                    except OSError:
+                        break
+                    d = os.path.dirname(d)
+        return removed
 
     def _affected_files(
         self, manifest: dict | None, affected: list
@@ -183,10 +357,15 @@ class ScdTable:
             part_dir = os.path.join(self.path, f"{BUCKET_COL}={b}")
             entry = buckets.get(str(b))
             if entry is None:
-                # No manifest entry: either a BRAND-NEW bucket (no
-                # directory yet — normal growth, an empty slice, NOT
-                # stale) or a crash left a directory the manifest never
-                # learned about (stale).
+                # No manifest entry.  Under a NEW-STYLE manifest that is
+                # definitive: either normal growth (bucket never existed)
+                # or a bucket a merge emptied — whose root dir, if any,
+                # holds only SUPERSEDED files awaiting vacuum that must
+                # not be resurrected.  Under a LEGACY manifest, a root
+                # directory it never learned about is a crashed
+                # old-protocol swap whose files are live (stale entry).
+                if manifest is not None and "gen" in manifest:
+                    continue
                 fresh = self._scan_bucket_dir(part_dir)
                 if fresh is not None:
                     any_stale = True
@@ -194,16 +373,24 @@ class ScdTable:
                         os.path.join(part_dir, n) for n in fresh["files"]
                     )
                 continue
-            names = entry["files"]
-            if not all(
-                os.path.exists(os.path.join(part_dir, n)) for n in names
-            ):
-                # Stale entry (crash between swap and manifest write):
-                # re-list this one directory.
+            rels = self._entry_paths(b, entry)
+            paths = [os.path.join(self.path, r) for r in rels]
+            if not all(os.path.exists(p) for p in paths):
+                # Stale entry: a legacy crash between swap and manifest
+                # write, or external tampering with a generational table
+                # (our own commits never delete a referenced file inside
+                # the retention window).  Re-list the ONE directory the
+                # entry's files live in — a bucket is always rewritten
+                # whole, so all its files share a parent.
                 any_stale = True
-                fresh = self._scan_bucket_dir(part_dir)
-                names = fresh["files"] if fresh else []
-            out.extend(os.path.join(part_dir, n) for n in names)
+                parent = (
+                    os.path.dirname(paths[0]) if paths else part_dir
+                )
+                fresh = self._scan_bucket_dir(parent)
+                paths = [
+                    os.path.join(parent, n) for n in (fresh or {"files": []})["files"]
+                ]
+            out.extend(paths)
         return out, any_stale
 
     def _write_meta(self) -> None:
@@ -252,8 +439,21 @@ class ScdTable:
             return self.spark.read.parquet(self.path)
         manifest = self._read_manifest()
         if not manifest or not manifest.get("schema"):
-            # Pre-manifest table: recursive discovery (one-time; the next
-            # build writes the manifest).
+            if any(n.startswith(GEN_PREFIX) for n in os.listdir(self.path)):
+                # Manifest-less GENERATIONAL table (manifest deleted out of
+                # band): Spark's recursive discovery skips the
+                # underscore-prefixed generation dirs, so reconstruct the
+                # file set the way the merge-path migration does (newest
+                # generation wins per bucket).
+                recon = self._scan_full_manifest("")
+                paths = [
+                    os.path.join(self.path, r)
+                    for e in recon["buckets"].values()
+                    for r in e["paths"]
+                ]
+                return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            # Pre-manifest legacy table: recursive discovery (one-time; the
+            # next build writes the manifest).
             return self.spark.read.parquet(self.path).drop(BUCKET_COL)
         # Manifest-backed full read: ONE root readdir (catches bucket dirs a
         # crashed swap created before its manifest commit) + per-bucket
@@ -263,12 +463,21 @@ class ScdTable:
         # column), so reading leaf files directly needs no drop().
         from pyspark.sql.types import StructType
 
-        disk_buckets = [
-            n.split("=", 1)[1]
-            for n in os.listdir(self.path)
-            if n.startswith(f"{BUCKET_COL}=")
-        ]
-        files, stale = self._affected_files(manifest, disk_buckets)
+        # Bucket membership: a NEW-STYLE manifest is authoritative — it is
+        # the committed snapshot (migration adopts any root dirs a legacy
+        # crash left unknown, and a popped entry's root dir holds only
+        # superseded files awaiting vacuum, which must NOT be served).
+        # Orphan `_gen-*` dirs are likewise invisible until committed.  A
+        # LEGACY manifest still unions in root dirs it never learned about
+        # (a crashed old-protocol swap wrote them live).
+        bucket_ids = set(map(str, (manifest.get("buckets") or {}).keys()))
+        if "gen" not in manifest:
+            bucket_ids |= {
+                n.split("=", 1)[1]
+                for n in os.listdir(self.path)
+                if n.startswith(f"{BUCKET_COL}=")
+            }
+        files, stale = self._affected_files(manifest, sorted(bucket_ids))
         schema = StructType.fromJson(json.loads(manifest["schema"]))
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -333,28 +542,24 @@ class ScdTable:
         return self.read()
 
     def _build_bucketed_incremental(self, batch: DataFrame) -> None:
-        """Merge only the bucket partitions the batch touches, rewrite only
-        those partitions.
+        """Merge only the buckets the batch touches, rewrite only those
+        buckets — into a NEW immutable generation directory, committed by
+        atomically replacing the manifest (see the snapshot-isolation note
+        on the manifest above).
 
-        Durability: the merged slice is first written to a STAGING directory
-        (a durable barrier — the merge plan reads the live table, so its
-        output must be fully on disk before any live file is deleted; a
-        cache/persist barrier is only best-effort and recomputes against
-        deleted files on eviction or executor loss).  Each affected bucket
-        partition is then swapped in via rename, the same story as
-        ``_atomic_write``.  The displaced partition is parked under a
-        DOT-prefixed name (``.<part>__old``): Spark's file listing ignores
-        ``.``/``_``-prefixed paths, so a crash between the two renames
-        leaves the live table readable (that partition absent, its data
-        recoverable from the dot dir) rather than corrupting partition
-        discovery with a bogus ``<part>__old`` partition value.  Any such
-        remnants from a previous crash are swept before the swap.  On an
-        object store this rename protocol would be replaced by a table
-        format's commit (Delta/Iceberg), same as ``_atomic_write``.
+        Durability: the merge plan reads the live table, so its output must
+        be fully on disk before the commit makes it visible — the
+        generation directory IS that durable barrier (it doubles as the old
+        protocol's staging dir; there is no longer any rename swap).  A
+        crash before the manifest replace leaves an invisible orphan
+        generation the next merge sweeps; a crash after it is a completed
+        commit.  Readers planned against the previous manifest keep their
+        files for ``retain_generations`` further commits before vacuum.  On
+        an object store this is exactly a table-format commit
+        (Delta/Iceberg): immutable data files + an atomic pointer write.
         """
-        # Sweep parked-partition remnants from a previous crashed swap —
-        # they are invisible to Spark (dot prefix) but would collide with
-        # this swap's parking renames.
+        # Sweep parked-partition remnants from the OLD swap protocol's
+        # crashes (dot-prefixed, invisible to Spark) — legacy tables only.
         import glob
 
         for leftover in glob.glob(os.path.join(self.path, f".{BUCKET_COL}=*__old")):
@@ -378,13 +583,33 @@ class ScdTable:
         t0 = time.perf_counter()
         manifest = self._read_manifest()
         if manifest is None and any(
-            n.startswith(f"{BUCKET_COL}=") for n in os.listdir(self.path)
+            n.startswith((f"{BUCKET_COL}=", GEN_PREFIX))
+            for n in os.listdir(self.path)
         ):
-            # Pre-manifest table: one-time migration listing (same cost the
-            # old full-listing path paid EVERY merge).
-            sample = self.spark.read.parquet(self.path).drop(BUCKET_COL)
-            manifest = self._scan_full_manifest(sample.schema.json())
-            self._write_manifest(manifest)
+            # Manifest-less table: one-time migration listing (same cost the
+            # old full-listing path paid EVERY merge).  Newest generation
+            # wins per bucket (at-least-once commit adoption — see
+            # _scan_full_manifest); the schema is merged from the adopted
+            # files' footers since the manifest's record is gone.
+            manifest = self._scan_full_manifest("")
+            all_files = [
+                os.path.join(self.path, r)
+                for e in manifest["buckets"].values()
+                for r in e["paths"]
+            ]
+            if all_files:
+                manifest["schema"] = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*all_files)
+                    .schema.json()
+                )
+            else:
+                manifest = None
+        elif manifest is not None and "gen" not in manifest:
+            manifest = self._normalize_manifest(manifest)
+        if manifest is not None:
+            manifest.setdefault("superseded", {})
+            self._sweep_orphan_generations(manifest.get("gen", 0))
         files, stale = self._affected_files(manifest, affected)
         schema_json = (manifest or {}).get("schema")
         from pyspark.sql.types import StructType
@@ -412,11 +637,14 @@ class ScdTable:
         self.last_phase_times = {"list_affected": time.perf_counter() - t0}
         t0 = time.perf_counter()
         merged = scd2_incremental(target_slice, batch, self.cfg)
-        stage = self.path + "__stage"
+        manifest = manifest or {"gen": 0, "buckets": {}, "superseded": {}}
+        gen = manifest.get("gen", 0) + 1
+        gen_rel = _gen_dirname(gen)
+        gen_dir = os.path.join(self.path, gen_rel)
         (
             merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
             # One file per touched bucket partition (not one per shuffle
-            # task per partition): without this co-location the swap-in
+            # task per partition): without this co-location the generation
             # dirs inherit the task fan-out and the table's file count
             # grows ∝ writes × buckets — every later merge then pays a
             # full-listing of all of them (measured: the s40 bucketed
@@ -424,44 +652,53 @@ class ScdTable:
             .repartition(len(affected), F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(stage)
+            .parquet(gen_dir)
         )
         self.last_phase_times["merge_and_stage"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        # Staging is durable; now swap each affected partition directory.
-        for b in affected:
-            part = f"{BUCKET_COL}={b}"
-            src = os.path.join(stage, part)
-            dst = os.path.join(self.path, part)
-            old = os.path.join(self.path, f".{part}__old")
-            if os.path.exists(dst):
-                os.rename(dst, old)
-            if os.path.exists(src):
-                os.rename(src, dst)
-            # else: the merge emptied this bucket — leave it deleted.
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(stage, ignore_errors=True)
-        # Commit the manifest: only the affected buckets' entries change —
-        # O(batch) scanning, not O(table).  A crash before this point
-        # leaves stale entries that the next merge's verify-and-relist
-        # fallback repairs per-bucket.
-        manifest = manifest or {"buckets": {}}
-        manifest["schema"] = merged.schema.json()
+        # The generation is durable and invisible; COMMIT by patching the
+        # affected buckets' entries (O(batch) scanning, not O(table)) and
+        # atomically replacing the manifest.  The displaced files — the
+        # exact file set the merge's target slice read — go on the
+        # superseded ledger under this commit's gen for deferred vacuum.
+        displaced = [os.path.relpath(p, self.path) for p in files]
         for b in affected:
             entry = self._scan_bucket_dir(
-                os.path.join(self.path, f"{BUCKET_COL}={b}")
+                os.path.join(gen_dir, f"{BUCKET_COL}={b}")
             )
             if entry is None:
+                # The merge emptied this bucket (or the batch never had
+                # survivors for it): no files in this generation.
                 manifest["buckets"].pop(str(b), None)
             else:
-                manifest["buckets"][str(b)] = entry
+                manifest["buckets"][str(b)] = {
+                    "paths": [
+                        f"{gen_rel}/{BUCKET_COL}={b}/{n}"
+                        for n in entry["files"]
+                    ],
+                    "rows": entry["rows"],
+                }
+        if displaced:
+            manifest["superseded"][str(gen)] = displaced
+        manifest["gen"] = gen
+        manifest["schema"] = merged.schema.json()
         self._write_manifest(manifest)
         self._write_meta()
         self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # Vacuum AFTER the commit: deletes only files displaced by commits
+        # that have fallen out of the retention window.  The ledger shrank
+        # in memory, so persist it — a crash between the deletes and this
+        # second write only means the next vacuum retries (ENOENT-ignored).
+        ledger_before = len(manifest["superseded"])
+        self._vacuum(manifest, gen)
+        if len(manifest["superseded"]) != ledger_before:
+            self._write_manifest(manifest)
+        self.last_phase_times["vacuum"] = time.perf_counter() - t0
         # Release the merge's persisted intermediates BEFORE refreshing:
-        # they were planned over leaf files the swap just deleted, and
-        # refreshByPath would otherwise try to recache the dead plans
-        # (re-listing deleted files).
+        # their plans hold leaf files now on the superseded ledger, and
+        # refreshByPath re-caching them would pin listings that vacuum
+        # will delete a few commits later.
         _release_intermediates(merged)
         self.spark.catalog.refreshByPath(self.path)
 

@@ -1,28 +1,35 @@
-"""Bucketed ScdTable: incremental rewrites touch only affected bucket
-partitions and the result equals the unbucketed build."""
+"""Bucketed ScdTable: incremental merges touch only affected buckets, commit
+via immutable generation directories + an atomic manifest replace, and equal
+the unbucketed build.  Snapshot isolation: a reader planned against any of
+the last `retain_generations` manifests never races a deletion."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import functions as F
 
 from dbt_scd2_utils_spark import ScdConfig
-from dbt_scd2_utils_spark.plans.build import BUCKET_COL, ScdTable
+from dbt_scd2_utils_spark.plans.build import BUCKET_COL, GEN_PREFIX, ScdTable
 from tests.fixtures.seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
 
 CFG = ScdConfig(unique_key=("customer_id",), deleted_at_column="deleted_at")
 
 
-def _mtimes(path):
-    out = {}
-    for b in os.listdir(path):
-        if b.startswith(f"{BUCKET_COL}="):
-            d = os.path.join(path, b)
-            out[b] = max(
-                os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
-            )
-    return out
+def _manifest_paths(t):
+    """bucket id -> sorted root-relative data-file paths, from the manifest."""
+    m = t._read_manifest()
+    return {b: sorted(t._entry_paths(b, e)) for b, e in m["buckets"].items()}
+
+
+def _touched(t, batch_df):
+    return {
+        str(r[0])
+        for r in batch_df.select(t._bucket_expr(batch_df).alias("b"))
+        .distinct()
+        .collect()
+    }
 
 
 def test_bucketed_equals_plain_and_prunes_writes(spark, tmp_path):
@@ -35,25 +42,36 @@ def test_bucketed_equals_plain_and_prunes_writes(spark, tmp_path):
     plain.build(b1)
     bucketed.build(b1)
 
-    before = _mtimes(buck_path)
+    before = _manifest_paths(bucketed)
     assert len(before) > 1  # keys spread over several buckets
 
-    # Batch 2 touches a subset of keys → only their buckets may be rewritten.
+    # Batch 2 touches a subset of keys → only their buckets get a new
+    # generation; untouched buckets keep their exact manifest entries.
     b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
     out_plain = plain.build(b2)
     out_buck = bucketed.build(b2)
 
-    # Identical results (modulo row order).
     assert (
         out_plain.exceptAll(out_buck).count() == 0
         and out_buck.exceptAll(out_plain).count() == 0
     )
 
-    after = _mtimes(buck_path)
-    untouched = [b for b in before if before[b] == after.get(b)]
-    rewritten = [b for b in before if before[b] != after.get(b)]
-    assert rewritten, "some buckets must be rewritten"
-    assert untouched, "unaffected buckets must NOT be rewritten"
+    after = _manifest_paths(bucketed)
+    touched = _touched(bucketed, b2)
+    untouched = set(before) - touched
+    assert touched and untouched
+    for b in untouched:
+        assert after[b] == before[b], "unaffected bucket entry must not change"
+    for b in touched:
+        assert after[b] != before.get(b)
+        assert all(p.startswith(GEN_PREFIX) for p in after[b]), (
+            "rewritten buckets must live in the new generation dir"
+        )
+    # Immutability: the displaced files still exist (within the retention
+    # window) — the merge deleted nothing.
+    for b in touched:
+        for rel in before.get(b, []):
+            assert os.path.exists(os.path.join(buck_path, rel))
 
 
 def test_bucketed_read_roundtrip(spark, tmp_path):
@@ -65,18 +83,7 @@ def test_bucketed_read_roundtrip(spark, tmp_path):
     assert out.count() > 0
 
 
-# -- partition manifest -------------------------------------------------
-
-
-def _disk_buckets(path):
-    out = {}
-    for b in os.listdir(path):
-        if b.startswith(f"{BUCKET_COL}="):
-            d = os.path.join(path, b)
-            out[b.split("=", 1)[1]] = sorted(
-                f for f in os.listdir(d) if f.endswith(".parquet")
-            )
-    return out
+# -- partition manifest / generational commit ---------------------------
 
 
 def _expected(spark, path, batches):
@@ -97,58 +104,145 @@ def test_manifest_matches_disk_and_is_patched_incrementally(spark, tmp_path):
     t = ScdTable(spark, path, CFG, partition_buckets=8)
     t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
     m1 = t._read_manifest()
-    assert m1 is not None and m1["schema"]
-    assert {b: e["files"] for b, e in m1["buckets"].items()} == _disk_buckets(path)
-    assert all(e["rows"] > 0 for e in m1["buckets"].values())
-
-    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
-    m2 = t._read_manifest()
-    assert {b: e["files"] for b, e in m2["buckets"].items()} == _disk_buckets(path)
-    # Untouched buckets keep their exact (files, rows) entries.
-    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
-    touched = {
-        r[0] for r in b2.select(t._bucket_expr(b2).alias("b")).distinct().collect()
-    }
+    assert m1 is not None and m1["schema"] and m1["gen"] == 0
     for b, e in m1["buckets"].items():
-        if int(b) not in touched:
+        assert e["rows"] > 0
+        for rel in e["paths"]:
+            assert os.path.exists(os.path.join(path, rel))
+
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t.build(b2)
+    m2 = t._read_manifest()
+    assert m2["gen"] == 1
+    for b, e in m2["buckets"].items():
+        for rel in e["paths"]:
+            assert os.path.exists(os.path.join(path, rel))
+    # Untouched buckets keep their exact entries; touched entries moved to
+    # the committed generation and their old files are on the ledger.
+    touched = _touched(t, b2)
+    for b, e in m1["buckets"].items():
+        if b not in touched:
             assert m2["buckets"][b] == e
+    assert set(m2["superseded"]) == {"1"}
+    assert sorted(m2["superseded"]["1"]) == sorted(
+        rel
+        for b in touched
+        for rel in m1["buckets"].get(b, {"paths": []})["paths"]
+    )
 
 
-def test_manifest_crash_recovery_stale_entry(spark, tmp_path):
-    """Simulate a crash between the partition swap and the manifest commit:
-    a bucket's entry lists files that no longer exist.  The next merge must
-    fall back to re-listing that bucket and still produce correct rows, and
-    its commit repairs the manifest."""
-    import json
+def test_concurrent_reader_snapshot_survives_merge(spark, tmp_path):
+    """THE snapshot-isolation gate: a DataFrame planned against the
+    pre-merge manifest must still collect correctly AFTER a merge commits —
+    under the old in-place swap the merge deleted the files out from under
+    the planned query (this test fails on that protocol)."""
+    path = str(tmp_path / "snap")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
 
+    snapshot = t.read()  # planned against the gen-0 manifest
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+
+    # Collect AFTER the commit: must serve the consistent pre-merge state.
+    expected = _expected(spark, str(tmp_path / "pe"), [CUSTOMERS_RAW[1]])
+    _assert_same(snapshot, expected)
+    # And a fresh read serves the post-merge state.
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "pe2"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+
+
+def test_vacuum_deletes_displaced_files_after_retention(spark, tmp_path):
+    """Files displaced by commit S are deleted once S <= gen - retain:
+    with retain_generations=1 the files batch 2 displaced (S=1) go at the
+    NEXT commit (gen 2), and emptied generation dirs are pruned."""
+    path = str(tmp_path / "vac")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    gen0 = _manifest_paths(t)
+
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t.build(b2)
+    displaced = [rel for b in _touched(t, b2) for rel in gen0.get(b, [])]
+    assert displaced
+    # Within retention: still on disk.
+    assert all(os.path.exists(os.path.join(path, r)) for r in displaced)
+
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    # S=1 <= gen(2) - retain(1): vacuumed, ledger pruned.
+    assert not any(os.path.exists(os.path.join(path, r)) for r in displaced)
+    m = t._read_manifest()
+    assert "1" not in m["superseded"]
+    # Table still correct after vacuum.
+    _assert_same(
+        t.read(),
+        _expected(
+            spark,
+            str(tmp_path / "pv"),
+            [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2], CUSTOMERS_RAW[3]],
+        ),
+    )
+    # Every file the manifest references exists; gen-1's dir is gone iff
+    # all its files were displaced and vacuumed.
+    for b, e in m["buckets"].items():
+        for rel in e["paths"]:
+            assert os.path.exists(os.path.join(path, rel))
+
+
+def test_orphan_generation_swept_not_served(spark, tmp_path):
+    """A crash between the generation write and the manifest commit leaves
+    an orphan `_gen-*` dir: it must be invisible to readers and swept (then
+    safely re-used) by the next merge."""
+    path = str(tmp_path / "orphan")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    # Fake the crashed merge: a fully-written but uncommitted generation.
+    orphan = os.path.join(path, f"{GEN_PREFIX}00000001", f"{BUCKET_COL}=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-crashed.parquet"), "w") as f:
+        f.write("not a real parquet file")
+
+    # Invisible to read().
+    _assert_same(t.read(), _expected(spark, str(tmp_path / "po"), [CUSTOMERS_RAW[1]]))
+
+    # The next merge sweeps it and commits its own gen 1 cleanly.
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    _assert_same(
+        out,
+        _expected(spark, str(tmp_path / "po2"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+    assert not os.path.exists(os.path.join(orphan, "part-crashed.parquet"))
+
+
+def test_manifest_stale_entry_relists_and_repairs(spark, tmp_path):
+    """Advisory-manifest principle: an entry listing vanished files (legacy
+    crash or external tampering) falls back to re-listing that one
+    directory, produces correct rows, and the merge's commit repairs the
+    buckets it touched."""
     path = str(tmp_path / "crash")
     t = ScdTable(spark, path, CFG, partition_buckets=8)
     t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
     mp = t._manifest_path()
     m = json.load(open(mp))
-    for e in m["buckets"].values():  # every entry stale
-        e["files"] = ["part-gone-from-a-crashed-swap.parquet"]
+    for b, e in m["buckets"].items():  # every entry stale
+        e["paths"] = [f"{BUCKET_COL}={b}/part-gone-from-a-crash.parquet"]
     json.dump(m, open(mp, "w"))
 
     b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
-    touched = {
-        str(r[0]) for r in b2.select(t._bucket_expr(b2).alias("b")).distinct().collect()
-    }
     out = t.build(b2)
     _assert_same(out, _expected(spark, str(tmp_path / "p1"),
                                 [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
-    # The merge's commit repairs every bucket it touched; untouched stale
-    # entries stay (a real crash only stales the crashed merge's own
-    # buckets) and are verified-then-relisted whenever a merge reads them.
     m2 = t._read_manifest()
-    disk = _disk_buckets(path)
-    for b in touched:
-        assert m2["buckets"][b]["files"] == disk[b]
+    for b in _touched(t, b2):
+        for rel in m2["buckets"][b]["paths"]:
+            assert os.path.exists(os.path.join(path, rel))
 
 
 def test_manifest_missing_migrates_legacy_table(spark, tmp_path):
-    """A pre-manifest table (manifest deleted) merges correctly via the
-    one-time migration listing, after which the manifest exists."""
+    """A manifest-less table merges correctly via the one-time migration
+    listing, after which the manifest exists in generational form."""
     path = str(tmp_path / "legacy")
     t = ScdTable(spark, path, CFG, partition_buckets=8)
     t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
@@ -157,23 +251,55 @@ def test_manifest_missing_migrates_legacy_table(spark, tmp_path):
     out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
     _assert_same(out, _expected(spark, str(tmp_path / "p2"),
                                 [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
-    assert t._read_manifest() is not None
+    m = t._read_manifest()
+    assert m is not None and "gen" in m and "superseded" in m
+
+
+def test_legacy_style_manifest_upgraded_in_place(spark, tmp_path):
+    """A pre-generation manifest ({"files": [...]} entries, no "gen") is
+    normalized by its next merge; data matches the plain build throughout."""
+    path = str(tmp_path / "oldstyle")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    mp = t._manifest_path()
+    m = json.load(open(mp))
+    legacy = {
+        "buckets": {
+            b: {
+                "files": [os.path.basename(p) for p in e["paths"]],
+                "rows": e["rows"],
+            }
+            for b, e in m["buckets"].items()
+        },
+        "schema": m["schema"],
+    }
+    json.dump(legacy, open(mp, "w"))
+
+    # Legacy read path still serves the table.
+    _assert_same(t.read(), _expected(spark, str(tmp_path / "pl"), [CUSTOMERS_RAW[1]]))
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "pl2"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+    m2 = t._read_manifest()
+    assert "gen" in m2 and m2["gen"] == 1
 
 
 def test_bucketed_merge_into_brand_new_bucket(spark, tmp_path):
-    """A batch whose keys hash to buckets with no existing partition must
-    merge against an empty slice (manifest schema), not crash."""
+    """A batch whose keys hash to buckets with no existing files must merge
+    against an empty slice (manifest schema), not crash."""
     path = str(tmp_path / "newbucket")
     t = ScdTable(spark, path, CFG, partition_buckets=64)
     only_k1 = [r for r in CUSTOMERS_RAW[1] if r[0] == 1]
     t.build(spark.createDataFrame(only_k1, CUSTOMERS_SCHEMA))
     # Merge the full batch-2: with 64 buckets the other keys land in
-    # partitions that do not exist yet.
+    # buckets that do not exist yet.
     out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
     _assert_same(out, _expected(spark, str(tmp_path / "p3"),
                                 [only_k1, CUSTOMERS_RAW[2]]))
     m = t._read_manifest()
-    assert {b: e["files"] for b, e in m["buckets"].items()} == _disk_buckets(path)
+    for b, e in m["buckets"].items():
+        for rel in e["paths"]:
+            assert os.path.exists(os.path.join(path, rel))
 
 
 def test_bucketed_merge_empty_batch_is_noop(spark, tmp_path):
@@ -187,18 +313,17 @@ def test_bucketed_merge_empty_batch_is_noop(spark, tmp_path):
 
 
 def test_manifest_stale_schema_not_pinned_over_swapped_files(spark, tmp_path):
-    """A crash between swap and manifest commit can straddle a SCHEMA
-    change: the swapped-in files carry a column the recorded manifest
-    schema lacks.  The stale-detecting read must derive the schema from
-    the files (mergeSchema) instead of pinning the old recorded one —
-    otherwise the new column is silently dropped (wrong data, not a
-    re-list)."""
+    """External tampering (or a legacy crash) can straddle a SCHEMA change:
+    the on-disk files carry a column the recorded manifest schema lacks.
+    The stale-detecting read must derive the schema from the files
+    (mergeSchema) instead of pinning the old recorded one — otherwise the
+    new column is silently dropped (wrong data, not a re-list)."""
     path = str(tmp_path / "schema_crash")
     t = ScdTable(spark, path, CFG, partition_buckets=8)
     t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
 
-    # Simulate the crashed swap: one bucket dir's files are replaced by
-    # files with an EXTRA column under fresh names; manifest not updated.
+    # Replace one bucket dir's files with files carrying an EXTRA column
+    # under fresh names; manifest not updated.
     bdir = next(
         os.path.join(path, d)
         for d in os.listdir(path)
@@ -226,17 +351,16 @@ def test_manifest_stale_schema_not_pinned_over_swapped_files(spark, tmp_path):
 
 
 def test_new_bucket_is_growth_not_stale(spark, tmp_path):
-    """A bucket with no manifest entry AND no directory is normal growth
-    (a batch introducing keys there), not a crash artifact — it must not
-    poison the read into abandoning the pinned manifest schema.  Only an
-    on-disk directory the manifest never learned about, or a listed file
-    that vanished, counts as stale."""
+    """A bucket with no manifest entry is normal growth under a
+    generational manifest (membership is authoritative) — it must not
+    poison the read into abandoning the pinned manifest schema.  Only a
+    listed file that vanished counts as stale."""
     path = str(tmp_path / "growth")
     t = ScdTable(spark, path, CFG, partition_buckets=8)
     t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
     manifest = t._read_manifest()
     known = list(manifest["buckets"])
-    # brand-new bucket id: no entry, no dir -> no files, NOT stale
+    # brand-new bucket id: no entry -> no files, NOT stale
     fresh_id = next(str(b) for b in range(8) if str(b) not in known)
     files, stale = t._affected_files(manifest, [fresh_id])
     assert files == [] and stale is False
@@ -244,6 +368,8 @@ def test_new_bucket_is_growth_not_stale(spark, tmp_path):
     files, stale = t._affected_files(manifest, [known[0], fresh_id])
     assert files and stale is False
     # a listed file vanishing IS stale
-    manifest["buckets"][known[0]]["files"] = ["part-vanished.parquet"]
+    manifest["buckets"][known[0]]["paths"] = [
+        f"{BUCKET_COL}={known[0]}/part-vanished.parquet"
+    ]
     files, stale = t._affected_files(manifest, [known[0]])
     assert stale is True
