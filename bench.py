@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "temperature_mixture_sample",
     "dsir_logratio",
     "dsir_resample",
+    "dsir_score_loaded",
     "cluster_balanced_sample",
     "token_shards",
     "pack_sequences",

@@ -1738,6 +1738,30 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_dsir_score_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring from an EXTERNALIZED model: the (b, delta_micro)
+    ratio table is trained once, persisted to parquet
+    (operators/dsir.py::save_dsir_ratio — the DSIR analogue of
+    save_codebooks/save_bm25_index), reloaded (load_dsir_ratio, which
+    restores the trained-modulus metadata), and the whole corpus is
+    scored against the RELOADED table.  dsir_score(loaded) ≡
+    dsir_logratio(in-session) is pinned by tests/test_dsir.py; here the
+    batch SQL twin (dsir_logratio_sql) gates the loaded path
+    end-to-end — a deployment can train on one cluster, ship the ≤4096-row
+    artifact, and gate anywhere."""
+    prepare(spark)
+    import tempfile
+
+    from .operators.dsir import dsir_ratio, dsir_score, load_dsir_ratio, save_dsir_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = dsir_ratio(docs, docs.filter(F.col("lang") == "en"))
+    path = tempfile.mkdtemp(prefix="scd_dsir_ratio_") + "/ratio"
+    save_dsir_ratio(ratio, path)
+    loaded = load_dsir_ratio(spark, path)
+    return dsir_score(docs, loaded)
+
+
 def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-text coverage (Lee et al. ACL'22
     measurement) over the dup-planted corpus: the share of 8-token
@@ -2930,8 +2954,9 @@ def q_ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-round reset, only appending when semantics change.  Expired entries
 # are inert and kept as a change log.
 SEMANTICS_CHANGED: dict[str, int] = {
-    # r5 epoch-partitioned output; re-gated green r7 -> expired.
-    "streaming_novelty": 5,
+    # r5 epoch-partitioned output (re-gated green r7), re-pinned r11:
+    # drain moved to the shared _drain_stream helper.
+    "streaming_novelty": 11,
     # Mega-bucket cap landed AFTER r7 gating (commits 42d2622/b932713);
     # re-gated green r8 -> expired.
     "dedup_minhash_lsh": 8,
@@ -2984,13 +3009,34 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "scd2_current_snapshot": 10,
     "scd2_snapshot_asof": 10,
     "scd2_sequence_replay": 10,
-    "streaming_scd2_merge": 10,
-    "streaming_scd2_stateful": 10,
+    # (also r11 _drain_stream, folded)
+    "streaming_scd2_merge": 11,
+    "streaming_scd2_stateful": 11,
     "invariant_one_current_per_key": 10,
     "invariant_no_validity_overlaps": 10,
     "invariant_store_failures": 10,
     "scd2_temporal_join": 10,
     "scd2_bucketed_temporal_join": 10,
+    # r11: every streaming query's drain moved to the shared _drain_stream
+    # helper (raises on awaitTermination timeout instead of silently
+    # reading a partial sink — ADVICE r10); output identical on a healthy
+    # stream, but the drain code path changed for all twelve.
+    # (streaming_scd2_merge / streaming_scd2_stateful / streaming_novelty
+    # already appear above for earlier rounds — their pins are FOLDED here
+    # to r11, one literal per key.)
+    "streaming_daily_rollup": 11,
+    "streaming_sessionize": 11,
+    "streaming_enrich": 11,
+    "streaming_stream_join": 11,
+    "streaming_dedup_exact": 11,
+    "streaming_ann_probe": 11,
+    "streaming_ivf_pq_probe": 11,
+    "streaming_curation_gate": 11,
+    "streaming_dsir_gate": 11,
+    # r11: the salted chain gained a missing-column guard ahead of the
+    # updated_at type gate (scd2_salted.py) — error-path only, but the
+    # entry function the query calls changed.
+    "scd2_salted_merge": 11,
 }
 
 
@@ -3072,6 +3118,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_logratio": q_dsir_logratio,
         "dsir_resample": q_dsir_resample,
         "streaming_dsir_gate": q_streaming_dsir_gate,
+        "dsir_score_loaded": q_dsir_score_loaded,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "dedup_incremental_novelty": q_dedup_incremental_novelty,
         "domain_mixture_sample": q_domain_mixture_sample,
@@ -3707,6 +3754,10 @@ select * from ({_dsir_logratio_sql(
             "select * from documents",
             "select * from documents where lang = 'en'",
         )}) where logratio_micro > -1000000""",
+        "dsir_score_loaded": _dsir_logratio_sql(
+            "select * from documents",
+            "select * from documents where lang = 'en'",
+        ),
         "cluster_balanced_sample": _per_group_cap_sql(
             dedup_clusters_sql(
                 f"select vec_id from ({EMB_CORPUS_SQL})",

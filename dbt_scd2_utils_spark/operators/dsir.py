@@ -390,3 +390,43 @@ from keyed
 order by key_micro desc, doc_id asc
 limit {k}
 """
+
+def save_dsir_ratio(ratio: DataFrame, path: str) -> None:
+    """Persist a :func:`dsir_ratio` scoring table as parquet — the DSIR
+    build-once artifact's externalization, completing the family symmetry
+    with ``similarity.save_codebooks`` / ``search.save_bm25_index``:
+    ≤ ``buckets`` rows (a few KB regardless of corpus size), broadcast at
+    score time.  The trained modulus travels in the ``_buckets`` column
+    AND its schema metadata; Spark round-trips column metadata through the
+    parquet footer, and :func:`load_dsir_ratio` re-attaches it from the
+    column value as a belt-and-braces guard, so a loaded table validates
+    the modulus exactly like an in-session one (``dsir_score`` refuses a
+    contradicting ``buckets=``).  No append/refresh gate by design: the
+    model is rebuilt-once (two tiny groupBys over (raw, target)), unlike
+    the index families whose corpus side grows."""
+    cols = ["b", "delta_micro"] + (
+        ["_buckets"] if "_buckets" in ratio.columns else []
+    )
+    ratio.select(*cols).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_dsir_ratio(spark, path: str) -> DataFrame:
+    """Load a :func:`save_dsir_ratio` artifact for :func:`dsir_score` /
+    streaming gates.  If the parquet round-trip lost the ``_buckets``
+    schema metadata (e.g. the file was rewritten by another engine), it is
+    restored from the column's value with one bounded read of a ≤4096-row
+    table, so downstream scoring never silently guesses the modulus."""
+    df = spark.read.parquet(path)
+    if "_buckets" not in df.columns:
+        return df
+    md = df.schema["_buckets"].metadata or {}
+    if md.get("trained_buckets") is None:
+        row = df.select("_buckets").first()
+        if row is not None:
+            df = df.withColumn(
+                "_buckets",
+                F.lit(int(row[0])).alias(
+                    "_buckets", metadata={"trained_buckets": int(row[0])}
+                ),
+            )
+    return df

@@ -331,13 +331,36 @@ class ScdTable:
                 except OSError:
                     pass
                 d = os.path.dirname(p)
-                while os.path.abspath(d) != root:
-                    try:
-                        os.rmdir(d)
-                    except OSError:
-                        break
+                while os.path.abspath(d) != root and self._prune_dir(d):
                     d = os.path.dirname(d)
         return removed
+
+    @staticmethod
+    def _prune_dir(d: str) -> bool:
+        """Remove a directory that holds nothing but write markers
+        (``_SUCCESS``, ``.*.crc`` — Spark leaves them next to the data
+        files, so a bare rmdir after deleting the parquet would always
+        fail and emptied generation dirs would accumulate one per commit,
+        unbounded metadata garbage at object-store scale).  Deletes the
+        markers and the dir; returns False — leaving everything untouched
+        — if any real file or subdirectory remains."""
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            return False
+        for n in entries:
+            if os.path.isdir(os.path.join(d, n)) or not n.startswith((".", "_")):
+                return False
+        for n in entries:
+            try:
+                os.remove(os.path.join(d, n))
+            except OSError:
+                return False
+        try:
+            os.rmdir(d)
+            return True
+        except OSError:
+            return False
 
     def _affected_files(
         self, manifest: dict | None, affected: list

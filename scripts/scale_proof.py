@@ -697,6 +697,120 @@ def run_merge_contrast_curve(spark) -> None:
         }))
 
 
+def run_merge_churn(spark, n_merges: int = 50) -> None:
+    """--merge-churn: the bucketed sink under REAL commit churn — 50
+    consecutive small merges into the same s10 table (rolling ≤16-key
+    batches, so successive merges touch different bucket subsets).  The
+    single-merge contrast rows prove one merge is O(affected buckets);
+    this proves the claim holds FOREVER: per-merge listing/stage/commit/
+    vacuum times must stay flat across 50 commits, the per-bucket file
+    count must stay at 1 (the co-locating repartition), the superseded
+    ledger must stay bounded at `retain_generations` entries (vacuum
+    keeps up), and the generation-dir count must stay bounded (empty
+    generations pruned as their files are vacuumed)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark import ScdConfig
+    from dbt_scd2_utils_spark.plans.build import BUCKET_COL, GEN_PREFIX, ScdTable
+
+    paths = ensure_data(("s10",))
+    work = os.path.dirname(paths["s10"]["events"])
+    events = spark.read.parquet(paths["s10"]["events"])
+    feed = events.select(
+        "user_id", "event_type", "value", "props",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("deleted_at"),
+        F.col("ts").alias("_updated_at"),
+    )
+    cfg = ScdConfig(
+        unique_key=("user_id",), deleted_at_column="deleted_at",
+        default_valid_to="2200-01-01 00:00:00",
+    )
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    n_events = events.count()
+    buckets = max(16, n_events // 50_000)
+    tpath = os.path.join(work, "scd_tbl_churn")
+    _sh.rmtree(tpath, ignore_errors=True)
+    tbl = ScdTable(spark, tpath, cfg, partition_buckets=buckets)
+    tbl.build(feed.filter(F.col("_updated_at") <= split))  # untimed init
+
+    # Materialize ALL the rolling delta batches untimed (a real run gets
+    # its delta as a delta; see merge_contrast's note).
+    batch_root = os.path.join(work, "churn_batches.parquet")
+    _sh.rmtree(batch_root, ignore_errors=True)
+    post = feed.filter(
+        (F.col("_updated_at") > split) & (F.col("user_id") < 16 * n_merges)
+    )
+    post.withColumn(
+        "batch", (F.col("user_id") / 16).cast("int")
+    ).repartition(n_merges, "batch").write.partitionBy("batch").parquet(batch_root)
+
+    def disk_stats() -> dict:
+        total_files = 0
+        worst_bucket_files = 0
+        per_bucket: dict[str, int] = {}
+        for root, _dirs, names in os.walk(tpath):
+            pq_names = [n for n in names if n.endswith(".parquet")]
+            if not pq_names:
+                continue
+            total_files += len(pq_names)
+            b = os.path.basename(root)
+            if b.startswith(f"{BUCKET_COL}="):
+                per_bucket[root] = len(pq_names)
+                worst_bucket_files = max(worst_bucket_files, len(pq_names))
+        gen_dirs = sum(
+            1 for n in os.listdir(tpath) if n.startswith(GEN_PREFIX)
+        )
+        m = tbl._read_manifest() or {}
+        return {
+            "files_total": total_files,
+            "max_files_per_bucket_dir": worst_bucket_files,
+            "gen_dirs": gen_dirs,
+            "ledger_entries": len(m.get("superseded", {})),
+        }
+
+    per_merge: list[dict] = []
+    for i in range(n_merges):
+        bpath = os.path.join(batch_root, f"batch={i}")
+        if not os.path.exists(bpath):
+            continue
+        batch = spark.read.parquet(bpath)
+        t0 = time.perf_counter()
+        tbl.build(batch)
+        total = time.perf_counter() - t0
+        row = {"merge": i, "total": round(total, 3)}
+        row.update({k: round(v, 3) for k, v in tbl.last_phase_times.items()})
+        row.update(disk_stats())
+        per_merge.append(row)
+        print(json.dumps(row))
+
+    def avg(rows, key):
+        vals = [r[key] for r in rows if key in r]
+        return round(sum(vals) / max(len(vals), 1), 3)
+
+    head, tail = per_merge[:5], per_merge[-5:]
+    print(json.dumps({
+        "metric": "merge_churn_summary",
+        "n_merges": len(per_merge),
+        "buckets": buckets,
+        "first5_avg": {k: avg(head, k) for k in
+                       ("total", "list_affected", "merge_and_stage",
+                        "swap_and_commit", "vacuum")},
+        "last5_avg": {k: avg(tail, k) for k in
+                      ("total", "list_affected", "merge_and_stage",
+                       "swap_and_commit", "vacuum")},
+        "max_files_total": max(r["files_total"] for r in per_merge),
+        "max_files_per_bucket_dir": max(
+            r["max_files_per_bucket_dir"] for r in per_merge
+        ),
+        "max_gen_dirs": max(r["gen_dirs"] for r in per_merge),
+        "max_ledger_entries": max(r["ledger_entries"] for r in per_merge),
+    }))
+    _sh.rmtree(tpath, ignore_errors=True)
+    _sh.rmtree(batch_root, ignore_errors=True)
+
+
 def run_flagship(spark, paths: dict[str, str]) -> dict[str, float]:
     """The 100×-curve subset: the headline dedup / merge / index-probe /
     append operators whose 100 TB claims BASELINE.md rests on, with the
@@ -1022,6 +1136,12 @@ def main() -> None:
         spark = get_spark("scale-proof", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
         run_merge_contrast_curve(spark)
+        return
+    if "--merge-churn" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+        spark = get_spark("scale-proof", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        run_merge_churn(spark)
         return
     if flagship:
         scales = ["s0.1", "s1", "s10"]

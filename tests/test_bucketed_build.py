@@ -373,3 +373,25 @@ def test_new_bucket_is_growth_not_stale(spark, tmp_path):
     ]
     files, stale = t._affected_files(manifest, [known[0]])
     assert stale is True
+
+
+def test_emptied_generation_dir_is_pruned(spark, tmp_path):
+    """Once every file a generation wrote has been displaced and vacuumed,
+    its directory (including Spark's _SUCCESS/.crc markers) must go too —
+    otherwise commit churn accumulates one empty dir per merge forever
+    (caught by the first --merge-churn run: 50 dirs after 50 commits)."""
+    path = str(tmp_path / "prune")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    # Same batch three times: each merge rewrites the SAME buckets, so
+    # gen N's files are fully displaced by gen N+1 and vacuumed at N+2.
+    t.build(b2)  # gen 1
+    t.build(b2)  # gen 2: displaces all of gen 1
+    t.build(b2)  # gen 3: vacuums gen 1's files -> its dir must be pruned
+    assert f"{GEN_PREFIX}00000001" not in os.listdir(path)
+    # Live generations and their data remain intact.
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "pp"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
