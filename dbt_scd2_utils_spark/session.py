@@ -12,7 +12,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "dbt_scd2_utils_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "dbt_scd2_utils_spark",
+    cpus: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """``ui=True`` enables the Spark UI so diagnostic scripts can read
+    per-task metrics (peak execution memory, shuffle read bytes) from the
+    REST API — off by default: the benches and tests don't want the
+    listener/HTTP overhead."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     spark = (
@@ -30,7 +38,7 @@ def get_spark(app_name: str = "dbt_scd2_utils_spark", cpus: int | None = None) -
         # scd2_bucketed_temporal_join).  The one query that wants it
         # scopes it locally (entry.q_scd2_sequence_replay).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .getOrCreate()
     )
     return spark

@@ -57,9 +57,60 @@ def feed_for(spark, hot_versions: int):
     return hot.unionByName(norm)
 
 
+def _rest(spark, path: str):
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+        return _json.load(r)
+
+
+def _max_stage_id(spark) -> int:
+    try:
+        app = spark.sparkContext.applicationId
+        stages = _rest(spark, f"applications/{app}/stages")
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:  # noqa: BLE001 — metrics are advisory
+        return -1
+
+
+def _max_task_bytes(spark, since_stage: int) -> dict:
+    """Max PER-TASK peak execution memory and shuffle-read bytes over the
+    stages submitted after ``since_stage`` — the quantity that maps to
+    EXECUTOR memory on a real cluster (a window over a hot key puts the
+    whole history's sort buffer in one task; salted, each task holds
+    history/S).  Read from the UI REST API's task summaries so the number
+    is measured, not estimated."""
+    out = {"task_peak_mem_bytes": 0, "task_shuffle_read_bytes": 0}
+    try:
+        app = spark.sparkContext.applicationId
+        stages = _rest(spark, f"applications/{app}/stages?status=complete")
+        for st in stages:
+            if st["stageId"] <= since_stage:
+                continue
+            try:
+                ts = _rest(
+                    spark,
+                    f"applications/{app}/stages/{st['stageId']}/"
+                    f"{st.get('attemptId', 0)}/taskSummary?quantiles=1.0",
+                )
+            except Exception:  # noqa: BLE001 — skipped/empty stages 404
+                continue
+            pm = int((ts.get("peakExecutionMemory") or [0])[-1])
+            sr = int(((ts.get("shuffleReadMetrics") or {}).get("readBytes") or [0])[-1])
+            out["task_peak_mem_bytes"] = max(out["task_peak_mem_bytes"], pm)
+            out["task_shuffle_read_bytes"] = max(
+                out["task_shuffle_read_bytes"], sr
+            )
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    spark = get_spark("hot-key-window-tail", cpus=cpus)
+    spark = get_spark("hot-key-window-tail", cpus=cpus, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = ScdConfig(unique_key=("k",), default_valid_to="2200-01-01 00:00:00")
 
@@ -84,6 +135,7 @@ def main() -> None:
         ).persist()
         state.write.format("noop").mode("overwrite").save()
         initial_s = round(time.perf_counter() - t0, 2)
+        mark = _max_stage_id(spark)
         t0 = time.perf_counter()
         scd2_incremental(
             state, feed.filter(F.col("_updated_at") > split), cfg
@@ -92,6 +144,9 @@ def main() -> None:
         row = {
             "hot_versions": hot, "initial_s": initial_s, "incremental_s": incr_s,
         }
+        row.update(
+            {f"plain_{k}": v for k, v in _max_task_bytes(spark, mark).items()}
+        )
         if salted_flavors.get(hot):
             # Salted twin, INCLUDING hot-key auto-detection cost.  Guarded:
             # at 10M versions the salted path's eager stage barriers hold
@@ -106,6 +161,7 @@ def main() -> None:
                     salts=32, hot_key_threshold=500_000,
                 ).write.format("noop").mode("overwrite").save()
                 row["initial_salted_s"] = round(time.perf_counter() - t0, 2)
+                mark = _max_stage_id(spark)
                 t0 = time.perf_counter()
                 scd2_incremental_salted(
                     state, feed.filter(F.col("_updated_at") > split), cfg,
@@ -113,6 +169,12 @@ def main() -> None:
                 ).write.format("noop").mode("overwrite").save()
                 row["incremental_salted_s"] = round(
                     time.perf_counter() - t0, 2
+                )
+                row.update(
+                    {
+                        f"salted_{k}": v
+                        for k, v in _max_task_bytes(spark, mark).items()
+                    }
                 )
             except Exception as exc:  # noqa: BLE001 — record, keep curve
                 row["salted_error"] = type(exc).__name__
@@ -135,6 +197,23 @@ def main() -> None:
                 ),
             }
             for r in results[1:]
+        ],
+        # The OOM-trade argument in bytes: plain holds the WHOLE hot
+        # history in one task's sort; salted holds ~history/S per task.
+        "bytes_per_task": [
+            {
+                "hot_versions": r["hot_versions"],
+                "plain_task_peak_mem_bytes": r.get("plain_task_peak_mem_bytes"),
+                "plain_task_shuffle_read_bytes": r.get(
+                    "plain_task_shuffle_read_bytes"
+                ),
+                "salted_task_peak_mem_bytes": r.get("salted_task_peak_mem_bytes"),
+                "salted_task_shuffle_read_bytes": r.get(
+                    "salted_task_shuffle_read_bytes"
+                ),
+            }
+            for r in results
+            if r["hot_versions"]
         ],
     }
     print(json.dumps(summary))
