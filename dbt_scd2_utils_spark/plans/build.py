@@ -162,6 +162,66 @@ class ScdTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, "_scd_manifest.json")
 
+    def _snapshot_manifest_path(self, gen: int) -> str:
+        """Per-generation manifest snapshot (`_scd_manifest.<gen>.json`) —
+        the commit log's history, enabling time-travel reads
+        (``read(at_gen=...)``) to any generation still inside the vacuum
+        retention window.  Same lifecycle as the data files: kept for
+        gens in [current - retain_generations, current], removed after."""
+        return os.path.join(self.path, f"_scd_manifest.{gen:08d}.json")
+
+    def _write_snapshot_manifest(self, manifest: dict) -> None:
+        gen = manifest.get("gen", 0)
+        tmp = self._snapshot_manifest_path(gen) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._snapshot_manifest_path(gen))
+        # Expire snapshots whose generation fell out of retention — their
+        # referenced files are (or are about to be) vacuumed, so serving
+        # them would be a lie.  O(retained snapshots), tiny files.
+        for name in os.listdir(self.path):
+            if not (
+                name.startswith("_scd_manifest.") and name.endswith(".json")
+            ):
+                continue
+            stem = name[len("_scd_manifest."):-len(".json")]
+            if not stem.isdigit():
+                continue
+            if int(stem) < gen - self.retain_generations:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+
+    def read_at_gen(self, gen: int) -> DataFrame:
+        """Time-travel read: serve the table EXACTLY as generation ``gen``
+        committed it (Delta's ``VERSION AS OF`` in miniature).  Valid for
+        any generation still inside the vacuum retention window — its
+        manifest snapshot and every file it references are retained for
+        ``retain_generations`` further commits by construction."""
+        try:
+            with open(self._snapshot_manifest_path(gen)) as f:
+                manifest = json.load(f)
+        except OSError:
+            current = (self._read_manifest() or {}).get("gen")
+            raise ValueError(
+                f"no retained snapshot for generation {gen} "
+                f"(current gen: {current}, retention: "
+                f"{self.retain_generations} generations — older snapshots "
+                "are vacuumed)"
+            ) from None
+        from pyspark.sql.types import StructType
+
+        files, stale = self._affected_files(
+            manifest, sorted(manifest.get("buckets", {}))
+        )
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        if stale:
+            return self.spark.read.option("mergeSchema", "true").parquet(*files)
+        return self.spark.read.schema(schema).parquet(*files)
+
     def _read_manifest(self) -> dict | None:
         try:
             with open(self._manifest_path()) as f:
@@ -706,6 +766,7 @@ class ScdTable:
         manifest["gen"] = gen
         manifest["schema"] = merged.schema.json()
         self._write_manifest(manifest)
+        self._write_snapshot_manifest(manifest)
         self._write_meta()
         self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -748,7 +809,9 @@ class ScdTable:
             # Seed the partition manifest.  The full listing here is
             # proportional to the write that just happened, not to future
             # merges — incremental runs only ever patch affected entries.
-            self._write_manifest(self._scan_full_manifest(data_schema_json))
+            seeded = self._scan_full_manifest(data_schema_json)
+            self._write_manifest(seeded)
+            self._write_snapshot_manifest(seeded)
         self._write_meta()
         # Release the merge's persisted intermediates BEFORE refreshing —
         # same ordering as _build_bucketed_incremental: they were planned

@@ -395,3 +395,40 @@ def test_emptied_generation_dir_is_pruned(spark, tmp_path):
         t.read(),
         _expected(spark, str(tmp_path / "pp"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
     )
+
+
+def test_read_at_gen_time_travel(spark, tmp_path):
+    """Generation time-travel: read_at_gen(G) serves the table exactly as
+    commit G left it, for any generation inside the vacuum retention
+    window; outside it raises with the retention explanation."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tt")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=2)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 2
+
+    # Every retained generation replays its exact historical state.
+    _assert_same(
+        t.read_at_gen(0),
+        _expected(spark, str(tmp_path / "g0"), [CUSTOMERS_RAW[1]]),
+    )
+    _assert_same(
+        t.read_at_gen(1),
+        _expected(spark, str(tmp_path / "g1"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+    _assert_same(t.read_at_gen(2), t.read())
+
+    # Push gen 0 out of the retention window (retain=2: at gen 3 the
+    # files displaced by commit 1 are vacuumed and snapshot 0 expires).
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))  # gen 3
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.read_at_gen(0)
+    # gen 1 is still inside the window and still exact.
+    _assert_same(
+        t.read_at_gen(1),
+        _expected(spark, str(tmp_path / "g1b"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
