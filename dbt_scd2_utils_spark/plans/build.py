@@ -80,19 +80,36 @@ class ScdTable:
         path: str,
         cfg: ScdConfig,
         partition_buckets: int | None = None,
-        retain_generations: int = 2,
+        retain_generations: int | None = None,
     ):
         self.spark = spark
         self.path = path
         self.cfg = cfg.validate()
         self.partition_buckets = partition_buckets
-        if retain_generations < 1:
+        if retain_generations is not None and retain_generations < 1:
             raise ValueError("retain_generations must be >= 1")
         # Snapshot-isolation window: files displaced by a merge stay on disk
         # until `retain_generations` FURTHER commits have happened, so a
         # DataFrame planned against any of the last `retain_generations`
         # manifests never races a deletion (see the manifest note below).
+        # Retention is a TABLE property (recorded in the manifest, the way
+        # Delta stores it in table properties), NOT a per-writer setting:
+        # None (the default) honors whatever the table records, so a
+        # default-constructed job can never vacuum underneath a reader
+        # that opened the table with a longer window; an explicit value
+        # updates the recorded property at this writer's next commit.
         self.retain_generations = retain_generations
+
+    DEFAULT_RETAIN = 2
+
+    def _retain(self, manifest: dict | None) -> int:
+        """Effective retention: explicit constructor value first (it will
+        be recorded at the next commit), else the table's recorded
+        property, else the default."""
+        if self.retain_generations is not None:
+            return self.retain_generations
+        rec = (manifest or {}).get("retain")
+        return rec if isinstance(rec, int) and rec >= 1 else self.DEFAULT_RETAIN
         # Driver-side phase timings of the last incremental merge (e.g.
         # "list_affected"), for scale instrumentation (scripts/scale_proof).
         self.last_phase_times: dict[str, float] = {}
@@ -187,7 +204,7 @@ class ScdTable:
             stem = name[len("_scd_manifest."):-len(".json")]
             if not stem.isdigit():
                 continue
-            if int(stem) < gen - self.retain_generations:
+            if int(stem) < gen - self._retain(manifest):
                 try:
                     os.remove(os.path.join(self.path, name))
                 except OSError:
@@ -203,13 +220,25 @@ class ScdTable:
             with open(self._snapshot_manifest_path(gen)) as f:
                 manifest = json.load(f)
         except OSError:
-            current = (self._read_manifest() or {}).get("gen")
-            raise ValueError(
-                f"no retained snapshot for generation {gen} "
-                f"(current gen: {current}, retention: "
-                f"{self.retain_generations} generations — older snapshots "
-                "are vacuumed)"
-            ) from None
+            # The CURRENT generation is always servable from the main
+            # manifest even if its snapshot copy is missing (crash between
+            # the manifest commit and the snapshot write, or a legacy
+            # table normalized in place whose base gen predates snapshots).
+            current_manifest = self._read_manifest()
+            if (
+                current_manifest is not None
+                and current_manifest.get("gen") == gen
+                and current_manifest.get("schema")
+            ):
+                manifest = current_manifest
+            else:
+                current = (current_manifest or {}).get("gen")
+                raise ValueError(
+                    f"no retained snapshot for generation {gen} "
+                    f"(current gen: {current}, retention: "
+                    f"{self._retain(current_manifest)} generations — older "
+                    "snapshots are vacuumed)"
+                ) from None
         from pyspark.sql.types import StructType
 
         files, stale = self._affected_files(
@@ -262,13 +291,26 @@ class ScdTable:
         """Full-table scan building a fresh new-style manifest.  Used only
         where a full listing is already proportional to the work just done
         (the initial/full-refresh write) or as a one-time migration for a
-        manifest-less table.  Scans both the root bucket dirs (gen-0 /
-        legacy layout) and any ``_gen-*`` dirs; where a bucket appears in
-        several, the NEWEST generation wins — for a generational table whose
-        manifest was lost this is at-least-once commit semantics (a fully
-        written but uncommitted generation is adopted; its data is a valid
-        merged SCD state)."""
+        manifest-less table.  Scans the root bucket dirs (gen-0 / legacy
+        layout) and every COMPLETE ``_gen-*`` dir — a generation without
+        Spark's ``_SUCCESS`` marker is a torn write and is skipped, never
+        adopted (the committed-manifest path sweeps it as an orphan; a
+        complete-but-uncommitted one IS adopted: at-least-once commit
+        semantics, its data is a valid merged SCD state).  Where a bucket
+        appears in several layers the NEWEST generation wins, and every
+        newest-wins LOSER goes on the reconstructed ``superseded`` ledger
+        (displaced-at the reconstructed gen) so recovery does not orphan
+        vacuum-pending files into permanent garbage.
+
+        Honest limitation: the manifest is the ONLY record that a merge
+        emptied a bucket, so losing it while that bucket's superseded
+        files are still inside the retention window resurrects those rows
+        (they are indistinguishable from live legacy data).  SCD merges
+        never delete rows — type 2 retires them in place — so the popped-
+        entry path is defensive; a deployment that hard-deletes buckets
+        must not discard the manifest."""
         buckets: dict[str, dict] = {}
+        losers: list[str] = []
 
         def scan_layer(rel_root: str, gen: int) -> None:
             layer = os.path.join(self.path, rel_root) if rel_root else self.path
@@ -284,10 +326,11 @@ class ScdTable:
                     continue
                 b = name.split("=", 1)[1]
                 prefix = f"{rel_root}/" if rel_root else ""
+                if b in buckets:
+                    losers.extend(buckets[b]["paths"])
                 buckets[b] = {
                     "paths": [f"{prefix}{name}/{n}" for n in entry["files"]],
                     "rows": entry["rows"],
-                    "_gen": gen,
                 }
         scan_layer("", 0)
         gen_dirs = sorted(
@@ -299,15 +342,15 @@ class ScdTable:
                 g = int(gd[len(GEN_PREFIX):])
             except ValueError:
                 continue
+            if not os.path.exists(os.path.join(self.path, gd, "_SUCCESS")):
+                continue  # torn write — never adopt
             scan_layer(gd, g)
             top = max(top, g)
-        for e in buckets.values():
-            e.pop("_gen", None)
         return {
             "gen": top,
             "buckets": buckets,
             "schema": data_schema_json,
-            "superseded": {},
+            "superseded": {str(top): losers} if losers else {},
         }
 
     @staticmethod
@@ -382,7 +425,7 @@ class ScdTable:
         ledger = manifest.setdefault("superseded", {})
         removed = 0
         root = os.path.abspath(self.path)
-        for key in [k for k in ledger if int(k) <= gen - self.retain_generations]:
+        for key in [k for k in ledger if int(k) <= gen - self._retain(manifest)]:
             for rel in ledger.pop(key):
                 p = os.path.join(self.path, rel)
                 try:
@@ -522,7 +565,14 @@ class ScdTable:
             return self.spark.read.parquet(self.path)
         manifest = self._read_manifest()
         if not manifest or not manifest.get("schema"):
-            if any(n.startswith(GEN_PREFIX) for n in os.listdir(self.path)):
+            try:
+                root_names = os.listdir(self.path)
+            except OSError:
+                # Missing/unreadable table dir: fall through to the Spark
+                # read so the caller gets the usual [PATH_NOT_FOUND]
+                # AnalysisException, not a bare FileNotFoundError.
+                root_names = []
+            if any(n.startswith(GEN_PREFIX) for n in root_names):
                 # Manifest-less GENERATIONAL table (manifest deleted out of
                 # band): Spark's recursive discovery skips the
                 # underscore-prefixed generation dirs, so reconstruct the
@@ -693,6 +743,16 @@ class ScdTable:
         if manifest is not None:
             manifest.setdefault("superseded", {})
             self._sweep_orphan_generations(manifest.get("gen", 0))
+            # Backfill the PRE-merge generation's snapshot if it is missing
+            # (legacy table normalized in place, pre-snapshot-era table, or
+            # a crash between a commit and its snapshot write): the state
+            # this merge displaces must stay time-travel-readable for the
+            # full retention window.
+            base_gen = manifest.get("gen", 0)
+            if manifest.get("schema") and not os.path.exists(
+                self._snapshot_manifest_path(base_gen)
+            ):
+                self._write_snapshot_manifest(manifest)
         files, stale = self._affected_files(manifest, affected)
         schema_json = (manifest or {}).get("schema")
         from pyspark.sql.types import StructType
@@ -765,6 +825,11 @@ class ScdTable:
             manifest["superseded"][str(gen)] = displaced
         manifest["gen"] = gen
         manifest["schema"] = merged.schema.json()
+        # Record the effective retention as a TABLE property (an explicit
+        # constructor value updates it; default writers inherit it), so no
+        # later writer can vacuum underneath a reader that opened the
+        # table under a longer window.
+        manifest["retain"] = self._retain(manifest)
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()

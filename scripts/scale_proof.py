@@ -749,15 +749,12 @@ def run_merge_churn(spark, n_merges: int = 50) -> None:
     def disk_stats() -> dict:
         total_files = 0
         worst_bucket_files = 0
-        per_bucket: dict[str, int] = {}
         for root, _dirs, names in os.walk(tpath):
             pq_names = [n for n in names if n.endswith(".parquet")]
             if not pq_names:
                 continue
             total_files += len(pq_names)
-            b = os.path.basename(root)
-            if b.startswith(f"{BUCKET_COL}="):
-                per_bucket[root] = len(pq_names)
+            if os.path.basename(root).startswith(f"{BUCKET_COL}="):
                 worst_bucket_files = max(worst_bucket_files, len(pq_names))
         gen_dirs = sum(
             1 for n in os.listdir(tpath) if n.startswith(GEN_PREFIX)

@@ -432,3 +432,91 @@ def test_read_at_gen_time_travel(spark, tmp_path):
         _expected(spark, str(tmp_path / "g1b"),
                   [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
     )
+
+
+def test_retention_is_a_table_property(spark, tmp_path):
+    """retain_generations is recorded in the manifest at commit: a later
+    DEFAULT-constructed writer honors the table's recorded window instead
+    of vacuuming underneath readers that rely on the longer one."""
+    path = str(tmp_path / "retprop")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=3)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    gen0 = _manifest_paths(t)
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t.build(b2)  # gen 1: records retain=3
+    assert t._read_manifest()["retain"] == 3
+
+    t2 = ScdTable(spark, path, CFG, partition_buckets=8)  # default writer
+    t2.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 2
+    t2.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))  # gen 3
+    # Under the DEFAULT window (2) the files displaced by commit 1 would
+    # be vacuumed at gen 3 (1 <= 3-2); under the recorded property (3)
+    # they must survive (1 <= 3-3 is false) and gen-0 time travel holds.
+    displaced = [rel for b in _touched(t, b2) for rel in gen0.get(b, [])]
+    assert displaced
+    assert all(os.path.exists(os.path.join(path, r)) for r in displaced)
+    assert t2._read_manifest()["retain"] == 3
+    _assert_same(
+        t2.read_at_gen(0),
+        _expected(spark, str(tmp_path / "rp0"), [CUSTOMERS_RAW[1]]),
+    )
+
+
+def test_read_missing_table_raises_spark_path_error(spark, tmp_path):
+    """read() of a never-built bucketed table surfaces Spark's usual
+    PATH_NOT_FOUND analysis error, not a bare FileNotFoundError from the
+    manifest-era os.listdir."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    t = ScdTable(spark, str(tmp_path / "nope"), CFG, partition_buckets=8)
+    with _pytest.raises(AnalysisException):
+        t.read().collect()
+
+
+def test_manifest_loss_recovery_ledgers_newest_wins_losers(spark, tmp_path):
+    """Losing the manifest of a generational table must not orphan the
+    displaced-but-unvacuumed copies: the migration scan re-ledgers every
+    newest-wins loser so a later commit's vacuum still collects them, and
+    a torn (no _SUCCESS) generation is never adopted."""
+    path = str(tmp_path / "mloss")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t.build(b2)  # gen 1: displaced gen-0 copies still on disk (retain 1)
+
+    # Lose the manifest AND its snapshots; plant a torn generation.
+    for n in os.listdir(path):
+        if n.startswith("_scd_manifest"):
+            os.remove(os.path.join(path, n))
+    torn = os.path.join(path, f"{GEN_PREFIX}00000009", f"{BUCKET_COL}=0")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "w") as f:
+        f.write("torn")  # no _SUCCESS at the generation root
+
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "ml"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3]]))
+    # The reconstructed ledger carried the gen-0 losers; after this commit
+    # plus one more they are vacuumed rather than orphaned forever.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[5], CUSTOMERS_SCHEMA))
+    m = t._read_manifest()
+    live = {
+        os.path.join(path, r)
+        for e in m["buckets"].values()
+        for r in e["paths"]
+    }
+    on_ledger = {
+        os.path.join(path, r)
+        for rels in m["superseded"].values()
+        for r in rels
+    }
+    # every parquet on disk is either live, or awaiting vacuum on the
+    # ledger — nothing is orphaned
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                p = os.path.join(root, n)
+                assert p in live or p in on_ledger, p

@@ -33,7 +33,7 @@ def test_stream_equals_batch(spark, tmp_path):
 
     stream = spark.readStream.schema(batches[0].schema).parquet(src_dir)
     q = scd2_write_stream(stream, target, CFG, checkpoint=ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in time"
 
     sink = Scd2ParquetSink(spark, target, CFG)
     got = sink.read()

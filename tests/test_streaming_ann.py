@@ -38,7 +38,7 @@ def test_stream_probe_equals_batch_across_splits(spark):
     q = streaming_lsh_probe(
         stream, load_lsh_index(spark, f"{base}/idx"), f"{base}/out", k=5
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream did not drain in time"
     streamed = read_probe_output(spark, f"{base}/out")
     batch = lsh_ann_topk(corpus, queries=new, k=5)
     assert streamed.exceptAll(batch).count() == 0

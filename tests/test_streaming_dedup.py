@@ -45,7 +45,7 @@ def test_streaming_exact_dedup_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in time"
     got = spark.table("sde_test")
     want = exact_dedup(spark.createDataFrame(rows, SCHEMA))
     assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
@@ -94,7 +94,7 @@ def test_dedup_within_watermark_drops_then_readmits(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in time"
     ids = sorted(r["doc_id"] for r in spark.table("wde_test").collect())
     # 3 dropped (dup within watermark); 5 re-admitted (state evicted once
     # the 12:00 watermark became active)

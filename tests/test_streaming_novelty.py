@@ -46,7 +46,7 @@ def test_stream_equals_batch_across_batch_splits(spark):
         corpus_index=load_minhash_index(spark, f"{base}/idx"),
         threshold=0.5,
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "stream did not drain in time"
     streamed = read_novelty_output(spark, f"{base}/out")
     batch = minhash_novelty(newb, corpus, threshold=0.5)
     assert streamed.count() == newb.count()

@@ -31,7 +31,7 @@ def test_stream_rollup_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     got = spark.read.parquet(out)
 
     # Append mode emits only watermark-closed windows: the final watermark

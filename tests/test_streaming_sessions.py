@@ -36,7 +36,7 @@ def _drain(spark, df, **kwargs):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in time"
     return spark.read.parquet(out)
 
 

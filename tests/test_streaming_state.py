@@ -32,7 +32,7 @@ def run_stream(spark, tmp_path, batches):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in time"
     return spark.read.parquet(out)
 
 
