@@ -99,6 +99,9 @@ class ScdTable:
         # that opened the table with a longer window; an explicit value
         # updates the recorded property at this writer's next commit.
         self.retain_generations = retain_generations
+        # Driver-side phase timings of the last incremental merge (e.g.
+        # "list_affected"), for scale instrumentation (scripts/scale_proof).
+        self.last_phase_times: dict[str, float] = {}
 
     DEFAULT_RETAIN = 2
 
@@ -110,9 +113,6 @@ class ScdTable:
             return self.retain_generations
         rec = (manifest or {}).get("retain")
         return rec if isinstance(rec, int) and rec >= 1 else self.DEFAULT_RETAIN
-        # Driver-side phase timings of the last incremental merge (e.g.
-        # "list_affected"), for scale instrumentation (scripts/scale_proof).
-        self.last_phase_times: dict[str, float] = {}
 
     # -- state ----------------------------------------------------------
 
