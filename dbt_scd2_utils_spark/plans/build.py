@@ -632,8 +632,27 @@ class ScdTable:
 
     # -- lifecycle ------------------------------------------------------
 
-    def build(self, model_df: DataFrame, full_refresh: bool = False) -> DataFrame:
-        """Run one materialization cycle; returns the post-build table."""
+    def build(
+        self,
+        model_df: DataFrame,
+        full_refresh: bool = False,
+        txn_epoch: int | None = None,
+    ) -> DataFrame:
+        """Run one materialization cycle; returns the post-build table.
+
+        ``txn_epoch`` enables EXACTLY-ONCE streaming merges on the bucketed
+        sink (Delta's ``txnAppId``/``txnVersion`` idempotent-writes story):
+        pass the micro-batch's epoch id and the commit records it in the
+        manifest atomically with the data pointer.  A replayed epoch
+        (foreachBatch re-delivers the same batch id after a failure) is
+        detected against the COMMITTED manifest and skipped entirely — a
+        crash before the commit left no visible state (the orphan
+        generation is swept), a crash after it is a completed commit, so
+        each epoch's effect lands exactly once.  The vanilla SCD merge is
+        already semantically idempotent for identical replayed rows (no
+        hash/updated_at change → no new versions); the epoch gate
+        additionally skips the replay's full merge work and hardens
+        tie-break-sensitive configs."""
         cfg = self.cfg
         # S5: single evaluation of the model ("temp table") — the plan
         # references the batch multiple times (new_records, dedup, redundant
@@ -650,7 +669,14 @@ class ScdTable:
             or not self._materialization_matches()
         )
         if self.partition_buckets and not initial and cfg.scd_type == 2:
-            result = self._build_bucketed_incremental(model_df)
+            if txn_epoch is not None:
+                last = (self._read_manifest() or {}).get("last_epoch")
+                if isinstance(last, int) and last >= txn_epoch:
+                    model_df.unpersist()
+                    return self.read()
+            result = self._build_bucketed_incremental(
+                model_df, txn_epoch=txn_epoch
+            )
             model_df.unpersist()
             return self.read()
 
@@ -670,11 +696,13 @@ class ScdTable:
             else:
                 result = scd0_incremental(self.read(), model_df, cfg)
 
-        self._atomic_write(result)
+        self._atomic_write(result, txn_epoch=txn_epoch)
         model_df.unpersist()  # S8: drop the temp relation
         return self.read()
 
-    def _build_bucketed_incremental(self, batch: DataFrame) -> None:
+    def _build_bucketed_incremental(
+        self, batch: DataFrame, txn_epoch: int | None = None
+    ) -> None:
         """Merge only the buckets the batch touches, rewrite only those
         buckets — into a NEW immutable generation directory, committed by
         atomically replacing the manifest (see the snapshot-isolation note
@@ -830,6 +858,12 @@ class ScdTable:
         # later writer can vacuum underneath a reader that opened the
         # table under a longer window.
         manifest["retain"] = self._retain(manifest)
+        if txn_epoch is not None:
+            # Recorded atomically WITH the data pointer: replaying this
+            # epoch after any crash sees either no trace of it (orphan gen
+            # swept, re-merge) or the completed commit (skipped) — never a
+            # half-applied state.  See build()'s exactly-once note.
+            manifest["last_epoch"] = txn_epoch
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()
@@ -851,7 +885,7 @@ class ScdTable:
         _release_intermediates(merged)
         self.spark.catalog.refreshByPath(self.path)
 
-    def _atomic_write(self, df: DataFrame) -> None:
+    def _atomic_write(self, df: DataFrame, txn_epoch: int | None = None) -> None:
         tmp = self.path + "__tmp"
         result = df  # the operator output carrying _scd_intermediates
         data_schema_json = df.schema.json()
@@ -875,6 +909,12 @@ class ScdTable:
             # proportional to the write that just happened, not to future
             # merges — incremental runs only ever patch affected entries.
             seeded = self._scan_full_manifest(data_schema_json)
+            seeded["retain"] = self._retain(seeded)
+            if txn_epoch is not None:
+                # The streamed INITIAL load's epoch: on replay the table
+                # exists, the build goes incremental, and the epoch gate
+                # skips it (see build()).
+                seeded["last_epoch"] = txn_epoch
             self._write_manifest(seeded)
             self._write_snapshot_manifest(seeded)
         self._write_meta()

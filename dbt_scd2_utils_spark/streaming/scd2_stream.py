@@ -84,3 +84,60 @@ def scd2_write_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class Scd2BucketedSink:
+    """Micro-batch SCD2 sink over a BUCKETED generational ``ScdTable`` —
+    the 100-TB streaming write path: each micro-batch merges and rewrites
+    only the bucket partitions its keys touch (O(batch), not O(table)),
+    commits through the atomic manifest replace, and passes the epoch id
+    as ``txn_epoch`` so a foreachBatch replay after a failure is detected
+    against the committed manifest and skipped — exactly-once merge
+    effects without a state store (Delta's txnAppId/txnVersion idempotent
+    writes, re-expressed on the parquet+manifest sink;
+    ``plans/build.py::ScdTable.build``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        cfg: ScdConfig,
+        partition_buckets: int,
+        retain_generations: int | None = None,
+    ):
+        from ..plans.build import ScdTable
+
+        self.table = ScdTable(
+            spark, path, cfg,
+            partition_buckets=partition_buckets,
+            retain_generations=retain_generations,
+        )
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        self.table.build(batch, txn_epoch=batch_id)
+
+
+def scd2_write_stream_bucketed(
+    stream: DataFrame,
+    path: str,
+    cfg: ScdConfig,
+    partition_buckets: int,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Attach an exactly-once bucketed SCD2 foreachBatch sink (see
+    :class:`Scd2BucketedSink`) to a streaming DataFrame."""
+    sink = Scd2BucketedSink(
+        stream.sparkSession, path, cfg, partition_buckets=partition_buckets
+    )
+    writer = stream.writeStream.foreachBatch(sink.foreach_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -61,3 +61,60 @@ def test_sink_initial_then_incremental(spark, tmp_path):
     # empty batch is a no-op
     sink.apply_batch(b2.filter(F.lit(False)))
     assert sink.read().count() > n1
+
+
+def test_bucketed_stream_equals_batch_and_replay_is_exactly_once(spark, tmp_path):
+    """The bucketed generational sink drains a multi-micro-batch stream to
+    the same table as the batch path, and a replayed foreachBatch epoch
+    (failure-recovery re-delivery of the same batch_id) is detected
+    against the committed manifest and skipped — exactly-once effects."""
+    from dbt_scd2_utils_spark.streaming.scd2_stream import (
+        Scd2BucketedSink,
+        scd2_write_stream_bucketed,
+    )
+
+    src_dir = str(tmp_path / "bsrc")
+    target = str(tmp_path / "btarget")
+    ckpt = str(tmp_path / "bckpt")
+    os.makedirs(src_dir)
+    batches = []
+    for i in (1, 2, 3):
+        df = spark.createDataFrame(CUSTOMERS_RAW[i], CUSTOMERS_SCHEMA)
+        batches.append(df)
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(src_dir)
+    )
+    q = scd2_write_stream_bucketed(
+        stream, target, CFG, partition_buckets=8,
+        checkpoint=ckpt, available_now=True,
+    )
+    assert q.awaitTermination(120), "stream did not drain in time"
+
+    sink = Scd2BucketedSink(spark, target, CFG, partition_buckets=8)
+    got = sink.read()
+    want = scd2_initial_load(
+        batches[0].unionByName(batches[1]).unionByName(batches[2]), CFG
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # Replay: re-deliver an already-committed epoch (same batch_id) with
+    # DIFFERENT rows — it must be skipped outright (gen unchanged), not
+    # merged twice or merged at all.
+    manifest_before = sink.table._read_manifest()
+    last = manifest_before["last_epoch"]
+    replay = spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA)
+    sink.foreach_batch(replay, last)          # replayed epoch: skipped
+    m_after = sink.table._read_manifest()
+    assert m_after["gen"] == manifest_before["gen"]
+    assert (
+        sink.read().exceptAll(want).count() == 0
+        and want.exceptAll(sink.read()).count() == 0
+    )
+    # The NEXT epoch applies normally.
+    sink.foreach_batch(replay, last + 1)
+    assert sink.table._read_manifest()["gen"] == manifest_before["gen"] + 1
+    assert sink.table._read_manifest()["last_epoch"] == last + 1
