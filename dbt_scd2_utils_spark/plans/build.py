@@ -105,6 +105,32 @@ class ScdTable:
 
     DEFAULT_RETAIN = 2
 
+    def _adopt_bucket_count(self, manifest: dict | None) -> int | None:
+        """Resolve the table's bucket count — a TABLE property like
+        retention, recorded as ``bucket_count`` in the manifest.  The
+        bucket mapping is part of the DATA layout: a writer merging under
+        a different modulus looks for keys in buckets they never lived in
+        and silently forks duplicate histories, so an EXPLICIT mismatch is
+        an error (``rebucket()`` is the sanctioned way to change it), and
+        a default-constructed writer/reader adopts the recorded count
+        instead of falling back to the unbucketed path (which would also
+        make a default reader miss every generational bucket dir).
+        Adoption is sticky on ``self.partition_buckets``."""
+        rec = (manifest or {}).get("bucket_count")
+        if self.partition_buckets is not None:
+            if isinstance(rec, int) and rec != self.partition_buckets:
+                raise ValueError(
+                    f"table at {self.path} is bucketed with "
+                    f"bucket_count={rec}, but this writer was constructed "
+                    f"with partition_buckets={self.partition_buckets}; "
+                    "merging under a different bucket mapping would "
+                    "mis-route keys — use rebucket() to change the layout"
+                )
+            return self.partition_buckets
+        if isinstance(rec, int):
+            self.partition_buckets = rec
+        return self.partition_buckets
+
     def _retain(self, manifest: dict | None) -> int:
         """Effective retention: explicit constructor value first (it will
         be recorded at the next commit), else the table's recorded
@@ -561,9 +587,10 @@ class ScdTable:
         return meta.get("materialized") == self.MATERIALIZATION
 
     def read(self) -> DataFrame:
-        if not self.partition_buckets:
-            return self.spark.read.parquet(self.path)
         manifest = self._read_manifest()
+        self._adopt_bucket_count(manifest)
+        if not self.partition_buckets and not (manifest or {}).get("schema"):
+            return self.spark.read.parquet(self.path)
         if not manifest or not manifest.get("schema"):
             try:
                 root_names = os.listdir(self.path)
@@ -668,6 +695,11 @@ class ScdTable:
             or not self.exists()
             or not self._materialization_matches()
         )
+        # Bucket count is a table property: adopt/validate BEFORE deciding
+        # the write path, so a default-constructed writer merges an
+        # existing bucketed table bucketed (and an explicit mismatch
+        # fails loudly instead of mis-routing keys).
+        self._adopt_bucket_count(self._read_manifest())
         if self.partition_buckets and not initial and cfg.scd_type == 2:
             if txn_epoch is not None:
                 last = (self._read_manifest() or {}).get("last_epoch")
@@ -858,6 +890,7 @@ class ScdTable:
         # later writer can vacuum underneath a reader that opened the
         # table under a longer window.
         manifest["retain"] = self._retain(manifest)
+        manifest["bucket_count"] = self.partition_buckets
         if txn_epoch is not None:
             # Recorded atomically WITH the data pointer: replaying this
             # epoch after any crash sees either no trace of it (orphan gen
@@ -885,6 +918,75 @@ class ScdTable:
         _release_intermediates(merged)
         self.spark.catalog.refreshByPath(self.path)
 
+    def rebucket(self, new_count: int) -> DataFrame:
+        """Change the table's bucket count — the maintenance op for data
+        growth: buckets are sized (~50k rows) at creation, so a table that
+        grows 100× leaves each bucket 100× oversized and the flat
+        O(affected-buckets) merge claim erodes.  The bucket mapping is the
+        physical layout, so this is necessarily a FULL data rewrite
+        (Delta/Iceberg's OPTIMIZE / rewrite-data-files story) — but it
+        commits THROUGH the generational protocol: the new layout lands in
+        ONE new generation, the commit atomically repoints every bucket
+        entry, records the new ``bucket_count`` table property, and
+        ledgers the entire old file set for deferred vacuum — concurrent
+        readers' planned snapshots and ``read_at_gen`` history stay valid
+        for the usual retention window, and a crash before the commit
+        leaves only an invisible orphan generation."""
+        if new_count < 1:
+            raise ValueError("new_count must be >= 1")
+        manifest = self._read_manifest()
+        if manifest is None:
+            raise ValueError(
+                f"rebucket() needs a bucketed table with a manifest at "
+                f"{self.path}; rebuild unbucketed/legacy tables with "
+                "build(full_refresh=True) instead"
+            )
+        if "gen" not in manifest:
+            manifest = self._normalize_manifest(manifest)
+        manifest.setdefault("superseded", {})
+        self._sweep_orphan_generations(manifest.get("gen", 0))
+        old_files, _stale = self._affected_files(
+            manifest, sorted(manifest.get("buckets", {}))
+        )
+        current = self.read()
+        self.partition_buckets = new_count
+        gen = manifest.get("gen", 0) + 1
+        gen_rel = _gen_dirname(gen)
+        gen_dir = os.path.join(self.path, gen_rel)
+        (
+            current.withColumn(BUCKET_COL, self._bucket_expr(current))
+            .repartition(new_count, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(gen_dir)
+        )
+        new_buckets: dict[str, dict] = {}
+        for name in os.listdir(gen_dir):
+            if not name.startswith(f"{BUCKET_COL}="):
+                continue
+            entry = self._scan_bucket_dir(os.path.join(gen_dir, name))
+            if entry is None:
+                continue
+            new_buckets[name.split("=", 1)[1]] = {
+                "paths": [f"{gen_rel}/{name}/{n}" for n in entry["files"]],
+                "rows": entry["rows"],
+            }
+        manifest["buckets"] = new_buckets
+        displaced = [os.path.relpath(p, self.path) for p in old_files]
+        if displaced:
+            manifest["superseded"][str(gen)] = displaced
+        manifest["gen"] = gen
+        manifest["schema"] = current.schema.json()
+        manifest["retain"] = self._retain(manifest)
+        manifest["bucket_count"] = new_count
+        self._write_manifest(manifest)
+        self._write_snapshot_manifest(manifest)
+        self._write_meta()
+        self._vacuum(manifest, gen)
+        self._write_manifest(manifest)
+        self.spark.catalog.refreshByPath(self.path)
+        return self.read()
+
     def _atomic_write(self, df: DataFrame, txn_epoch: int | None = None) -> None:
         tmp = self.path + "__tmp"
         result = df  # the operator output carrying _scd_intermediates
@@ -910,6 +1012,7 @@ class ScdTable:
             # merges — incremental runs only ever patch affected entries.
             seeded = self._scan_full_manifest(data_schema_json)
             seeded["retain"] = self._retain(seeded)
+            seeded["bucket_count"] = self.partition_buckets
             if txn_epoch is not None:
                 # The streamed INITIAL load's epoch: on replay the table
                 # exists, the build goes incremental, and the epoch gate

@@ -520,3 +520,73 @@ def test_manifest_loss_recovery_ledgers_newest_wins_losers(spark, tmp_path):
             if n.endswith(".parquet") and not n.startswith((".", "_")):
                 p = os.path.join(root, n)
                 assert p in live or p in on_ledger, p
+
+
+def test_bucket_count_is_a_table_property(spark, tmp_path):
+    """bucket_count is recorded in the manifest: a default-constructed
+    handle adopts it (reads see ALL generational buckets; merges stay
+    bucketed under the SAME mapping), and an explicitly different count
+    fails loudly instead of silently mis-routing keys into duplicate
+    histories."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "bprop")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+
+    # Default handle: adopts the recorded count, reads the full table
+    # (generational buckets included), and merges BUCKETED.
+    t2 = ScdTable(spark, path, CFG)
+    _assert_same(
+        t2.read(),
+        _expected(spark, str(tmp_path / "bp1"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+    out = t2.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    assert t2.partition_buckets == 8
+    m = t2._read_manifest()
+    assert m["bucket_count"] == 8 and m["gen"] == 2
+    _assert_same(out, _expected(spark, str(tmp_path / "bp2"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3]]))
+
+    # Explicit mismatch: refuse, pointing at rebucket().
+    t3 = ScdTable(spark, path, CFG, partition_buckets=16)
+    with _pytest.raises(ValueError, match="rebucket"):
+        t3.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))
+
+
+def test_rebucket_rewrites_layout_and_preserves_history(spark, tmp_path):
+    """rebucket(): one generational commit swaps the whole layout to the
+    new bucket count; data is unchanged, later merges route correctly
+    under the new mapping, pre-rebucket snapshots stay time-travel
+    readable, and the old files ride the superseded ledger."""
+    path = str(tmp_path / "rb")
+    t = ScdTable(spark, path, CFG, partition_buckets=4, retain_generations=2)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    want12 = _expected(spark, str(tmp_path / "rb12"),
+                       [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]])
+
+    out = t.rebucket(16)  # gen 2
+    _assert_same(out, want12)
+    m = t._read_manifest()
+    assert m["bucket_count"] == 16 and m["gen"] == 2
+    assert "2" in m["superseded"] and m["superseded"]["2"]
+    # every live entry points into the rebucket generation
+    for e in m["buckets"].values():
+        assert all(p.startswith(f"{GEN_PREFIX}00000002/") for p in e["paths"])
+
+    # merges after the rebucket route under the NEW mapping (no duplicate
+    # histories: result equals the plain oracle)
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "rb123"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3]]))
+    # pre-rebucket history stays readable inside the retention window
+    _assert_same(t.read_at_gen(1), want12)
+    # a fresh default handle adopts the new count
+    t2 = ScdTable(spark, path, CFG)
+    t2.read()
+    assert t2.partition_buckets == 16
