@@ -86,6 +86,11 @@ class ScdTable:
         self.path = path
         self.cfg = cfg.validate()
         self.partition_buckets = partition_buckets
+        # Distinguishes a count the CALLER chose from one adopted off the
+        # table property: only an explicit count may conflict with the
+        # recorded one (an adopted count re-adopts after an external
+        # rebucket instead of hard-failing a long-lived default handle).
+        self._explicit_buckets = partition_buckets is not None
         if retain_generations is not None and retain_generations < 1:
             raise ValueError("retain_generations must be >= 1")
         # Snapshot-isolation window: files displaced by a merge stay on disk
@@ -105,26 +110,34 @@ class ScdTable:
 
     DEFAULT_RETAIN = 2
 
-    def _adopt_bucket_count(self, manifest: dict | None) -> int | None:
+    def _adopt_bucket_count(
+        self, manifest: dict | None, relayout_ok: bool = False
+    ) -> int | None:
         """Resolve the table's bucket count — a TABLE property like
         retention, recorded as ``bucket_count`` in the manifest.  The
         bucket mapping is part of the DATA layout: a writer merging under
         a different modulus looks for keys in buckets they never lived in
         and silently forks duplicate histories, so an EXPLICIT mismatch is
-        an error (``rebucket()`` is the sanctioned way to change it), and
-        a default-constructed writer/reader adopts the recorded count
-        instead of falling back to the unbucketed path (which would also
-        make a default reader miss every generational bucket dir).
-        Adoption is sticky on ``self.partition_buckets``."""
+        an error (``rebucket()`` changes the layout in place; a FULL
+        REFRESH — ``relayout_ok`` — rewrites every row and may pick any
+        count).  A handle without an explicit count adopts (and re-adopts,
+        after an external rebucket) the recorded one instead of falling
+        back to the unbucketed path, which would also make a default
+        reader miss every generational bucket dir."""
         rec = (manifest or {}).get("bucket_count")
-        if self.partition_buckets is not None:
-            if isinstance(rec, int) and rec != self.partition_buckets:
+        if self._explicit_buckets:
+            if (
+                isinstance(rec, int)
+                and rec != self.partition_buckets
+                and not relayout_ok
+            ):
                 raise ValueError(
                     f"table at {self.path} is bucketed with "
                     f"bucket_count={rec}, but this writer was constructed "
                     f"with partition_buckets={self.partition_buckets}; "
                     "merging under a different bucket mapping would "
-                    "mis-route keys — use rebucket() to change the layout"
+                    "mis-route keys — use rebucket() (or a full refresh) "
+                    "to change the layout"
                 )
             return self.partition_buckets
         if isinstance(rec, int):
@@ -313,7 +326,9 @@ class ScdTable:
             rows = -1  # unknown; files list is still valid
         return {"files": names, "rows": rows}
 
-    def _scan_full_manifest(self, data_schema_json: str) -> dict:
+    def _scan_full_manifest(
+        self, data_schema_json: str, root: str | None = None
+    ) -> dict:
         """Full-table scan building a fresh new-style manifest.  Used only
         where a full listing is already proportional to the work just done
         (the initial/full-refresh write) or as a one-time migration for a
@@ -335,11 +350,12 @@ class ScdTable:
         never delete rows — type 2 retires them in place — so the popped-
         entry path is defensive; a deployment that hard-deletes buckets
         must not discard the manifest."""
+        base = root if root is not None else self.path
         buckets: dict[str, dict] = {}
         losers: list[str] = []
 
         def scan_layer(rel_root: str, gen: int) -> None:
-            layer = os.path.join(self.path, rel_root) if rel_root else self.path
+            layer = os.path.join(base, rel_root) if rel_root else base
             try:
                 names = os.listdir(layer)
             except OSError:
@@ -360,7 +376,7 @@ class ScdTable:
                 }
         scan_layer("", 0)
         gen_dirs = sorted(
-            n for n in os.listdir(self.path) if n.startswith(GEN_PREFIX)
+            n for n in os.listdir(base) if n.startswith(GEN_PREFIX)
         )
         top = 0
         for gd in gen_dirs:
@@ -368,7 +384,7 @@ class ScdTable:
                 g = int(gd[len(GEN_PREFIX):])
             except ValueError:
                 continue
-            if not os.path.exists(os.path.join(self.path, gd, "_SUCCESS")):
+            if not os.path.exists(os.path.join(base, gd, "_SUCCESS")):
                 continue  # torn write — never adopt
             scan_layer(gd, g)
             top = max(top, g)
@@ -664,22 +680,28 @@ class ScdTable:
         model_df: DataFrame,
         full_refresh: bool = False,
         txn_epoch: int | None = None,
+        txn_app: str = "default",
     ) -> DataFrame:
         """Run one materialization cycle; returns the post-build table.
 
-        ``txn_epoch`` enables EXACTLY-ONCE streaming merges on the bucketed
-        sink (Delta's ``txnAppId``/``txnVersion`` idempotent-writes story):
-        pass the micro-batch's epoch id and the commit records it in the
+        ``txn_epoch`` (+ ``txn_app``) enables EXACTLY-ONCE streaming merges
+        on the bucketed sink — Delta's ``txnAppId``/``txnVersion``
+        idempotent-writes story: pass the micro-batch's epoch id and the
+        writer's application id, and the commit records the pair in the
         manifest atomically with the data pointer.  A replayed epoch
         (foreachBatch re-delivers the same batch id after a failure) is
         detected against the COMMITTED manifest and skipped entirely — a
         crash before the commit left no visible state (the orphan
         generation is swept), a crash after it is a completed commit, so
-        each epoch's effect lands exactly once.  The vanilla SCD merge is
-        already semantically idempotent for identical replayed rows (no
-        hash/updated_at change → no new versions); the epoch gate
-        additionally skips the replay's full merge work and hardens
-        tie-break-sensitive configs."""
+        each epoch's effect lands exactly once.  The ``txn_app`` scope is
+        what makes epoch-counter restarts safe: a second stream, or the
+        same stream restarted with a FRESH CHECKPOINT (batch ids reset to
+        0), must use a new ``txn_app`` — under the old unscoped gate every
+        one of its batches would have been silently skipped as replays.
+        The vanilla SCD merge is already semantically idempotent for
+        identical replayed rows (no hash/updated_at change → no new
+        versions); the epoch gate additionally skips the replay's full
+        merge work and hardens tie-break-sensitive configs."""
         cfg = self.cfg
         # S5: single evaluation of the model ("temp table") — the plan
         # references the batch multiple times (new_records, dedup, redundant
@@ -697,17 +719,22 @@ class ScdTable:
         )
         # Bucket count is a table property: adopt/validate BEFORE deciding
         # the write path, so a default-constructed writer merges an
-        # existing bucketed table bucketed (and an explicit mismatch
-        # fails loudly instead of mis-routing keys).
-        self._adopt_bucket_count(self._read_manifest())
+        # existing bucketed table bucketed and an explicit mismatch fails
+        # loudly instead of mis-routing keys.  A FULL REFRESH rewrites
+        # every row, so a different explicit count is a legitimate
+        # re-layout there, not a mis-route hazard.  One manifest read
+        # serves the adoption, the epoch gate, and the merge.
+        manifest = self._read_manifest()
+        self._adopt_bucket_count(manifest, relayout_ok=initial)
         if self.partition_buckets and not initial and cfg.scd_type == 2:
             if txn_epoch is not None:
-                last = (self._read_manifest() or {}).get("last_epoch")
+                last = ((manifest or {}).get("txn") or {}).get(txn_app)
                 if isinstance(last, int) and last >= txn_epoch:
                     model_df.unpersist()
                     return self.read()
             result = self._build_bucketed_incremental(
-                model_df, txn_epoch=txn_epoch
+                model_df, txn_epoch=txn_epoch, txn_app=txn_app,
+                manifest=manifest,
             )
             model_df.unpersist()
             return self.read()
@@ -728,12 +755,16 @@ class ScdTable:
             else:
                 result = scd0_incremental(self.read(), model_df, cfg)
 
-        self._atomic_write(result, txn_epoch=txn_epoch)
+        self._atomic_write(result, txn_epoch=txn_epoch, txn_app=txn_app)
         model_df.unpersist()  # S8: drop the temp relation
         return self.read()
 
     def _build_bucketed_incremental(
-        self, batch: DataFrame, txn_epoch: int | None = None
+        self,
+        batch: DataFrame,
+        txn_epoch: int | None = None,
+        txn_app: str = "default",
+        manifest: dict | None = None,
     ) -> None:
         """Merge only the buckets the batch touches, rewrite only those
         buckets — into a NEW immutable generation directory, committed by
@@ -774,7 +805,8 @@ class ScdTable:
         # leaf files directly (no partition discovery) also skips footer
         # schema merging — the manifest carries the data schema.
         t0 = time.perf_counter()
-        manifest = self._read_manifest()
+        if manifest is None:
+            manifest = self._read_manifest()
         if manifest is None and any(
             n.startswith((f"{BUCKET_COL}=", GEN_PREFIX))
             for n in os.listdir(self.path)
@@ -892,11 +924,13 @@ class ScdTable:
         manifest["retain"] = self._retain(manifest)
         manifest["bucket_count"] = self.partition_buckets
         if txn_epoch is not None:
-            # Recorded atomically WITH the data pointer: replaying this
-            # epoch after any crash sees either no trace of it (orphan gen
-            # swept, re-merge) or the completed commit (skipped) — never a
-            # half-applied state.  See build()'s exactly-once note.
-            manifest["last_epoch"] = txn_epoch
+            # Recorded atomically WITH the data pointer, SCOPED per writer
+            # application (Delta txnAppId/txnVersion): replaying this epoch
+            # after any crash sees either no trace of it (orphan gen swept,
+            # re-merge) or the completed commit (skipped) — never a
+            # half-applied state — and an unrelated stream's epoch counter
+            # can never shadow this one's.  See build()'s exactly-once note.
+            manifest.setdefault("txn", {})[txn_app] = txn_epoch
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()
@@ -945,11 +979,35 @@ class ScdTable:
             manifest = self._normalize_manifest(manifest)
         manifest.setdefault("superseded", {})
         self._sweep_orphan_generations(manifest.get("gen", 0))
-        old_files, _stale = self._affected_files(
+        old_files, stale = self._affected_files(
             manifest, sorted(manifest.get("buckets", {}))
         )
-        current = self.read()
+        # Plan the current table directly from the file list just resolved
+        # (ONE listing serves both the read plan and the displaced ledger)
+        # rather than via self.read() — which would also re-run bucket-count
+        # adoption and refuse a handle constructed with the NEW count, the
+        # very caller this method exists for.
+        from pyspark.sql.types import StructType
+
+        schema_json = manifest.get("schema")
+        if not old_files:
+            if not schema_json:
+                raise ValueError(
+                    f"cannot rebucket empty schemaless table at {self.path}"
+                )
+            current = self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        elif stale or not schema_json:
+            current = self.spark.read.option("mergeSchema", "true").parquet(
+                *old_files
+            )
+        else:
+            current = self.spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            ).parquet(*old_files)
         self.partition_buckets = new_count
+        self._explicit_buckets = True
         gen = manifest.get("gen", 0) + 1
         gen_rel = _gen_dirname(gen)
         gen_dir = os.path.join(self.path, gen_rel)
@@ -982,12 +1040,19 @@ class ScdTable:
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()
+        ledger_before = len(manifest["superseded"])
         self._vacuum(manifest, gen)
-        self._write_manifest(manifest)
+        if len(manifest["superseded"]) != ledger_before:
+            self._write_manifest(manifest)
         self.spark.catalog.refreshByPath(self.path)
         return self.read()
 
-    def _atomic_write(self, df: DataFrame, txn_epoch: int | None = None) -> None:
+    def _atomic_write(
+        self,
+        df: DataFrame,
+        txn_epoch: int | None = None,
+        txn_app: str = "default",
+    ) -> None:
         tmp = self.path + "__tmp"
         result = df  # the operator output carrying _scd_intermediates
         data_schema_json = df.schema.json()
@@ -1001,26 +1066,35 @@ class ScdTable:
             df = df.repartition(self.partition_buckets, F.col(BUCKET_COL))
             writer = df.write.mode("overwrite").partitionBy(BUCKET_COL)
         writer.parquet(tmp)
+        if self.partition_buckets:
+            # Seed the partition manifest INSIDE the staging dir, BEFORE
+            # the rename: data, manifest, meta, and the recorded stream
+            # epoch all become visible in the ONE atomic rename — a crash
+            # can never expose a committed table missing its epoch record
+            # (under which a streamed initial load's replay would
+            # double-apply).  The full listing here is proportional to the
+            # write that just happened, not to future merges.
+            seeded = self._scan_full_manifest(data_schema_json, root=tmp)
+            seeded["retain"] = self._retain(seeded)
+            seeded["bucket_count"] = self.partition_buckets
+            if txn_epoch is not None:
+                seeded["txn"] = {txn_app: txn_epoch}
+            for name in (
+                "_scd_manifest.json",
+                f"_scd_manifest.{seeded.get('gen', 0):08d}.json",
+            ):
+                with open(os.path.join(tmp, name), "w") as f:
+                    json.dump(seeded, f)
+        with open(os.path.join(tmp, "_scd_meta.json"), "w") as f:
+            json.dump(
+                {"materialized": self.MATERIALIZATION, "scd_type": self.cfg.scd_type},
+                f,
+            )
         old = self.path + "__old"
         if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
-        if self.partition_buckets:
-            # Seed the partition manifest.  The full listing here is
-            # proportional to the write that just happened, not to future
-            # merges — incremental runs only ever patch affected entries.
-            seeded = self._scan_full_manifest(data_schema_json)
-            seeded["retain"] = self._retain(seeded)
-            seeded["bucket_count"] = self.partition_buckets
-            if txn_epoch is not None:
-                # The streamed INITIAL load's epoch: on replay the table
-                # exists, the build goes incremental, and the epoch gate
-                # skips it (see build()).
-                seeded["last_epoch"] = txn_epoch
-            self._write_manifest(seeded)
-            self._write_snapshot_manifest(seeded)
-        self._write_meta()
         # Release the merge's persisted intermediates BEFORE refreshing —
         # same ordering as _build_bucketed_incremental: they were planned
         # over leaf files the swap just deleted, and refreshByPath would

@@ -104,6 +104,7 @@ class Scd2BucketedSink:
         cfg: ScdConfig,
         partition_buckets: int,
         retain_generations: int | None = None,
+        txn_app: str = "default",
     ):
         from ..plans.build import ScdTable
 
@@ -112,6 +113,10 @@ class Scd2BucketedSink:
             partition_buckets=partition_buckets,
             retain_generations=retain_generations,
         )
+        # Epoch scope (Delta txnAppId): restarting this stream from a FRESH
+        # checkpoint resets batch ids to 0, so such a restart must use a
+        # new txn_app or its batches would be skipped as replays.
+        self.txn_app = txn_app
 
     def read(self) -> DataFrame:
         return self.table.read()
@@ -119,7 +124,7 @@ class Scd2BucketedSink:
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        self.table.build(batch, txn_epoch=batch_id)
+        self.table.build(batch, txn_epoch=batch_id, txn_app=self.txn_app)
 
 
 def scd2_write_stream_bucketed(
@@ -129,11 +134,17 @@ def scd2_write_stream_bucketed(
     partition_buckets: int,
     checkpoint: str | None = None,
     available_now: bool = True,
+    retain_generations: int | None = None,
+    txn_app: str = "default",
 ) -> StreamingQuery:
     """Attach an exactly-once bucketed SCD2 foreachBatch sink (see
-    :class:`Scd2BucketedSink`) to a streaming DataFrame."""
+    :class:`Scd2BucketedSink`) to a streaming DataFrame.  ``txn_app``
+    scopes the epoch record — use a fresh value when restarting from a
+    new checkpoint; ``retain_generations`` sets the table's snapshot-
+    retention property."""
     sink = Scd2BucketedSink(
-        stream.sparkSession, path, cfg, partition_buckets=partition_buckets
+        stream.sparkSession, path, cfg, partition_buckets=partition_buckets,
+        retain_generations=retain_generations, txn_app=txn_app,
     )
     writer = stream.writeStream.foreachBatch(sink.foreach_batch).outputMode("append")
     if checkpoint:

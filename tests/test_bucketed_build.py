@@ -590,3 +590,62 @@ def test_rebucket_rewrites_layout_and_preserves_history(spark, tmp_path):
     t2 = ScdTable(spark, path, CFG)
     t2.read()
     assert t2.partition_buckets == 16
+
+
+def test_full_refresh_may_relayout_bucket_count(spark, tmp_path):
+    """A FULL REFRESH rewrites every row, so an explicitly different
+    bucket count is a legitimate re-layout there — only incremental
+    merges under a different mapping are refused."""
+    path = str(tmp_path / "relayout")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    t16 = ScdTable(spark, path, CFG, partition_buckets=16)
+    out = t16.build(
+        spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA),
+        full_refresh=True,
+    )
+    _assert_same(out, _expected(spark, str(tmp_path / "rl"), [CUSTOMERS_RAW[1]]))
+    assert t16._read_manifest()["bucket_count"] == 16
+    # ...and incremental merges now proceed under the new recorded count.
+    out = t16.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "rl2"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+
+
+def test_default_handle_readopts_after_external_rebucket(spark, tmp_path):
+    """A long-lived default handle that adopted the old count must
+    RE-ADOPT after another handle rebuckets, not hard-fail claiming it
+    was 'constructed with' the stale count."""
+    path = str(tmp_path / "readopt")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    held = ScdTable(spark, path, CFG)   # default handle, adopts 4
+    held.read()
+    assert held.partition_buckets == 4
+
+    t.rebucket(16)                       # external layout change
+
+    out = held.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    assert held.partition_buckets == 16  # re-adopted, not crashed
+    _assert_same(out, _expected(spark, str(tmp_path / "ra"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+
+
+def test_rebucket_works_from_new_count_handle(spark, tmp_path):
+    """The error message tells a mismatched writer to call rebucket() —
+    so rebucket() must work from exactly that handle (constructed with
+    the NEW count), not only from old-count/default handles."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "rbnew")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    t16 = ScdTable(spark, path, CFG, partition_buckets=16)
+    with _pytest.raises(ValueError, match="rebucket"):
+        t16.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    out = t16.rebucket(16)               # the suggested remedy must work
+    _assert_same(out, _expected(spark, str(tmp_path / "rn"), [CUSTOMERS_RAW[1]]))
+    assert t16._read_manifest()["bucket_count"] == 16

@@ -105,7 +105,7 @@ def test_bucketed_stream_equals_batch_and_replay_is_exactly_once(spark, tmp_path
     # DIFFERENT rows — it must be skipped outright (gen unchanged), not
     # merged twice or merged at all.
     manifest_before = sink.table._read_manifest()
-    last = manifest_before["last_epoch"]
+    last = manifest_before["txn"]["default"]
     replay = spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA)
     sink.foreach_batch(replay, last)          # replayed epoch: skipped
     m_after = sink.table._read_manifest()
@@ -117,4 +117,17 @@ def test_bucketed_stream_equals_batch_and_replay_is_exactly_once(spark, tmp_path
     # The NEXT epoch applies normally.
     sink.foreach_batch(replay, last + 1)
     assert sink.table._read_manifest()["gen"] == manifest_before["gen"] + 1
-    assert sink.table._read_manifest()["last_epoch"] == last + 1
+    assert sink.table._read_manifest()["txn"]["default"] == last + 1
+
+    # Epoch scope (Delta txnAppId): a SECOND writer app starting at epoch 0
+    # (fresh checkpoint) must NOT be shadowed by the first app's counter.
+    from dbt_scd2_utils_spark.streaming.scd2_stream import Scd2BucketedSink as _S
+
+    sink2 = _S(spark, target, CFG, partition_buckets=8, txn_app="appB")
+    gen_before = sink2.table._read_manifest()["gen"]
+    sink2.foreach_batch(
+        spark.createDataFrame(CUSTOMERS_RAW[5], CUSTOMERS_SCHEMA), 0
+    )
+    m = sink2.table._read_manifest()
+    assert m["gen"] == gen_before + 1, "appB epoch 0 must apply, not be skipped"
+    assert m["txn"]["appB"] == 0 and m["txn"]["default"] == last + 1
