@@ -354,7 +354,7 @@ class ScdTable:
         buckets: dict[str, dict] = {}
         losers: list[str] = []
 
-        def scan_layer(rel_root: str, gen: int) -> None:
+        def scan_layer(rel_root: str) -> None:
             layer = os.path.join(base, rel_root) if rel_root else base
             try:
                 names = os.listdir(layer)
@@ -374,19 +374,24 @@ class ScdTable:
                     "paths": [f"{prefix}{name}/{n}" for n in entry["files"]],
                     "rows": entry["rows"],
                 }
-        scan_layer("", 0)
-        gen_dirs = sorted(
-            n for n in os.listdir(base) if n.startswith(GEN_PREFIX)
-        )
-        top = 0
-        for gd in gen_dirs:
+        scan_layer("")
+        # Numeric sort by parsed generation — lexicographic dirname order
+        # would silently invert newest-wins precedence the day a counter
+        # outgrows the zero-padding width, resurrecting superseded rows
+        # during manifest-loss recovery.
+        gen_dirs: list[tuple[int, str]] = []
+        for n in os.listdir(base):
+            if not n.startswith(GEN_PREFIX):
+                continue
             try:
-                g = int(gd[len(GEN_PREFIX):])
+                gen_dirs.append((int(n[len(GEN_PREFIX):]), n))
             except ValueError:
                 continue
+        top = 0
+        for g, gd in sorted(gen_dirs):
             if not os.path.exists(os.path.join(base, gd, "_SUCCESS")):
                 continue  # torn write — never adopt
-            scan_layer(gd, g)
+            scan_layer(gd)
             top = max(top, g)
         return {
             "gen": top,
@@ -462,22 +467,32 @@ class ScdTable:
         unreferenced by every manifest a live reader could still hold.
         O(files displaced by those commits), never O(table).  Empty bucket
         and generation directories are pruned as their files go.  Missing
-        files are ignored (a crash mid-vacuum just retries here next
-        commit).  Returns the number of files removed."""
+        files are ignored (already gone — a crash mid-vacuum just retries
+        here next commit), but any OTHER removal failure (permissions,
+        transient I/O) puts the path back on the ledger: the caller
+        persists the shrunk ledger after this returns, and a popped-but-
+        not-deleted file would otherwise leak permanently.  Returns the
+        number of files removed."""
         ledger = manifest.setdefault("superseded", {})
         removed = 0
         root = os.path.abspath(self.path)
         for key in [k for k in ledger if int(k) <= gen - self._retain(manifest)]:
+            failed: list[str] = []
             for rel in ledger.pop(key):
                 p = os.path.join(self.path, rel)
                 try:
                     os.remove(p)
                     removed += 1
-                except OSError:
+                except FileNotFoundError:
                     pass
+                except OSError:
+                    failed.append(rel)
+                    continue
                 d = os.path.dirname(p)
                 while os.path.abspath(d) != root and self._prune_dir(d):
                     d = os.path.dirname(d)
+            if failed:
+                ledger[key] = failed
         return removed
 
     @staticmethod
@@ -755,7 +770,12 @@ class ScdTable:
             else:
                 result = scd0_incremental(self.read(), model_df, cfg)
 
-        self._atomic_write(result, txn_epoch=txn_epoch, txn_app=txn_app)
+        self._atomic_write(
+            result,
+            txn_epoch=txn_epoch,
+            txn_app=txn_app,
+            prior_manifest=manifest,
+        )
         model_df.unpersist()  # S8: drop the temp relation
         return self.read()
 
@@ -940,9 +960,12 @@ class ScdTable:
         # that have fallen out of the retention window.  The ledger shrank
         # in memory, so persist it — a crash between the deletes and this
         # second write only means the next vacuum retries (ENOENT-ignored).
-        ledger_before = len(manifest["superseded"])
+        # Persist on CONTENT change, not key count: a partial vacuum
+        # failure re-adds a key with fewer paths (same key count), and the
+        # shrunk list must still reach disk so the retry set stays exact.
+        ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
         self._vacuum(manifest, gen)
-        if len(manifest["superseded"]) != ledger_before:
+        if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
             self._write_manifest(manifest)
         self.last_phase_times["vacuum"] = time.perf_counter() - t0
         # Release the merge's persisted intermediates BEFORE refreshing:
@@ -1040,9 +1063,12 @@ class ScdTable:
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()
-        ledger_before = len(manifest["superseded"])
+        # Persist on CONTENT change, not key count: a partial vacuum
+        # failure re-adds a key with fewer paths (same key count), and the
+        # shrunk list must still reach disk so the retry set stays exact.
+        ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
         self._vacuum(manifest, gen)
-        if len(manifest["superseded"]) != ledger_before:
+        if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
             self._write_manifest(manifest)
         self.spark.catalog.refreshByPath(self.path)
         return self.read()
@@ -1052,6 +1078,7 @@ class ScdTable:
         df: DataFrame,
         txn_epoch: int | None = None,
         txn_app: str = "default",
+        prior_manifest: dict | None = None,
     ) -> None:
         tmp = self.path + "__tmp"
         result = df  # the operator output carrying _scd_intermediates
@@ -1075,10 +1102,28 @@ class ScdTable:
             # double-apply).  The full listing here is proportional to the
             # write that just happened, not to future merges.
             seeded = self._scan_full_manifest(data_schema_json, root=tmp)
-            seeded["retain"] = self._retain(seeded)
+            # TABLE properties survive a full refresh (Delta preserves
+            # table properties and txnAppId/txnVersion pairs across
+            # overwrites): `retain` keeps the recorded window instead of
+            # reverting to the default, the per-app `txn` map is carried
+            # forward and merged — dropping it would void every OTHER
+            # stream's exactly-once replay protection (their next replayed
+            # epoch would re-merge) — and the generation counter stays
+            # monotonic so a pre-refresh `read_at_gen(G)` can never be
+            # silently served some unrelated post-refresh generation G.
+            if prior_manifest is not None:
+                seeded["gen"] = max(
+                    seeded.get("gen", 0), prior_manifest.get("gen", 0) + 1
+                )
+            seeded["retain"] = self._retain(
+                prior_manifest if prior_manifest is not None else seeded
+            )
             seeded["bucket_count"] = self.partition_buckets
+            txn = dict((prior_manifest or {}).get("txn") or {})
             if txn_epoch is not None:
-                seeded["txn"] = {txn_app: txn_epoch}
+                txn[txn_app] = txn_epoch
+            if txn:
+                seeded["txn"] = txn
             for name in (
                 "_scd_manifest.json",
                 f"_scd_manifest.{seeded.get('gen', 0):08d}.json",

@@ -649,3 +649,115 @@ def test_rebucket_works_from_new_count_handle(spark, tmp_path):
     out = t16.rebucket(16)               # the suggested remedy must work
     _assert_same(out, _expected(spark, str(tmp_path / "rn"), [CUSTOMERS_RAW[1]]))
     assert t16._read_manifest()["bucket_count"] == 16
+
+
+def test_full_refresh_preserves_table_properties_and_txn(spark, tmp_path):
+    """A batch full refresh must carry the recorded TABLE properties and
+    the per-app txn epoch map across the rewrite (Delta preserves table
+    properties and txnAppId/txnVersion pairs across overwrites): dropping
+    the txn map would void every OTHER stream's exactly-once replay
+    protection, and `retain` must not revert to the default."""
+    path = str(tmp_path / "fr_props")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=5)
+    t.build(
+        spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA),
+        txn_epoch=0, txn_app="appA",
+    )
+    t.build(
+        spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA),
+        txn_epoch=0, txn_app="appB",
+    )
+    m_before = t._read_manifest()
+    assert m_before["retain"] == 5 and m_before["txn"] == {"appA": 0, "appB": 0}
+
+    # Default-constructed batch writer full-refreshes the table.
+    refresher = ScdTable(spark, path, CFG, partition_buckets=8)
+    refresher.build(
+        spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA),
+        full_refresh=True,
+        txn_epoch=7, txn_app="appA",
+    )
+    m = refresher._read_manifest()
+    assert m["retain"] == 5, "recorded retention must survive a full refresh"
+    assert m["txn"] == {"appA": 7, "appB": 0}, (
+        "other apps' epochs must survive; the refresher's own advances"
+    )
+    # Generation counter stays monotonic across the refresh so a held
+    # pre-refresh read_at_gen(G) can never alias a new generation G.
+    assert m["gen"] > m_before["gen"]
+
+    # appB's replayed epoch 0 is still recognized and skipped.
+    gen_after = m["gen"]
+    rows_after = refresher.read().count()
+    t.build(
+        spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA),
+        txn_epoch=0, txn_app="appB",
+    )
+    m2 = t._read_manifest()
+    assert m2["gen"] == gen_after and t.read().count() == rows_after, (
+        "replayed epoch must be skipped after the full refresh"
+    )
+
+
+def test_vacuum_retries_failed_removals(spark, tmp_path, monkeypatch):
+    """A non-ENOENT removal failure (permissions, transient I/O) must put
+    the path back on the superseded ledger so the next commit's vacuum
+    retries it — popping the key first and swallowing the OSError would
+    leak the file permanently once the shrunk ledger is persisted."""
+    import os as _os
+
+    path = str(tmp_path / "vacfail")
+    t = ScdTable(spark, path, CFG, partition_buckets=4, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    m = t._read_manifest()
+    assert m["superseded"].get("1"), "gen-1 commit must have displaced files"
+    victim_rel = m["superseded"]["1"][0]
+    victim_abs = os.path.join(path, victim_rel)
+
+    real_remove = _os.remove
+
+    def flaky_remove(p, *a, **kw):
+        if os.path.abspath(p) == os.path.abspath(victim_abs):
+            raise PermissionError(13, "simulated EACCES", p)
+        return real_remove(p, *a, **kw)
+
+    monkeypatch.setattr(_os, "remove", flaky_remove)
+    # gen 2: retention (1) expires the gen-1 ledger entry; the victim's
+    # removal fails and must be re-ledgered, the rest removed.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    monkeypatch.setattr(_os, "remove", real_remove)
+
+    m2 = t._read_manifest()
+    assert os.path.exists(victim_abs), "failed removal left the file"
+    assert m2["superseded"].get("1") == [victim_rel], (
+        "failed path must stay on the ledger for retry"
+    )
+    # Next commit's vacuum retries and succeeds.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))
+    assert not os.path.exists(victim_abs)
+    assert "1" not in t._read_manifest()["superseded"]
+
+
+def test_recovery_gen_precedence_is_numeric_not_lexical(spark, tmp_path):
+    """Manifest-loss recovery orders generations by PARSED number: a
+    counter past the 8-digit padding ('_gen-100000000' sorts lexically
+    BEFORE '_gen-99999999') must still win newest-wins, or superseded
+    rows resurrect during recovery."""
+    base = str(tmp_path / "numsort")
+    os.makedirs(base)
+    old_rel = f"{GEN_PREFIX}99999999/{BUCKET_COL}=3"
+    new_rel = f"{GEN_PREFIX}100000000/{BUCKET_COL}=3"
+    for rel, fname in ((old_rel, "old.parquet"), (new_rel, "new.parquet")):
+        d = os.path.join(base, rel)
+        os.makedirs(d)
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(b"x")  # listing only; footer read degrades to rows=-1
+        with open(os.path.join(base, rel.split("/")[0], "_SUCCESS"), "w"):
+            pass
+
+    t = ScdTable(spark, base, CFG, partition_buckets=4)
+    recon = t._scan_full_manifest("{}")
+    assert recon["gen"] == 100000000
+    assert recon["buckets"]["3"]["paths"] == [f"{new_rel}/new.parquet"]
+    assert recon["superseded"] == {"100000000": [f"{old_rel}/old.parquet"]}
