@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "audio_frame_features",
     "image_tile_features",
     "scd2_bucketed_temporal_join",
+    "scd2_read_at_gen",
+    "scd2_rebucket",
+    "streaming_scd2_bucketed",
     "streaming_daily_rollup",
     "streaming_sessionize",
     "streaming_enrich",
