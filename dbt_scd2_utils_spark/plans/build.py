@@ -1001,10 +1001,13 @@ class ScdTable:
         if "gen" not in manifest:
             manifest = self._normalize_manifest(manifest)
         manifest.setdefault("superseded", {})
+        t0 = time.perf_counter()
         self._sweep_orphan_generations(manifest.get("gen", 0))
         old_files, stale = self._affected_files(
             manifest, sorted(manifest.get("buckets", {}))
         )
+        self.last_phase_times = {"list_affected": time.perf_counter() - t0}
+        t0 = time.perf_counter()
         # Plan the current table directly from the file list just resolved
         # (ONE listing serves both the read plan and the displaced ledger)
         # rather than via self.read() — which would also re-run bucket-count
@@ -1041,6 +1044,8 @@ class ScdTable:
             .partitionBy(BUCKET_COL)
             .parquet(gen_dir)
         )
+        self.last_phase_times["rewrite"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         new_buckets: dict[str, dict] = {}
         for name in os.listdir(gen_dir):
             if not name.startswith(f"{BUCKET_COL}="):
@@ -1063,6 +1068,8 @@ class ScdTable:
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()
+        self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         # Persist on CONTENT change, not key count: a partial vacuum
         # failure re-adds a key with fewer paths (same key count), and the
         # shrunk list must still reach disk so the retry set stays exact.
@@ -1070,6 +1077,7 @@ class ScdTable:
         self._vacuum(manifest, gen)
         if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
             self._write_manifest(manifest)
+        self.last_phase_times["vacuum"] = time.perf_counter() - t0
         self.spark.catalog.refreshByPath(self.path)
         return self.read()
 

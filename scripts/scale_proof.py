@@ -697,6 +697,83 @@ def run_merge_contrast_curve(spark) -> None:
         }))
 
 
+def run_rebucket_curve(spark) -> None:
+    """--rebucket-curve: the rebucket() maintenance op measured at s1 and
+    s10 — wall, per-phase split, and the resulting files-per-bucket — so
+    the full-rewrite cost is a NUMBER next to the O(affected-buckets)
+    merge rows it protects.  Value parity (order-independent fingerprint)
+    is asserted through the layout change at both scales."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark import ScdConfig
+    from dbt_scd2_utils_spark.plans.build import BUCKET_COL, ScdTable
+
+    cfg = ScdConfig(
+        unique_key=("user_id",), deleted_at_column="deleted_at",
+        default_valid_to="2200-01-01 00:00:00",
+    )
+    paths = ensure_data(("s1", "s10"))
+    results: dict[str, dict] = {}
+    for scale in ("s1", "s10"):
+        work = os.path.dirname(paths[scale]["events"])
+        events = spark.read.parquet(paths[scale]["events"])
+        feed = events.select(
+            "user_id", "event_type", "value", "props",
+            F.when(F.col("event_type") == "error", F.col("ts")).alias(
+                "deleted_at"
+            ),
+            F.col("ts").alias("_updated_at"),
+        )
+        buckets = max(16, events.count() // 50_000)
+        tpath = os.path.join(work, "scd_tbl_rebucket")
+        _sh.rmtree(tpath, ignore_errors=True)
+        tbl = ScdTable(spark, tpath, cfg, partition_buckets=buckets)
+        tbl.build(feed)  # untimed staging: the table exists before the op
+
+        def fingerprint(df) -> tuple:
+            r = df.select(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(
+                    F.crc32(F.to_json(F.struct(*sorted(df.columns))))
+                ).alias("h"),
+            ).first()
+            return (r["c"], r["h"])
+
+        fp_before = fingerprint(tbl.read())
+        t0 = time.perf_counter()
+        out = tbl.rebucket(buckets * 2)
+        wall = time.perf_counter() - t0
+        parity = fingerprint(out) == fp_before
+        m = tbl._read_manifest() or {}
+        files_per_bucket = [
+            len(e["paths"]) for e in m.get("buckets", {}).values()
+        ]
+        row = {
+            "scale": scale,
+            "rows": fp_before[0],
+            "buckets": buckets,
+            "new_buckets": buckets * 2,
+            "total": round(wall, 2),
+            "phases": {
+                k: round(v, 3) for k, v in tbl.last_phase_times.items()
+            },
+            "max_files_per_bucket": max(files_per_bucket or [0]),
+            "value_parity": parity,
+        }
+        results[scale] = row
+        print(json.dumps({"metric": "rebucket", **row}))
+        assert parity, f"rebucket changed values at {scale}"
+        _sh.rmtree(tpath, ignore_errors=True)
+    print(json.dumps({
+        "metric": "rebucket_ratio_10x",
+        "total": round(
+            results["s10"]["total"] / max(results["s1"]["total"], 1e-9), 2
+        ),
+    }))
+
+
 def run_merge_churn(spark, n_merges: int = 50) -> None:
     """--merge-churn: the bucketed sink under REAL commit churn — 50
     consecutive small merges into the same s10 table (rolling ≤16-key
@@ -707,7 +784,16 @@ def run_merge_churn(spark, n_merges: int = 50) -> None:
     count must stay at 1 (the co-locating repartition), the superseded
     ledger must stay bounded at `retain_generations` entries (vacuum
     keeps up), and the generation-dir count must stay bounded (empty
-    generations pruned as their files are vacuumed)."""
+    generations pruned as their files are vacuumed).
+
+    r12: a REBUCKET (2× bucket count) fires at the loop midpoint — the
+    remaining untested seam was the read_at_gen × rebucket × vacuum
+    composition under churn.  Checked in-loop: the pre-rebucket
+    generation stays time-travel readable (value fingerprint equal)
+    immediately after the rebucket, post-rebucket merges route under the
+    new mapping with flat phases, and once `retain` further commits have
+    passed the pre-rebucket generation raises the retention error
+    instead of serving vacuumed files."""
     import shutil as _sh
 
     from pyspark.sql import functions as F
@@ -767,8 +853,40 @@ def run_merge_churn(spark, n_merges: int = 50) -> None:
             "ledger_entries": len(m.get("superseded", {})),
         }
 
+    def fingerprint(df) -> tuple:
+        """Order-independent value fingerprint (count + summed row crc)."""
+        r = df.select(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.crc32(F.to_json(F.struct(*sorted(df.columns))))).alias("h"),
+        ).first()
+        return (r["c"], r["h"])
+
     per_merge: list[dict] = []
+    rebucket_at = n_merges // 2
+    gen_pre = fp_pre = None
     for i in range(n_merges):
+        if i == rebucket_at:
+            gen_pre = (tbl._read_manifest() or {}).get("gen")
+            fp_pre = fingerprint(tbl.read_at_gen(gen_pre))
+            t0 = time.perf_counter()
+            tbl.rebucket(buckets * 2)
+            rb_total = time.perf_counter() - t0
+            row = {
+                "rebucket_before_merge": i,
+                "new_buckets": buckets * 2,
+                "total": round(rb_total, 3),
+            }
+            row.update(
+                {k: round(v, 3) for k, v in tbl.last_phase_times.items()}
+            )
+            row.update(disk_stats())
+            print(json.dumps(row))
+            # Cross-boundary time travel: the displaced pre-rebucket
+            # generation must still serve its EXACT snapshot (its files
+            # ride the ledger for `retain` further commits).
+            assert fingerprint(tbl.read_at_gen(gen_pre)) == fp_pre, (
+                "pre-rebucket generation changed under time travel"
+            )
         bpath = os.path.join(batch_root, f"batch={i}")
         if not os.path.exists(bpath):
             continue
@@ -781,6 +899,21 @@ def run_merge_churn(spark, n_merges: int = 50) -> None:
         row.update(disk_stats())
         per_merge.append(row)
         print(json.dumps(row))
+    # The churn kept going well past the retention window: the
+    # pre-rebucket generation must now REFUSE (snapshot expired, files
+    # vacuumed) rather than resurrect dead data.
+    if gen_pre is not None:
+        try:
+            tbl.read_at_gen(gen_pre)
+            raise AssertionError(
+                "pre-rebucket generation still readable after retention"
+            )
+        except ValueError as exc:
+            print(json.dumps({
+                "metric": "post_retention_time_travel",
+                "gen": gen_pre,
+                "raises": str(exc)[:120],
+            }))
 
     def avg(rows, key):
         vals = [r[key] for r in rows if key in r]
@@ -791,6 +924,8 @@ def run_merge_churn(spark, n_merges: int = 50) -> None:
         "metric": "merge_churn_summary",
         "n_merges": len(per_merge),
         "buckets": buckets,
+        "rebucket_before_merge": rebucket_at,
+        "buckets_after_rebucket": buckets * 2,
         "first5_avg": {k: avg(head, k) for k in
                        ("total", "list_affected", "merge_and_stage",
                         "swap_and_commit", "vacuum")},
@@ -1139,6 +1274,12 @@ def main() -> None:
         spark = get_spark("scale-proof", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
         run_merge_churn(spark)
+        return
+    if "--rebucket-curve" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+        spark = get_spark("scale-proof", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        run_rebucket_curve(spark)
         return
     if flagship:
         scales = ["s0.1", "s1", "s10"]

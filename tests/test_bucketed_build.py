@@ -761,3 +761,42 @@ def test_recovery_gen_precedence_is_numeric_not_lexical(spark, tmp_path):
     assert recon["gen"] == 100000000
     assert recon["buckets"]["3"]["paths"] == [f"{new_rel}/new.parquet"]
     assert recon["superseded"] == {"100000000": [f"{old_rel}/old.parquet"]}
+
+
+def test_rebucket_mid_churn_time_travel_and_retention(spark, tmp_path):
+    """The read_at_gen × rebucket × vacuum COMPOSITION (each piece is
+    pinned separately): merges, then a rebucket, then more merges — the
+    pre-rebucket generation must stay time-travel readable (exact value
+    identity) immediately after the rebucket, and once `retain` further
+    commits have passed it must raise the retention error instead of
+    serving vacuumed files; post-rebucket merges must equal the plain
+    oracle under the new mapping."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "churnmix")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)  # retain default 2
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    gen_pre = t._read_manifest()["gen"]
+    want_pre = _expected(spark, str(tmp_path / "cm12"),
+                         [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]])
+
+    t.rebucket(8)                                                       # gen 2
+    _assert_same(t.read_at_gen(gen_pre), want_pre)  # across the boundary
+
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "cm123"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3]]))
+    # gen 3: one commit past the rebucket — gen_pre (=1) still inside the
+    # window (retain 2 keeps gens [gen-2, gen] = [1, 3] readable).
+    _assert_same(t.read_at_gen(gen_pre), want_pre)
+
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))
+    # gen 4: gen_pre fell out of retention — snapshot expired, its files
+    # vacuumed; time travel must REFUSE, never resurrect.
+    with _pytest.raises(ValueError, match="retention|retained snapshot"):
+        t.read_at_gen(gen_pre)
+    _assert_same(out, _expected(spark, str(tmp_path / "cm1234"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3], CUSTOMERS_RAW[4]]))
