@@ -249,6 +249,84 @@ class ScdTable:
                 except OSError:
                     pass
 
+    def history(self) -> DataFrame:
+        """Commit history over the RETAINED generations (Delta's
+        ``DESCRIBE HISTORY`` in miniature), newest first — one row per
+        generation whose manifest snapshot is still inside the vacuum
+        retention window, from the per-gen snapshot files (driver-local
+        JSON reads, O(retained), never a data scan).  Columns: ``gen``,
+        ``op`` (create / merge / rebucket; null for pre-r12 commits),
+        ``committed_at`` (UTC; null for pre-r12 commits), ``n_buckets``,
+        ``n_files``, ``rows`` (null if any footer count was unknown),
+        ``bucket_count``, ``readable`` (whether ``read_at_gen`` can still
+        serve it — always true by construction, recorded for symmetry
+        with deployments that vacuum out-of-band)."""
+        from pyspark.sql.types import (
+            BooleanType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+        import datetime
+
+        schema = StructType([
+            StructField("gen", LongType()),
+            StructField("op", StringType()),
+            StructField("committed_at", TimestampType()),
+            StructField("n_buckets", IntegerType()),
+            StructField("n_files", IntegerType()),
+            StructField("rows", LongType()),
+            StructField("bucket_count", IntegerType()),
+            StructField("readable", BooleanType()),
+        ])
+        rows = []
+        seen: set[int] = set()
+        manifests: list[dict] = []
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            names = []
+        for name in names:
+            if not (
+                name.startswith("_scd_manifest.") and name.endswith(".json")
+            ):
+                continue
+            stem = name[len("_scd_manifest."):-len(".json")]
+            if not stem.isdigit():
+                continue
+            try:
+                with open(os.path.join(self.path, name)) as f:
+                    manifests.append(json.load(f))
+            except (OSError, ValueError):
+                continue
+        current = self._read_manifest()
+        if current is not None and "gen" in current:
+            manifests.append(current)
+        for m in manifests:
+            g = m.get("gen")
+            if not isinstance(g, int) or g in seen:
+                continue
+            seen.add(g)
+            buckets = m.get("buckets") or {}
+            entry_rows = [e.get("rows", -1) for e in buckets.values()]
+            ts = m.get("committed_at")
+            rows.append((
+                g,
+                m.get("op"),
+                datetime.datetime.fromtimestamp(ts, datetime.timezone.utc)
+                if isinstance(ts, (int, float)) else None,
+                len(buckets),
+                sum(len(self._entry_paths(b, e)) for b, e in buckets.items()),
+                sum(entry_rows) if all(r >= 0 for r in entry_rows) else None,
+                m.get("bucket_count"),
+                True,
+            ))
+        rows.sort(key=lambda r: -r[0])
+        return self.spark.createDataFrame(rows, schema)
+
     def read_at_gen(self, gen: int) -> DataFrame:
         """Time-travel read: serve the table EXACTLY as generation ``gen``
         committed it (Delta's ``VERSION AS OF`` in miniature).  Valid for
@@ -943,6 +1021,8 @@ class ScdTable:
         # table under a longer window.
         manifest["retain"] = self._retain(manifest)
         manifest["bucket_count"] = self.partition_buckets
+        manifest["op"] = "merge"
+        manifest["committed_at"] = time.time()
         if txn_epoch is not None:
             # Recorded atomically WITH the data pointer, SCOPED per writer
             # application (Delta txnAppId/txnVersion): replaying this epoch
@@ -1065,6 +1145,8 @@ class ScdTable:
         manifest["schema"] = current.schema.json()
         manifest["retain"] = self._retain(manifest)
         manifest["bucket_count"] = new_count
+        manifest["op"] = "rebucket"
+        manifest["committed_at"] = time.time()
         self._write_manifest(manifest)
         self._write_snapshot_manifest(manifest)
         self._write_meta()
@@ -1127,6 +1209,8 @@ class ScdTable:
                 prior_manifest if prior_manifest is not None else seeded
             )
             seeded["bucket_count"] = self.partition_buckets
+            seeded["op"] = "create"
+            seeded["committed_at"] = time.time()
             txn = dict((prior_manifest or {}).get("txn") or {})
             if txn_epoch is not None:
                 txn[txn_app] = txn_epoch

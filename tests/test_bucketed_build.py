@@ -800,3 +800,34 @@ def test_rebucket_mid_churn_time_travel_and_retention(spark, tmp_path):
     _assert_same(out, _expected(spark, str(tmp_path / "cm1234"),
                                 [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
                                  CUSTOMERS_RAW[3], CUSTOMERS_RAW[4]]))
+
+
+def test_history_lists_retained_generations(spark, tmp_path):
+    """history() — DESCRIBE HISTORY in miniature: one row per RETAINED
+    generation, newest first, with op / committed_at / bucket stats from
+    the per-gen manifest snapshots (driver-local JSON, no data scan);
+    generations vacuumed out of the window drop off the listing."""
+    path = str(tmp_path / "hist")
+    t = ScdTable(spark, path, CFG, partition_buckets=4, retain_generations=2)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    t.rebucket(8)                                                       # gen 2
+
+    h = t.history().collect()
+    assert [r["gen"] for r in h] == [2, 1, 0]
+    assert [r["op"] for r in h] == ["rebucket", "merge", "create"]
+    assert all(r["committed_at"] is not None for r in h)
+    # commit times are monotone non-decreasing with gen
+    times = [r["committed_at"] for r in reversed(h)]
+    assert times == sorted(times)
+    assert h[0]["bucket_count"] == 8 and h[2]["bucket_count"] == 4
+    # rows are exact footer counts; the live generation's must equal read()
+    assert h[0]["rows"] == t.read().count()
+    assert all(r["readable"] for r in h)
+
+    # Two more commits push gen 0 out of retention: it leaves history()
+    # exactly when read_at_gen starts refusing it.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 3
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))  # gen 4
+    gens = [r["gen"] for r in t.history().collect()]
+    assert gens == [4, 3, 2], gens
