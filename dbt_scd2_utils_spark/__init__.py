@@ -41,7 +41,7 @@ from .operators.text import (
 )
 from .operators.temporal_join import scd2_diff, scd2_join, snapshot_at
 from .functions.skew import salted_join
-from .plans.build import ScdTable, scd_build
+from .plans.build import ConcurrentWriteError, ScdTable, scd_build
 from .operators.clustering import connected_components, dedup_clusters
 from .operators.sampling import (
     hash_split,
@@ -76,6 +76,7 @@ __all__ = [
     "asof_join",
     "salted_join",
     "profile_columns",
+    "ConcurrentWriteError",
     "ScdTable",
     "scd_build",
     "incremental_source",

@@ -39,6 +39,20 @@ BUCKET_COL = "_scd_bucket"
 # (immutable once written; underscore prefix keeps them invisible to Spark's
 # partition discovery until the manifest references them).
 GEN_PREFIX = "_gen-"
+# Writer-private staging directories (see the optimistic-concurrency note on
+# ScdTable): each merge stages into a UNIQUE `_stage-<uuid>/` and only the
+# commit-time rename claims the generation number, so concurrent writers can
+# never scribble into each other's generation dir.
+STAGE_PREFIX = "_stage-"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this commit's plan and its own
+    commit (optimistic concurrency, Delta/Iceberg's protocol in miniature):
+    the transaction aborted cleanly — no visible state changed, the staged
+    files were removed — and the caller should re-run the merge against the
+    refreshed table (a foreachBatch retry does this naturally; the epoch
+    gate keeps the retry exactly-once)."""
 
 
 def _gen_dirname(gen: int) -> str:
@@ -524,20 +538,167 @@ class ScdTable:
             "superseded": {},
         }
 
-    def _sweep_orphan_generations(self, committed_gen: int) -> None:
-        """Remove `_gen-*` dirs newer than the committed generation — a
-        crash between the gen-dir write and the manifest commit leaves one;
-        it was never visible to readers, so deleting it is safe, and it
-        must go before this merge reuses its generation number."""
-        for name in os.listdir(self.path):
-            if not name.startswith(GEN_PREFIX):
+    # Abandoned-staging TTL: a crashed writer's `_stage-<uuid>/` dir stops
+    # receiving writes, so age-gating on mtime (Delta VACUUM's treatment of
+    # uncommitted files) cleans it up WITHOUT racing a live concurrent
+    # writer's in-flight stage, which an unconditional sweep would destroy.
+    STAGE_TTL_SECONDS = 24 * 3600
+
+    def _sweep_stale_stages(self) -> None:
+        now = time.time()
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            return
+        for name in names:
+            if not name.startswith(STAGE_PREFIX):
                 continue
+            p = os.path.join(self.path, name)
             try:
-                g = int(name[len(GEN_PREFIX):])
-            except ValueError:
-                continue
-            if g > committed_gen:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                if now - os.path.getmtime(p) > self.STAGE_TTL_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+    def _commit_lock(self):
+        """The commit critical section's mutex: ``flock`` on a lock file in
+        the table dir — held for METADATA ops only (gen check, one dir
+        rename, one manifest replace; milliseconds), auto-released by the
+        OS if the holder dies (no stale-lock recovery needed), advisory but
+        honored by every writer since all commits route through here.
+        This is the local-filesystem analogue of the conditional-put a real
+        object-store deployment would use for the manifest pointer (same
+        honesty note as ``_write_manifest``'s ``os.replace``); where flock
+        is unavailable the protocol degrades to unlocked check-then-rename,
+        whose rename still guarantees single ownership of a generation
+        dir."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _held():
+            try:
+                import fcntl
+            except ImportError:
+                yield
+                return
+            fd = os.open(
+                os.path.join(self.path, "_scd_commit.lock"),
+                os.O_CREAT | os.O_RDWR,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _held()
+
+    def _commit_transaction(
+        self,
+        stage_dir: str,
+        gen_dir: str,
+        base_gen: int | None,
+        manifest: dict,
+    ) -> None:
+        """Commit a staged generation under OPTIMISTIC CONCURRENCY
+        (Delta/Iceberg's protocol in miniature).  Under the commit lock:
+
+        1. conflict check — another writer committed since this one
+           planned (live generation != ``base_gen``) → abort with
+           ``ConcurrentWriteError``, staged files removed, nothing ever
+           visible (the caller re-merges against the refreshed table);
+        2. orphan clear — a generation dir at this number with a LOWER
+           live generation is a crashed writer's rename that never
+           committed (renames only happen under this lock, so it cannot
+           be in flight); at-or-above means the number is taken → abort;
+        3. claim — rename the private stage dir onto ``_gen-<G>``: single
+           ownership even if the lock degrades to best-effort;
+        4. publish — atomic manifest replace + snapshot write.
+
+        A crash inside the section releases the lock with either no
+        visible change (before the manifest replace) or a completed
+        commit (after) — the same two outcomes as before."""
+        gen = manifest["gen"]
+        with self._commit_lock():
+            live = self._read_manifest()
+            live_gen = (
+                live.get("gen")
+                if live is not None and isinstance(live.get("gen"), int)
+                else None
+            )
+            if (
+                base_gen is not None
+                and live_gen is not None
+                and live_gen != base_gen
+            ):
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"concurrent commit detected on {self.path}: this "
+                    f"write planned against generation {base_gen} but "
+                    f"generation {live_gen} is now committed — re-run "
+                    "the merge against the refreshed table"
+                )
+            if os.path.exists(gen_dir):
+                if live_gen is not None and live_gen >= gen:
+                    shutil.rmtree(stage_dir, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"concurrent commit detected on {self.path}: "
+                        f"generation {gen} is already committed — re-run "
+                        "the merge against the refreshed table"
+                    )
+                shutil.rmtree(gen_dir, ignore_errors=True)
+            try:
+                os.rename(stage_dir, gen_dir)
+            except OSError as exc:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"concurrent commit detected on {self.path}: "
+                    f"generation dir {os.path.basename(gen_dir)} was "
+                    "claimed by another writer — re-run the merge against "
+                    "the refreshed table"
+                ) from exc
+            self._write_manifest(manifest)
+            self._write_snapshot_manifest(manifest)
+
+    def _persist_ledger_if_unchanged(self, manifest: dict, gen: int) -> None:
+        """Persist the post-vacuum ledger shrink ONLY if this writer's
+        commit is still the latest — an unconditional rewrite here could
+        clobber a rival's newer commit in the window after our own (the
+        rival's vacuum re-deletes our expired paths harmlessly:
+        FileNotFoundError is ignored, so skipping loses nothing)."""
+        with self._commit_lock():
+            live = self._read_manifest()
+            if live is not None and live.get("gen") == gen:
+                self._write_manifest(manifest)
+
+    def _sweep_orphan_generations(self) -> None:
+        """Remove `_gen-*` dirs newer than the LIVE committed generation —
+        a crash between the gen-dir rename and the manifest commit leaves
+        one; it was never visible to readers, so deleting it is safe.
+        Judged against a fresh manifest read UNDER THE COMMIT LOCK, never
+        against the caller's (possibly stale) planned manifest: a stale
+        plan must not condemn a rival's just-committed generation, and the
+        lock excludes the rename-to-manifest-write window where a LIVE
+        commit's dir would look orphaned.  Tidiness only — the commit
+        itself clears a crashed orphan occupying its number (see
+        ``_commit_transaction`` step 2)."""
+        with self._commit_lock():
+            live = self._read_manifest()
+            if live is None or not isinstance(live.get("gen"), int):
+                return  # no committed baseline to judge orphans against
+            committed_gen = live["gen"]
+            for name in os.listdir(self.path):
+                if not name.startswith(GEN_PREFIX):
+                    continue
+                try:
+                    g = int(name[len(GEN_PREFIX):])
+                except ValueError:
+                    continue
+                if g > committed_gen:
+                    shutil.rmtree(
+                        os.path.join(self.path, name), ignore_errors=True
+                    )
 
     def _vacuum(self, manifest: dict, gen: int) -> int:
         """Delete superseded files whose displacing commit has fallen out
@@ -870,15 +1031,20 @@ class ScdTable:
         on the manifest above).
 
         Durability: the merge plan reads the live table, so its output must
-        be fully on disk before the commit makes it visible — the
-        generation directory IS that durable barrier (it doubles as the old
-        protocol's staging dir; there is no longer any rename swap).  A
-        crash before the manifest replace leaves an invisible orphan
-        generation the next merge sweeps; a crash after it is a completed
-        commit.  Readers planned against the previous manifest keep their
-        files for ``retain_generations`` further commits before vacuum.  On
-        an object store this is exactly a table-format commit
-        (Delta/Iceberg): immutable data files + an atomic pointer write.
+        be fully on disk before the commit makes it visible — the staged
+        write IS that durable barrier.  Each writer stages into a PRIVATE
+        ``_stage-<uuid>/`` dir and claims the generation number only at
+        commit time (``_commit_transaction``: manifest-generation check +
+        rename onto ``_gen-<G>`` — optimistic concurrency; a concurrent
+        committer makes this writer raise ``ConcurrentWriteError`` with
+        nothing visible, never a lost update).  A crash before the rename
+        leaves an invisible stage dir (TTL-swept); between rename and
+        manifest replace, an invisible orphan generation the next merge
+        sweeps; after the replace, a completed commit.  Readers planned
+        against the previous manifest keep their files for
+        ``retain_generations`` further commits before vacuum.  On an object
+        store this is exactly a table-format commit (Delta/Iceberg):
+        immutable data files + a conditional pointer write.
         """
         # Sweep parked-partition remnants from the OLD swap protocol's
         # crashes (dot-prefixed, invisible to Spark) — legacy tables only.
@@ -886,6 +1052,7 @@ class ScdTable:
 
         for leftover in glob.glob(os.path.join(self.path, f".{BUCKET_COL}=*__old")):
             shutil.rmtree(leftover, ignore_errors=True)
+        self._sweep_stale_stages()
         affected = [
             r[0]
             for r in batch.select(self._bucket_expr(batch).alias("b")).distinct().collect()
@@ -932,7 +1099,7 @@ class ScdTable:
             manifest = self._normalize_manifest(manifest)
         if manifest is not None:
             manifest.setdefault("superseded", {})
-            self._sweep_orphan_generations(manifest.get("gen", 0))
+            self._sweep_orphan_generations()
             # Backfill the PRE-merge generation's snapshot if it is missing
             # (legacy table normalized in place, pre-snapshot-era table, or
             # a crash between a commit and its snapshot write): the state
@@ -970,10 +1137,22 @@ class ScdTable:
         self.last_phase_times = {"list_affected": time.perf_counter() - t0}
         t0 = time.perf_counter()
         merged = scd2_incremental(target_slice, batch, self.cfg)
+        # base_gen: the committed generation this merge planned against —
+        # None only when no committed new-style manifest existed (fresh
+        # migration), where the rename below is the sole (sufficient) gate.
+        base_gen = manifest.get("gen") if manifest is not None else None
         manifest = manifest or {"gen": 0, "buckets": {}, "superseded": {}}
         gen = manifest.get("gen", 0) + 1
         gen_rel = _gen_dirname(gen)
         gen_dir = os.path.join(self.path, gen_rel)
+        # Stage into a writer-PRIVATE dir: two concurrent merges targeting
+        # the same next generation would otherwise scribble into one
+        # directory (mode("overwrite") deletes the other's files mid-write
+        # — silent lost update).  The generation number is claimed only at
+        # commit, by _commit_transaction's rename.
+        import uuid
+
+        stage_dir = os.path.join(self.path, f"{STAGE_PREFIX}{uuid.uuid4().hex}")
         (
             merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
             # One file per touched bucket partition (not one per shuffle
@@ -985,7 +1164,7 @@ class ScdTable:
             .repartition(len(affected), F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(gen_dir)
+            .parquet(stage_dir)
         )
         self.last_phase_times["merge_and_stage"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -997,7 +1176,7 @@ class ScdTable:
         displaced = [os.path.relpath(p, self.path) for p in files]
         for b in affected:
             entry = self._scan_bucket_dir(
-                os.path.join(gen_dir, f"{BUCKET_COL}={b}")
+                os.path.join(stage_dir, f"{BUCKET_COL}={b}")
             )
             if entry is None:
                 # The merge emptied this bucket (or the batch never had
@@ -1031,8 +1210,7 @@ class ScdTable:
             # half-applied state — and an unrelated stream's epoch counter
             # can never shadow this one's.  See build()'s exactly-once note.
             manifest.setdefault("txn", {})[txn_app] = txn_epoch
-        self._write_manifest(manifest)
-        self._write_snapshot_manifest(manifest)
+        self._commit_transaction(stage_dir, gen_dir, base_gen, manifest)
         self._write_meta()
         self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -1046,7 +1224,7 @@ class ScdTable:
         ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
         self._vacuum(manifest, gen)
         if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
-            self._write_manifest(manifest)
+            self._persist_ledger_if_unchanged(manifest, gen)
         self.last_phase_times["vacuum"] = time.perf_counter() - t0
         # Release the merge's persisted intermediates BEFORE refreshing:
         # their plans hold leaf files now on the superseded ledger, and
@@ -1082,7 +1260,8 @@ class ScdTable:
             manifest = self._normalize_manifest(manifest)
         manifest.setdefault("superseded", {})
         t0 = time.perf_counter()
-        self._sweep_orphan_generations(manifest.get("gen", 0))
+        self._sweep_orphan_generations()
+        self._sweep_stale_stages()
         old_files, stale = self._affected_files(
             manifest, sorted(manifest.get("buckets", {}))
         )
@@ -1114,23 +1293,29 @@ class ScdTable:
             ).parquet(*old_files)
         self.partition_buckets = new_count
         self._explicit_buckets = True
-        gen = manifest.get("gen", 0) + 1
+        base_gen = manifest.get("gen", 0)
+        gen = base_gen + 1
         gen_rel = _gen_dirname(gen)
         gen_dir = os.path.join(self.path, gen_rel)
+        # Stage privately, claim the generation at commit — same
+        # optimistic-concurrency protocol as the incremental merge.
+        import uuid
+
+        stage_dir = os.path.join(self.path, f"{STAGE_PREFIX}{uuid.uuid4().hex}")
         (
             current.withColumn(BUCKET_COL, self._bucket_expr(current))
             .repartition(new_count, F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(gen_dir)
+            .parquet(stage_dir)
         )
         self.last_phase_times["rewrite"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         new_buckets: dict[str, dict] = {}
-        for name in os.listdir(gen_dir):
+        for name in os.listdir(stage_dir):
             if not name.startswith(f"{BUCKET_COL}="):
                 continue
-            entry = self._scan_bucket_dir(os.path.join(gen_dir, name))
+            entry = self._scan_bucket_dir(os.path.join(stage_dir, name))
             if entry is None:
                 continue
             new_buckets[name.split("=", 1)[1]] = {
@@ -1147,8 +1332,7 @@ class ScdTable:
         manifest["bucket_count"] = new_count
         manifest["op"] = "rebucket"
         manifest["committed_at"] = time.time()
-        self._write_manifest(manifest)
-        self._write_snapshot_manifest(manifest)
+        self._commit_transaction(stage_dir, gen_dir, base_gen, manifest)
         self._write_meta()
         self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -1158,7 +1342,7 @@ class ScdTable:
         ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
         self._vacuum(manifest, gen)
         if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
-            self._write_manifest(manifest)
+            self._persist_ledger_if_unchanged(manifest, gen)
         self.last_phase_times["vacuum"] = time.perf_counter() - t0
         self.spark.catalog.refreshByPath(self.path)
         return self.read()

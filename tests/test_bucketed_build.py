@@ -831,3 +831,121 @@ def test_history_lists_retained_generations(spark, tmp_path):
     t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))  # gen 4
     gens = [r["gen"] for r in t.history().collect()]
     assert gens == [4, 3, 2], gens
+
+
+def test_concurrent_merge_conflict_raises_not_lost_update(spark, tmp_path):
+    """Optimistic concurrency: a merge that planned against generation G
+    must ABORT (ConcurrentWriteError, nothing visible, stage cleaned)
+    when another writer commits G+1 first — the old protocol silently
+    lost the first commit's buckets (and two writers even shared one
+    generation dir).  The table must still equal the surviving commit."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.plans.build import (
+        STAGE_PREFIX,
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "occ")
+    t_a = ScdTable(spark, path, CFG, partition_buckets=4)
+    t_b = ScdTable(spark, path, CFG, partition_buckets=4)
+    t_a.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+
+    # A plans its merge here (reads the gen-0 manifest) ...
+    planned = t_a._read_manifest()
+    # ... B commits gen 1 in the meantime ...
+    t_b.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    # ... so A's commit must detect the conflict and abort cleanly.
+    batch3 = spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA).cache()
+    with _pytest.raises(ConcurrentWriteError, match="generation 1 is now"):
+        t_a._build_bucketed_incremental(batch3, manifest=planned)
+    batch3.unpersist()
+
+    # Nothing of A's attempt is visible: state == B's commit, no stage
+    # dirs left behind, manifest still at gen 1.
+    _assert_same(
+        t_a.read(),
+        _expected(spark, str(tmp_path / "occ_want"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+    assert not [n for n in os.listdir(path) if n.startswith(STAGE_PREFIX)]
+    assert t_a._read_manifest()["gen"] == 1
+
+    # A's retry against the refreshed table succeeds and is correct.
+    out = t_a.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "occ_want2"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3]]))
+
+
+def test_commit_clears_crashed_orphan_and_refuses_committed_gen(
+    spark, tmp_path
+):
+    """_commit_transaction's generation-dir arms: a dir at this commit's
+    number with a LOWER live generation is a crashed writer's rename that
+    never committed — cleared and replaced (renames happen only under the
+    commit lock, so it cannot be in flight); a number at-or-below the live
+    generation is TAKEN — the commit must refuse, never overwrite
+    committed data."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.plans.build import (
+        GEN_PREFIX,
+        STAGE_PREFIX,
+        ConcurrentWriteError,
+    )
+
+    path = str(tmp_path / "occ_arms")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+
+    # Arm A: crashed orphan occupying gen 1 (rename landed, manifest
+    # commit never did — live gen still 0).  The next merge must claim
+    # the number anyway, replacing the orphan's never-visible files.
+    orphan = os.path.join(path, f"{GEN_PREFIX}00000001")
+    os.makedirs(orphan)
+    marker = os.path.join(orphan, "never_committed.parquet")
+    with open(marker, "wb") as f:
+        f.write(b"x")
+    # (no orphan pre-sweep here: call the commit path directly, the way
+    # a crash between a rival's sweep and rename would present)
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    assert t._read_manifest()["gen"] == 1
+    assert not os.path.exists(marker), "orphan's files replaced, not merged"
+    _assert_same(out, _expected(spark, str(tmp_path / "oa12"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+
+    # Arm B: the number is already COMMITTED (live gen >= claimed gen and
+    # no planned-generation check to catch it first, base_gen=None): the
+    # transaction must refuse rather than overwrite committed data.
+    stage = os.path.join(path, f"{STAGE_PREFIX}testarm")
+    os.makedirs(stage)
+    gen1_dir = os.path.join(path, f"{GEN_PREFIX}00000001")
+    with _pytest.raises(ConcurrentWriteError, match="already committed"):
+        t._commit_transaction(stage, gen1_dir, None, {"gen": 1})
+    assert not os.path.exists(stage), "loser's stage must be cleaned"
+    assert os.path.exists(gen1_dir), "committed generation untouched"
+
+
+def test_stale_stage_dirs_swept_live_ones_kept(spark, tmp_path):
+    """Abandoned staging dirs age out after STAGE_TTL_SECONDS (a crashed
+    writer's stage stops receiving writes); a FRESH stage — possibly a
+    live concurrent writer mid-flight — must survive the sweep."""
+    from dbt_scd2_utils_spark.plans.build import STAGE_PREFIX
+
+    path = str(tmp_path / "stages")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    stale = os.path.join(path, f"{STAGE_PREFIX}deadbeef")
+    fresh = os.path.join(path, f"{STAGE_PREFIX}cafef00d")
+    for d in (stale, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part.parquet"), "wb") as f:
+            f.write(b"x")
+    past = 1_000_000  # well past any TTL
+    os.utime(stale, (os.path.getmtime(stale) - past,) * 2)
+
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    assert not os.path.exists(stale), "aged-out stage must be swept"
+    assert os.path.exists(fresh), "fresh stage must survive"
