@@ -545,6 +545,10 @@ class ScdTable:
     STAGE_TTL_SECONDS = 24 * 3600
 
     def _sweep_stale_stages(self) -> None:
+        # Age-gate on the NEWEST RECURSIVE mtime: a Spark staging write
+        # lands task output under _temporary/ without touching the top
+        # dir's mtime, so the top-level timestamp alone would condemn a
+        # long-running LIVE stage as abandoned mid-write.
         now = time.time()
         try:
             names = os.listdir(self.path)
@@ -554,11 +558,15 @@ class ScdTable:
             if not name.startswith(STAGE_PREFIX):
                 continue
             p = os.path.join(self.path, name)
-            try:
-                if now - os.path.getmtime(p) > self.STAGE_TTL_SECONDS:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+            newest = 0.0
+            for root, _dirs, fnames in os.walk(p):
+                for f in [root] + [os.path.join(root, n) for n in fnames]:
+                    try:
+                        newest = max(newest, os.path.getmtime(f))
+                    except OSError:
+                        pass
+            if newest and now - newest > self.STAGE_TTL_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
 
     def _commit_lock(self):
         """The commit critical section's mutex: ``flock`` on a lock file in
@@ -579,7 +587,7 @@ class ScdTable:
             try:
                 import fcntl
             except ImportError:
-                yield
+                yield False  # degraded: callers must not clear rivals' dirs
                 return
             fd = os.open(
                 os.path.join(self.path, "_scd_commit.lock"),
@@ -587,7 +595,7 @@ class ScdTable:
             )
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
+                yield True
             finally:
                 fcntl.flock(fd, fcntl.LOCK_UN)
                 os.close(fd)
@@ -620,7 +628,7 @@ class ScdTable:
         visible change (before the manifest replace) or a completed
         commit (after) — the same two outcomes as before."""
         gen = manifest["gen"]
-        with self._commit_lock():
+        with self._commit_lock() as locked:
             live = self._read_manifest()
             live_gen = (
                 live.get("gen")
@@ -647,6 +655,18 @@ class ScdTable:
                         f"generation {gen} is already committed — re-run "
                         "the merge against the refreshed table"
                     )
+                if not locked:
+                    # Degraded (no flock): an existing uncommitted dir
+                    # CANNOT be proven a crashed orphan rather than a
+                    # rival's in-flight rename — clearing it here would be
+                    # the very lost update this protocol exists to prevent.
+                    shutil.rmtree(stage_dir, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"generation dir {os.path.basename(gen_dir)} exists "
+                        f"on {self.path} and no commit lock is available on "
+                        "this platform to prove it is a crashed orphan — "
+                        "remove it manually if no other writer is active"
+                    )
                 shutil.rmtree(gen_dir, ignore_errors=True)
             try:
                 os.rename(stage_dir, gen_dir)
@@ -671,6 +691,39 @@ class ScdTable:
             live = self._read_manifest()
             if live is not None and live.get("gen") == gen:
                 self._write_manifest(manifest)
+
+    def _new_stage_dir(self) -> str:
+        """Writer-private staging dir (see ``_commit_transaction``): the
+        generation number is claimed only at commit time, so concurrent
+        writers can never scribble into one directory."""
+        import uuid
+
+        return os.path.join(self.path, f"{STAGE_PREFIX}{uuid.uuid4().hex}")
+
+    def _commit_and_vacuum(
+        self,
+        stage_dir: str,
+        gen_dir: str,
+        base_gen: int | None,
+        manifest: dict,
+        gen: int,
+    ) -> None:
+        """The shared commit choreography for merge and rebucket:
+        transaction (conflict check / claim / publish), provenance meta,
+        then the deferred vacuum — whose ledger shrink is persisted on
+        CONTENT change (a partial vacuum failure re-adds a key with fewer
+        paths, same key count) and only if this commit is still the
+        latest.  Phase-timed into ``last_phase_times``."""
+        t0 = time.perf_counter()
+        self._commit_transaction(stage_dir, gen_dir, base_gen, manifest)
+        self._write_meta()
+        self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
+        self._vacuum(manifest, gen)
+        if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
+            self._persist_ledger_if_unchanged(manifest, gen)
+        self.last_phase_times["vacuum"] = time.perf_counter() - t0
 
     def _sweep_orphan_generations(self) -> None:
         """Remove `_gen-*` dirs newer than the LIVE committed generation —
@@ -917,14 +970,15 @@ class ScdTable:
             return self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self.spark.read.schema(schema).parquet(*files)
 
-    def _bucket_expr(self, df: DataFrame):
+    def _bucket_expr(self, df: DataFrame, buckets: int | None = None):
         # Stable across runs and engines enough for partitioning: md5 of the
         # null-safe business key, low 15 hex chars → bucket id.
         from ..functions.hashing import surrogate_key
 
+        n = buckets if buckets is not None else self.partition_buckets
         return (
             F.conv(F.substring(surrogate_key(list(self.cfg.unique_key)), 1, 15), 16, 10)
-            .cast("long") % self.partition_buckets
+            .cast("long") % n
         ).cast("int")
 
     # -- lifecycle ------------------------------------------------------
@@ -986,11 +1040,16 @@ class ScdTable:
                 if isinstance(last, int) and last >= txn_epoch:
                     model_df.unpersist()
                     return self.read()
-            result = self._build_bucketed_incremental(
-                model_df, txn_epoch=txn_epoch, txn_app=txn_app,
-                manifest=manifest,
-            )
-            model_df.unpersist()
+            try:
+                self._build_bucketed_incremental(
+                    model_df, txn_epoch=txn_epoch, txn_app=txn_app,
+                    manifest=manifest,
+                )
+            finally:
+                # Unpersist even when the commit ABORTS (the advertised
+                # ConcurrentWriteError retry path): a losing stream would
+                # otherwise pin one cached batch per conflicted attempt.
+                model_df.unpersist()
             return self.read()
 
         if cfg.scd_type == 2:
@@ -1150,87 +1209,73 @@ class ScdTable:
         # directory (mode("overwrite") deletes the other's files mid-write
         # — silent lost update).  The generation number is claimed only at
         # commit, by _commit_transaction's rename.
-        import uuid
-
-        stage_dir = os.path.join(self.path, f"{STAGE_PREFIX}{uuid.uuid4().hex}")
-        (
-            merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
-            # One file per touched bucket partition (not one per shuffle
-            # task per partition): without this co-location the generation
-            # dirs inherit the task fan-out and the table's file count
-            # grows ∝ writes × buckets — every later merge then pays a
-            # full-listing of all of them (measured: the s40 bucketed
-            # merge cost grew WITH the table until this fix).
-            .repartition(len(affected), F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(stage_dir)
-        )
-        self.last_phase_times["merge_and_stage"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        # The generation is durable and invisible; COMMIT by patching the
-        # affected buckets' entries (O(batch) scanning, not O(table)) and
-        # atomically replacing the manifest.  The displaced files — the
-        # exact file set the merge's target slice read — go on the
-        # superseded ledger under this commit's gen for deferred vacuum.
-        displaced = [os.path.relpath(p, self.path) for p in files]
-        for b in affected:
-            entry = self._scan_bucket_dir(
-                os.path.join(stage_dir, f"{BUCKET_COL}={b}")
+        stage_dir = self._new_stage_dir()
+        try:
+            (
+                merged.withColumn(BUCKET_COL, self._bucket_expr(merged))
+                # One file per touched bucket partition (not one per shuffle
+                # task per partition): without this co-location the generation
+                # dirs inherit the task fan-out and the table's file count
+                # grows ∝ writes × buckets — every later merge then pays a
+                # full-listing of all of them (measured: the s40 bucketed
+                # merge cost grew WITH the table until this fix).
+                .repartition(len(affected), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(stage_dir)
             )
-            if entry is None:
-                # The merge emptied this bucket (or the batch never had
-                # survivors for it): no files in this generation.
-                manifest["buckets"].pop(str(b), None)
-            else:
-                manifest["buckets"][str(b)] = {
-                    "paths": [
-                        f"{gen_rel}/{BUCKET_COL}={b}/{n}"
-                        for n in entry["files"]
-                    ],
-                    "rows": entry["rows"],
-                }
-        if displaced:
-            manifest["superseded"][str(gen)] = displaced
-        manifest["gen"] = gen
-        manifest["schema"] = merged.schema.json()
-        # Record the effective retention as a TABLE property (an explicit
-        # constructor value updates it; default writers inherit it), so no
-        # later writer can vacuum underneath a reader that opened the
-        # table under a longer window.
-        manifest["retain"] = self._retain(manifest)
-        manifest["bucket_count"] = self.partition_buckets
-        manifest["op"] = "merge"
-        manifest["committed_at"] = time.time()
-        if txn_epoch is not None:
-            # Recorded atomically WITH the data pointer, SCOPED per writer
-            # application (Delta txnAppId/txnVersion): replaying this epoch
-            # after any crash sees either no trace of it (orphan gen swept,
-            # re-merge) or the completed commit (skipped) — never a
-            # half-applied state — and an unrelated stream's epoch counter
-            # can never shadow this one's.  See build()'s exactly-once note.
-            manifest.setdefault("txn", {})[txn_app] = txn_epoch
-        self._commit_transaction(stage_dir, gen_dir, base_gen, manifest)
-        self._write_meta()
-        self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        # Vacuum AFTER the commit: deletes only files displaced by commits
-        # that have fallen out of the retention window.  The ledger shrank
-        # in memory, so persist it — a crash between the deletes and this
-        # second write only means the next vacuum retries (ENOENT-ignored).
-        # Persist on CONTENT change, not key count: a partial vacuum
-        # failure re-adds a key with fewer paths (same key count), and the
-        # shrunk list must still reach disk so the retry set stays exact.
-        ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
-        self._vacuum(manifest, gen)
-        if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
-            self._persist_ledger_if_unchanged(manifest, gen)
-        self.last_phase_times["vacuum"] = time.perf_counter() - t0
-        # Release the merge's persisted intermediates BEFORE refreshing:
-        # their plans hold leaf files now on the superseded ledger, and
-        # refreshByPath re-caching them would pin listings that vacuum
-        # will delete a few commits later.
-        _release_intermediates(merged)
+            self.last_phase_times["merge_and_stage"] = time.perf_counter() - t0
+            # The generation is durable and invisible; COMMIT by patching the
+            # affected buckets' entries (O(batch) scanning, not O(table)) and
+            # atomically replacing the manifest.  The displaced files — the
+            # exact file set the merge's target slice read — go on the
+            # superseded ledger under this commit's gen for deferred vacuum.
+            displaced = [os.path.relpath(p, self.path) for p in files]
+            for b in affected:
+                entry = self._scan_bucket_dir(
+                    os.path.join(stage_dir, f"{BUCKET_COL}={b}")
+                )
+                if entry is None:
+                    # The merge emptied this bucket (or the batch never had
+                    # survivors for it): no files in this generation.
+                    manifest["buckets"].pop(str(b), None)
+                else:
+                    manifest["buckets"][str(b)] = {
+                        "paths": [
+                            f"{gen_rel}/{BUCKET_COL}={b}/{n}"
+                            for n in entry["files"]
+                        ],
+                        "rows": entry["rows"],
+                    }
+            if displaced:
+                manifest["superseded"][str(gen)] = displaced
+            manifest["gen"] = gen
+            manifest["schema"] = merged.schema.json()
+            # Record the effective retention as a TABLE property (an explicit
+            # constructor value updates it; default writers inherit it), so no
+            # later writer can vacuum underneath a reader that opened the
+            # table under a longer window.
+            manifest["retain"] = self._retain(manifest)
+            manifest["bucket_count"] = self.partition_buckets
+            manifest["op"] = "merge"
+            manifest["committed_at"] = time.time()
+            if txn_epoch is not None:
+                # Recorded atomically WITH the data pointer, SCOPED per writer
+                # application (Delta txnAppId/txnVersion): replaying this epoch
+                # after any crash sees either no trace of it (orphan gen swept,
+                # re-merge) or the completed commit (skipped) — never a
+                # half-applied state — and an unrelated stream's epoch counter
+                # can never shadow this one's.  See build()'s exactly-once note.
+                manifest.setdefault("txn", {})[txn_app] = txn_epoch
+            self._commit_and_vacuum(stage_dir, gen_dir, base_gen, manifest, gen)
+        finally:
+            # Release the merge's persisted intermediates whether the commit
+            # SUCCEEDED (their plans hold leaf files now on the superseded
+            # ledger — refreshByPath re-caching them would pin listings
+            # vacuum deletes later) or ABORTED (the advertised
+            # ConcurrentWriteError retry must not leak one dead cache pair
+            # per conflicted attempt).
+            _release_intermediates(merged)
         self.spark.catalog.refreshByPath(self.path)
 
     def rebucket(self, new_count: int) -> DataFrame:
@@ -1291,26 +1336,25 @@ class ScdTable:
             current = self.spark.read.schema(
                 StructType.fromJson(json.loads(schema_json))
             ).parquet(*old_files)
-        self.partition_buckets = new_count
-        self._explicit_buckets = True
         base_gen = manifest.get("gen", 0)
         gen = base_gen + 1
         gen_rel = _gen_dirname(gen)
         gen_dir = os.path.join(self.path, gen_rel)
-        # Stage privately, claim the generation at commit — same
-        # optimistic-concurrency protocol as the incremental merge.
-        import uuid
-
-        stage_dir = os.path.join(self.path, f"{STAGE_PREFIX}{uuid.uuid4().hex}")
+        # Stage privately under the NEW mapping, claim the generation at
+        # commit — same optimistic-concurrency protocol as the incremental
+        # merge.  Handle state (partition_buckets / _explicit_buckets)
+        # flips only AFTER the commit succeeds: an aborted transaction
+        # must leave this handle merging under the OLD mapping, not
+        # hard-failing every later build() on a bucket-count mismatch.
+        stage_dir = self._new_stage_dir()
         (
-            current.withColumn(BUCKET_COL, self._bucket_expr(current))
+            current.withColumn(BUCKET_COL, self._bucket_expr(current, new_count))
             .repartition(new_count, F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(stage_dir)
         )
         self.last_phase_times["rewrite"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
         new_buckets: dict[str, dict] = {}
         for name in os.listdir(stage_dir):
             if not name.startswith(f"{BUCKET_COL}="):
@@ -1332,18 +1376,9 @@ class ScdTable:
         manifest["bucket_count"] = new_count
         manifest["op"] = "rebucket"
         manifest["committed_at"] = time.time()
-        self._commit_transaction(stage_dir, gen_dir, base_gen, manifest)
-        self._write_meta()
-        self.last_phase_times["swap_and_commit"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        # Persist on CONTENT change, not key count: a partial vacuum
-        # failure re-adds a key with fewer paths (same key count), and the
-        # shrunk list must still reach disk so the retry set stays exact.
-        ledger_before = json.dumps(manifest["superseded"], sort_keys=True)
-        self._vacuum(manifest, gen)
-        if json.dumps(manifest["superseded"], sort_keys=True) != ledger_before:
-            self._persist_ledger_if_unchanged(manifest, gen)
-        self.last_phase_times["vacuum"] = time.perf_counter() - t0
+        self._commit_and_vacuum(stage_dir, gen_dir, base_gen, manifest, gen)
+        self.partition_buckets = new_count
+        self._explicit_buckets = True
         self.spark.catalog.refreshByPath(self.path)
         return self.read()
 

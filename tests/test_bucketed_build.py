@@ -944,8 +944,47 @@ def test_stale_stage_dirs_swept_live_ones_kept(spark, tmp_path):
         with open(os.path.join(d, "part.parquet"), "wb") as f:
             f.write(b"x")
     past = 1_000_000  # well past any TTL
-    os.utime(stale, (os.path.getmtime(stale) - past,) * 2)
+    # The sweep gates on the NEWEST RECURSIVE mtime (a live Spark stage
+    # only touches files under _temporary/, not the top dir) — so ALL of
+    # the stale stage's entries must look abandoned, not just its root.
+    for f in (stale, os.path.join(stale, "part.parquet")):
+        os.utime(f, (os.path.getmtime(f) - past,) * 2)
 
     t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
     assert not os.path.exists(stale), "aged-out stage must be swept"
     assert os.path.exists(fresh), "fresh stage must survive"
+
+
+def test_aborted_rebucket_leaves_handle_usable(spark, tmp_path, monkeypatch):
+    """A rebucket that LOSES the commit race must leave the handle on the
+    OLD mapping: flipping partition_buckets before the commit meant an
+    abort bricked every later build() on this handle with the
+    bucket-count-mismatch error."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.plans.build import (
+        ConcurrentWriteError,
+        ScdTable as _ScdTable,
+    )
+
+    path = str(tmp_path / "rb_abort")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+
+    def lose_the_race(self, stage_dir, gen_dir, base_gen, manifest):
+        import shutil as _sh
+
+        _sh.rmtree(stage_dir, ignore_errors=True)
+        raise ConcurrentWriteError("injected: rival committed first")
+
+    monkeypatch.setattr(_ScdTable, "_commit_transaction", lose_the_race)
+    with _pytest.raises(ConcurrentWriteError):
+        t.rebucket(16)
+    monkeypatch.undo()
+
+    assert t.partition_buckets == 4, "aborted rebucket must not flip state"
+    # ... and the handle keeps merging under the old mapping, no mismatch.
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "rba12"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]))
+    assert t._read_manifest()["bucket_count"] == 4
