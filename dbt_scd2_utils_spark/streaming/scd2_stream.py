@@ -118,13 +118,31 @@ class Scd2BucketedSink:
         # new txn_app or its batches would be skipped as replays.
         self.txn_app = txn_app
 
+    # Bounded retries on a lost commit race: a conflict means ANOTHER
+    # writer committed (global progress), the re-merge plans against the
+    # refreshed table, and the epoch gate keeps the retry exactly-once —
+    # so retrying here is always safe and killing the stream over a
+    # benign race would be wrong (Delta's commit loop retries the same
+    # way).  The bound keeps a pathological storm from hiding forever.
+    CONFLICT_RETRIES = 5
+
     def read(self) -> DataFrame:
         return self.table.read()
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        self.table.build(batch, txn_epoch=batch_id, txn_app=self.txn_app)
+        from ..plans.build import ConcurrentWriteError
+
+        for attempt in range(self.CONFLICT_RETRIES + 1):
+            try:
+                self.table.build(
+                    batch, txn_epoch=batch_id, txn_app=self.txn_app
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == self.CONFLICT_RETRIES:
+                    raise
 
 
 def scd2_write_stream_bucketed(

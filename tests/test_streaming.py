@@ -131,3 +131,65 @@ def test_bucketed_stream_equals_batch_and_replay_is_exactly_once(spark, tmp_path
     m = sink2.table._read_manifest()
     assert m["gen"] == gen_before + 1, "appB epoch 0 must apply, not be skipped"
     assert m["txn"]["appB"] == 0 and m["txn"]["default"] == last + 1
+
+
+def test_bucketed_sink_retries_lost_commit_race(spark, tmp_path, monkeypatch):
+    """A micro-batch that loses the commit race must be RETRIED inside
+    foreach_batch (a conflict means another writer committed — progress —
+    and the epoch gate keeps the retry exactly-once), not kill the
+    stream; a persistent storm still surfaces after the bound."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.plans.build import (
+        ConcurrentWriteError,
+        ScdTable as _ScdTable,
+    )
+    from dbt_scd2_utils_spark.streaming.scd2_stream import Scd2BucketedSink
+
+    target = str(tmp_path / "retry_sink")
+    sink = Scd2BucketedSink(spark, target, CFG, partition_buckets=4)
+    sink.foreach_batch(
+        spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA), 0
+    )
+
+    real_commit = _ScdTable._commit_transaction
+    losses = {"left": 2, "seen": 0}
+
+    def flaky_commit(self, stage_dir, gen_dir, base_gen, manifest):
+        if losses["left"]:
+            losses["left"] -= 1
+            losses["seen"] += 1
+            import shutil as _sh
+
+            _sh.rmtree(stage_dir, ignore_errors=True)
+            raise ConcurrentWriteError("injected: lost the race")
+        return real_commit(self, stage_dir, gen_dir, base_gen, manifest)
+
+    monkeypatch.setattr(_ScdTable, "_commit_transaction", flaky_commit)
+    sink.foreach_batch(
+        spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA), 1
+    )
+    monkeypatch.undo()
+    assert losses["seen"] == 2, "both injected conflicts must be retried"
+    want = scd2_initial_load(
+        spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA).unionByName(
+            spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+        ),
+        CFG,
+    )
+    got = sink.read()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert sink.table._read_manifest()["txn"]["default"] == 1
+
+    # Persistent storm: the bound surfaces the failure instead of looping.
+    monkeypatch.setattr(
+        _ScdTable,
+        "_commit_transaction",
+        lambda self, s, g, b, m: (_ for _ in ()).throw(
+            ConcurrentWriteError("storm")
+        ),
+    )
+    with _pytest.raises(ConcurrentWriteError):
+        sink.foreach_batch(
+            spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA), 2
+        )
