@@ -95,6 +95,7 @@ class ScdTable:
         cfg: ScdConfig,
         partition_buckets: int | None = None,
         retain_generations: int | None = None,
+        merge_fn=None,
     ):
         self.spark = spark
         self.path = path
@@ -118,6 +119,17 @@ class ScdTable:
         # that opened the table with a longer window; an explicit value
         # updates the recorded property at this writer's next commit.
         self.retain_generations = retain_generations
+        # The SCD2 incremental merge strategy -- ``(target, batch, cfg) ->
+        # DataFrame``, default :func:`scd2_incremental`.  The composition
+        # seam for the OTHER 100-TB feature: pass
+        # ``functools.partial(scd2_incremental_salted, salts=...,
+        # hot_key_threshold=...)`` to route hot keys inside a bucket
+        # through the salted window chain (a single >=10M-version key
+        # otherwise concentrates the whole per-key window stage in one
+        # task regardless of bucketing -- bucketing shards TABLES,
+        # salting shards KEYS).  Applies to scd_type 2 incremental
+        # merges on both sinks; initial loads and SCD0/1 are unaffected.
+        self.merge_fn = merge_fn if merge_fn is not None else scd2_incremental
         # Driver-side phase timings of the last incremental merge (e.g.
         # "list_affected"), for scale instrumentation (scripts/scale_proof).
         self.last_phase_times: dict[str, float] = {}
@@ -1056,7 +1068,7 @@ class ScdTable:
             if initial:
                 result = scd2_initial_load(model_df, cfg)
             else:
-                result = scd2_incremental(self.read(), model_df, cfg)
+                result = self.merge_fn(self.read(), model_df, cfg)
         elif cfg.scd_type == 1:
             if initial:
                 result = scd1_initial_load(model_df, cfg)
@@ -1195,7 +1207,7 @@ class ScdTable:
             target_slice = scd2_initial_load(batch.limit(0), self.cfg)
         self.last_phase_times = {"list_affected": time.perf_counter() - t0}
         t0 = time.perf_counter()
-        merged = scd2_incremental(target_slice, batch, self.cfg)
+        merged = self.merge_fn(target_slice, batch, self.cfg)
         # base_gen: the committed generation this merge planned against —
         # None only when no committed new-style manifest existed (fresh
         # migration), where the rename below is the sole (sufficient) gate.
@@ -1467,6 +1479,7 @@ def scd_build(
     path: str,
     cfg: ScdConfig | None = None,
     full_refresh: bool = False,
+    merge_fn=None,
     **config_kwargs,
 ) -> DataFrame:
     """One-shot functional entry point (≡ one ``dbt run`` of an scd model)."""
@@ -1474,4 +1487,6 @@ def scd_build(
         from .config import resolve_config
 
         cfg = resolve_config(**config_kwargs)
-    return ScdTable(spark, path, cfg).build(model_df, full_refresh=full_refresh)
+    return ScdTable(spark, path, cfg, merge_fn=merge_fn).build(
+        model_df, full_refresh=full_refresh
+    )

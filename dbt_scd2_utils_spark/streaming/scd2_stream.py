@@ -105,6 +105,7 @@ class Scd2BucketedSink:
         partition_buckets: int,
         retain_generations: int | None = None,
         txn_app: str = "default",
+        merge_fn=None,
     ):
         from ..plans.build import ScdTable
 
@@ -112,6 +113,7 @@ class Scd2BucketedSink:
             spark, path, cfg,
             partition_buckets=partition_buckets,
             retain_generations=retain_generations,
+            merge_fn=merge_fn,
         )
         # Epoch scope (Delta txnAppId): restarting this stream from a FRESH
         # checkpoint resets batch ids to 0, so such a restart must use a
@@ -154,15 +156,18 @@ def scd2_write_stream_bucketed(
     available_now: bool = True,
     retain_generations: int | None = None,
     txn_app: str = "default",
+    merge_fn=None,
 ) -> StreamingQuery:
     """Attach an exactly-once bucketed SCD2 foreachBatch sink (see
     :class:`Scd2BucketedSink`) to a streaming DataFrame.  ``txn_app``
     scopes the epoch record — use a fresh value when restarting from a
     new checkpoint; ``retain_generations`` sets the table's snapshot-
-    retention property."""
+    retention property; ``merge_fn`` swaps the SCD2 merge strategy
+    (e.g. the salted hot-key chain — see ``ScdTable``)."""
     sink = Scd2BucketedSink(
         stream.sparkSession, path, cfg, partition_buckets=partition_buckets,
         retain_generations=retain_generations, txn_app=txn_app,
+        merge_fn=merge_fn,
     )
     writer = stream.writeStream.foreachBatch(sink.foreach_batch).outputMode("append")
     if checkpoint:

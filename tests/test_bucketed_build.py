@@ -1047,3 +1047,32 @@ def test_concurrent_threads_serialize_without_lost_updates(spark, tmp_path):
     assert ScdTable(spark, path, CFG, partition_buckets=8)._read_manifest()[
         "gen"
     ] == 4
+
+
+def test_bucketed_sink_composes_with_salted_merge(spark, tmp_path):
+    """merge_fn: the bucketed sink and the salted hot-key chain COMPOSE —
+    bucketing shards tables, salting shards keys, and the recommended
+    100-TB configuration is both at once.  A bucketed table merging
+    through scd2_incremental_salted (threshold 2 routes nearly every key
+    through the salted chain) must equal the plain build exactly, and
+    the commit must still release the salted chain's checkpointed
+    intermediates."""
+    from functools import partial
+
+    from dbt_scd2_utils_spark.operators.scd2_salted import (
+        scd2_incremental_salted,
+    )
+
+    path = str(tmp_path / "salted_buckets")
+    t = ScdTable(
+        spark, path, CFG, partition_buckets=4,
+        merge_fn=partial(scd2_incremental_salted, salts=4, hot_key_threshold=2),
+    )
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    out = t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    _assert_same(out, _expected(spark, str(tmp_path / "sb123"),
+                                [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2],
+                                 CUSTOMERS_RAW[3]]))
+    # Default-handle read of the salted-merged table is unaffected.
+    _assert_same(ScdTable(spark, path, CFG).read(), out)
