@@ -1011,8 +1011,17 @@ def q_streaming_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse_redundant_versions the final table equals the batch full
     refresh over the whole feed — the same oracle as the non-bucketed
     streaming sink.  Epoch-replay skipping and per-app scoping are
-    pinned in tests/test_streaming.py."""
+    pinned in tests/test_streaming.py.
+
+    The staged SOURCE dir is session-memoized per (spark, sf_dir) — the
+    feed files are identical on every invocation, so re-staging them
+    would only accumulate /tmp trees (ADVICE r12).  The target and
+    checkpoint are recreated FRESH each run inside the same memoized
+    base dir: a stream restart with a reset epoch counter against a
+    retained target would be skipped as replays, and the stream drive
+    itself is the work this query times."""
     prepare(spark)
+    import shutil
     import tempfile
 
     from .streaming.scd2_stream import (
@@ -1020,11 +1029,17 @@ def q_streaming_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_write_stream_bucketed,
     )
 
-    base = tempfile.mkdtemp(prefix="scd_stream_scd2b_")
+    key = (spark, sf_dir, "scd2b_stream_base")
+    base = _INDEX_CACHE.get(key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="scd_stream_scd2b_")
+        b1, b2 = _split(change_feed(spark, sf_dir))
+        b1.coalesce(1).write.mode("append").parquet(f"{base}/src")
+        b2.coalesce(1).write.mode("append").parquet(f"{base}/src")
+        _INDEX_CACHE[key] = base
     src, target, ckpt = f"{base}/src", f"{base}/target", f"{base}/ckpt"
-    b1, b2 = _split(change_feed(spark, sf_dir))
-    b1.coalesce(1).write.mode("append").parquet(src)
-    b2.coalesce(1).write.mode("append").parquet(src)
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)

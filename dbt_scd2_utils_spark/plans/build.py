@@ -698,8 +698,13 @@ class ScdTable:
         commit is still the latest — an unconditional rewrite here could
         clobber a rival's newer commit in the window after our own (the
         rival's vacuum re-deletes our expired paths harmlessly:
-        FileNotFoundError is ignored, so skipping loses nothing)."""
-        with self._commit_lock():
+        FileNotFoundError is ignored, so skipping loses nothing).
+        Degraded mode (no flock) skips too: the check-then-write is only
+        race-free under the lock, and skipping is the loss-free option by
+        the same argument (ADVICE r12)."""
+        with self._commit_lock() as locked:
+            if not locked:
+                return
             live = self._read_manifest()
             if live is not None and live.get("gen") == gen:
                 self._write_manifest(manifest)
@@ -747,8 +752,15 @@ class ScdTable:
         lock excludes the rename-to-manifest-write window where a LIVE
         commit's dir would look orphaned.  Tidiness only — the commit
         itself clears a crashed orphan occupying its number (see
-        ``_commit_transaction`` step 2)."""
-        with self._commit_lock():
+        ``_commit_transaction`` step 2).  Degraded mode (no flock on this
+        platform) skips the sweep entirely: without the lock an
+        above-live gen dir cannot be proven a crashed orphan rather than
+        a rival's renamed-but-not-yet-published commit, and rmtree'ing a
+        rival's claim is the exact lost update ``_commit_transaction``
+        refuses to risk degraded (ADVICE r12)."""
+        with self._commit_lock() as locked:
+            if not locked:
+                return
             live = self._read_manifest()
             if live is None or not isinstance(live.get("gen"), int):
                 return  # no committed baseline to judge orphans against

@@ -131,6 +131,19 @@ class Scd2BucketedSink:
     def read(self) -> DataFrame:
         return self.table.read()
 
+    @staticmethod
+    def _backoff(attempt: int) -> None:
+        """Jittered exponential backoff (~25ms..500ms) between conflict
+        retries: two symmetric streams colliding on one table would
+        otherwise burn every retry back-to-back inside a single
+        contention burst and kill a stream over the benign race the
+        bound exists to survive; the jitter desynchronizes the pair so
+        one of them wins each round (ADVICE r12)."""
+        import random
+        import time
+
+        time.sleep(min(0.5, 0.05 * (2 ** attempt) * random.uniform(0.5, 1.5)))
+
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -145,6 +158,7 @@ class Scd2BucketedSink:
             except ConcurrentWriteError:
                 if attempt == self.CONFLICT_RETRIES:
                     raise
+                self._backoff(attempt)
 
 
 def scd2_write_stream_bucketed(

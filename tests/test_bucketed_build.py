@@ -955,6 +955,56 @@ def test_stale_stage_dirs_swept_live_ones_kept(spark, tmp_path):
     assert os.path.exists(fresh), "fresh stage must survive"
 
 
+def test_degraded_lock_skips_destructive_maintenance(
+    spark, tmp_path, monkeypatch
+):
+    """On platforms without fcntl, _commit_lock degrades to best-effort:
+    _commit_transaction already refuses to clear an unexplained gen dir
+    there, and the OTHER two lock takers must match it (ADVICE r12) —
+    the orphan sweep must NOT rmtree an above-live gen dir (it cannot be
+    proven a crashed orphan rather than a rival's renamed-but-unpublished
+    commit), and the post-vacuum ledger persist must NOT rewrite the
+    manifest (the check-then-write is only race-free under the lock;
+    skipping is loss-free — the rival's vacuum re-deletes harmlessly)."""
+    import contextlib
+
+    path = str(tmp_path / "degraded")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+
+    # A rival's renamed-but-not-yet-published generation dir (above live).
+    rival = os.path.join(path, f"{GEN_PREFIX}00000001")
+    os.makedirs(rival)
+    marker = os.path.join(rival, "rivals_data.parquet")
+    with open(marker, "wb") as f:
+        f.write(b"x")
+
+    @contextlib.contextmanager
+    def no_flock(self):
+        yield False
+
+    monkeypatch.setattr(ScdTable, "_commit_lock", no_flock)
+    t._sweep_orphan_generations()
+    assert os.path.exists(marker), (
+        "degraded sweep must not clear a possible rival commit"
+    )
+    with open(t._manifest_path()) as f:
+        disk_before = f.read()
+    live = t._read_manifest()
+    t._persist_ledger_if_unchanged(
+        {**live, "superseded": {"999": ["poison"]}}, live["gen"]
+    )
+    with open(t._manifest_path()) as f:
+        assert f.read() == disk_before, (
+            "degraded ledger persist must skip the unlocked check-then-write"
+        )
+    monkeypatch.undo()
+
+    # With the real lock back, the same orphan IS swept (tidiness path).
+    t._sweep_orphan_generations()
+    assert not os.path.exists(rival), "locked sweep still clears orphans"
+
+
 def test_aborted_rebucket_leaves_handle_usable(spark, tmp_path, monkeypatch):
     """A rebucket that LOSES the commit race must leave the handle on the
     OLD mapping: flipping partition_buckets before the commit meant an

@@ -165,12 +165,21 @@ def test_bucketed_sink_retries_lost_commit_race(spark, tmp_path, monkeypatch):
             raise ConcurrentWriteError("injected: lost the race")
         return real_commit(self, stage_dir, gen_dir, base_gen, manifest)
 
+    # Pin the backoff between retries (ADVICE r12): each lost race must
+    # sleep a bounded, growing, jittered delay before re-merging, or two
+    # symmetric streams burn the whole retry budget in one burst.
+    backoffs: list[int] = []
+    monkeypatch.setattr(
+        Scd2BucketedSink, "_backoff",
+        staticmethod(lambda attempt: backoffs.append(attempt)),
+    )
     monkeypatch.setattr(_ScdTable, "_commit_transaction", flaky_commit)
     sink.foreach_batch(
         spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA), 1
     )
     monkeypatch.undo()
     assert losses["seen"] == 2, "both injected conflicts must be retried"
+    assert backoffs == [0, 1], "a growing backoff precedes every retry"
     want = scd2_initial_load(
         spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA).unionByName(
             spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
