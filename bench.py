@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "image_tile_features",
     "scd2_bucketed_temporal_join",
     "scd2_read_at_gen",
+    "scd2_read_at_timestamp",
     "scd2_rebucket",
     "streaming_scd2_bucketed",
     "streaming_daily_rollup",

@@ -986,6 +986,24 @@ def q_scd2_read_at_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucketed_scd_table(spark, sf_dir, "timetravel").read_at_gen(0)
 
 
+def q_scd2_read_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-instant time travel (plans/build.py::ScdTable.
+    read_at_timestamp — Delta's ``TIMESTAMP AS OF`` in miniature): the
+    staged table committed gen 0 then gen 1, and reading AS OF the
+    midpoint between the two commit instants (resolved from the table's
+    own ``history()`` — ``committed_at`` is recorded atomically with
+    each data pointer) must resolve to gen 0 and reproduce the pre-merge
+    SCD2 state exactly — the same oracle as scd2_read_at_gen, reached
+    through the timestamp-resolution path instead of the generation
+    number.  Boundary semantics (exact instant, before gen 0, past
+    retention) are pinned in tests/test_bucketed_build.py."""
+    prepare(spark)
+    t = _bucketed_scd_table(spark, sf_dir, "timetravel")
+    commits = {r["gen"]: r["committed_at"] for r in t.history().collect()}
+    midpoint = commits[0] + (commits[1] - commits[0]) / 2
+    return t.read_at_timestamp(midpoint)
+
+
 def q_scd2_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rebucket()`` value identity: the staged 8-bucket table is
     re-laid-out to 16 buckets through one generational commit
@@ -3312,6 +3330,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
         "scd2_read_at_gen": q_scd2_read_at_gen,
+        "scd2_read_at_timestamp": q_scd2_read_at_timestamp,
         "scd2_rebucket": q_scd2_rebucket,
         "streaming_scd2_bucketed": q_streaming_scd2_bucketed,
         "events_sessionize": q_events_sessionize,
@@ -3468,6 +3487,11 @@ def oracle_sql() -> dict[str, str]:
         # Generation time travel: reading AT gen 0 (the initial load the
         # gen-1 merge displaced) must equal SCD2 over the pre-split feed.
         "scd2_read_at_gen": scd2_initial_load_sql(_b1_sql(FEED_SQL), SCD2_SPEC),
+        # TIMESTAMP AS OF resolving between the two commit instants must
+        # serve the same gen-0 snapshot the generation read serves.
+        "scd2_read_at_timestamp": scd2_initial_load_sql(
+            _b1_sql(FEED_SQL), SCD2_SPEC
+        ),
         # rebucket() is a pure layout change: post-rebucket read must
         # still equal the full-refresh derivation over the whole feed.
         "scd2_rebucket": scd2_built,

@@ -394,6 +394,84 @@ class ScdTable:
             return self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def read_at_timestamp(self, ts) -> DataFrame:
+        """Time-travel read by COMMIT INSTANT (Delta's ``TIMESTAMP AS OF``
+        in miniature): serve the latest generation whose ``committed_at``
+        is <= ``ts``, under the same retention rules as ``read_at_gen`` —
+        only generations whose snapshot manifest is still inside the
+        vacuum retention window are resolvable, and a ``ts`` earlier than
+        every retained commit raises the same error shape (older
+        snapshots are vacuumed).  A ``ts`` at or after the newest commit
+        serves the current generation.
+
+        ``ts`` may be an ISO-8601 string, a ``datetime`` (naive means
+        UTC — ``committed_at`` is recorded as UTC epoch seconds), or an
+        epoch-seconds number.  Pre-r12 commits carry no ``committed_at``
+        and are not resolvable by timestamp (use ``read_at_gen``)."""
+        import datetime
+
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if isinstance(ts, datetime.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            epoch = ts.timestamp()
+        elif isinstance(ts, (int, float)) and not isinstance(ts, bool):
+            epoch = float(ts)
+        else:
+            raise TypeError(
+                "read_at_timestamp expects an ISO-8601 string, a datetime, "
+                f"or epoch seconds (got {type(ts).__name__})"
+            )
+        # Resolve over the retained snapshot manifests + the current one —
+        # the exact set read_at_gen can serve (driver-local JSON reads,
+        # O(retained), never a data scan).
+        candidates: dict[int, float] = {}
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            names = []
+        for name in names:
+            if not (
+                name.startswith("_scd_manifest.") and name.endswith(".json")
+            ):
+                continue
+            stem = name[len("_scd_manifest."):-len(".json")]
+            if not stem.isdigit():
+                continue
+            try:
+                with open(os.path.join(self.path, name)) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            g, c = m.get("gen"), m.get("committed_at")
+            if isinstance(g, int) and isinstance(c, (int, float)):
+                candidates[g] = float(c)
+        current = self._read_manifest()
+        if current is not None:
+            g, c = current.get("gen"), current.get("committed_at")
+            if isinstance(g, int) and isinstance(c, (int, float)):
+                candidates.setdefault(g, float(c))
+        # Compare at whole-microsecond precision: ``committed_at`` is a
+        # ``time.time()`` float with sub-microsecond bits, but the public
+        # surface (``history()``'s TimestampType) truncates to micros — an
+        # exact-instant read of a value round-tripped through it would
+        # otherwise land a hair BEFORE the commit and miss inclusively.
+        us = round(epoch * 1_000_000)
+        hits = [g for g, c in candidates.items() if round(c * 1_000_000) <= us]
+        if not hits:
+            cur = (current or {}).get("gen")
+            earliest = (
+                min(candidates.values()) if candidates else None
+            )
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts!r} "
+                f"(earliest retained commit: {earliest}, current gen: "
+                f"{cur}, retention: {self._retain(current)} generations — "
+                "older snapshots are vacuumed)"
+            )
+        return self.read_at_gen(max(hits))
+
     def _read_manifest(self) -> dict | None:
         try:
             with open(self._manifest_path()) as f:

@@ -434,6 +434,61 @@ def test_read_at_gen_time_travel(spark, tmp_path):
     )
 
 
+def test_read_at_timestamp_boundaries(spark, tmp_path):
+    """TIMESTAMP AS OF twin of read_at_gen: resolves the latest retained
+    generation with committed_at <= ts.  Boundaries: the exact commit
+    instant serves that commit; between commits serves the earlier one;
+    before every retained commit raises the retention error shape; past
+    retention likewise; at/after the newest commit serves the current
+    generation.  str / datetime / epoch inputs are equivalent."""
+    import datetime
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "ts_tt")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=2)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 2
+
+    commits = {
+        r["gen"]: r["committed_at"].replace(tzinfo=datetime.timezone.utc)
+        for r in t.history().collect()
+    }
+    g0, g1, g2 = commits[0], commits[1], commits[2]
+    assert g0 < g1 < g2  # builds are seconds apart; ties impossible here
+
+    want_g0 = _expected(spark, str(tmp_path / "w0"), [CUSTOMERS_RAW[1]])
+    want_g1 = _expected(
+        spark, str(tmp_path / "w1"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]
+    )
+    # Exact commit instant (inclusive) and between-commits midpoint.
+    _assert_same(t.read_at_timestamp(g0), want_g0)
+    _assert_same(t.read_at_timestamp(g0 + (g1 - g0) / 2), want_g0)
+    _assert_same(t.read_at_timestamp(g1), want_g1)
+    # At/after the newest commit: the current generation.
+    _assert_same(t.read_at_timestamp(g2), t.read())
+    _assert_same(
+        t.read_at_timestamp(g2 + datetime.timedelta(days=365)), t.read()
+    )
+    # Input forms: ISO string and epoch seconds resolve identically.
+    _assert_same(t.read_at_timestamp(g0.isoformat()), want_g0)
+    _assert_same(t.read_at_timestamp(g0.timestamp()), want_g0)
+    with _pytest.raises(TypeError, match="ISO-8601"):
+        t.read_at_timestamp(object())
+
+    # Before every retained commit: the retention error shape.
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.read_at_timestamp(g0 - datetime.timedelta(seconds=1))
+
+    # Push gen 0 out of retention (retain=2): its instant now refuses too.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[4], CUSTOMERS_SCHEMA))  # gen 3
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.read_at_timestamp(g0)
+    # gen 1's instant is still inside the window and still exact.
+    _assert_same(t.read_at_timestamp(g1), want_g1)
+
+
 def test_retention_is_a_table_property(spark, tmp_path):
     """retain_generations is recorded in the manifest at commit: a later
     DEFAULT-constructed writer honors the table's recorded window instead
