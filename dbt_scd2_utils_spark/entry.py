@@ -966,7 +966,12 @@ def _bucketed_scd_table(spark: SparkSession, sf_dir: str, variant: str):
         base = tempfile.mkdtemp(prefix=f"scd_gate_{variant}_")
         t = ScdTable(spark, f"{base}/tbl", SCD2_CFG, partition_buckets=8)
         b1, b2 = _split(change_feed(spark, sf_dir))
-        t.build(b1)   # gen 0
+        if variant == "evolution":
+            # gen 0 on the BASE schema (no props); the gen-1 merge carries
+            # the new column — the add-column evolution event under gate.
+            t.build(b1.drop("props"))
+        else:
+            t.build(b1)   # gen 0
         t.build(b2)   # gen 1
         _INDEX_CACHE[key] = t
     return t
@@ -984,6 +989,21 @@ def q_scd2_read_at_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     would break the hash here."""
     prepare(spark)
     return _bucketed_scd_table(spark, sf_dir, "timetravel").read_at_gen(0)
+
+
+def q_scd2_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the bucketed generational sink
+    (operators/scd2.py::align_evolved_schemas — dbt snapshots' new-column
+    handling / Delta mergeSchema in miniature): the staged table
+    initial-loads the feed WITHOUT ``props`` (base schema, gen 0), then
+    one incremental merge carries the evolved batch WITH it (gen 1).
+    Pre-evolution versions must surface ``props`` as NULL — in rewritten
+    buckets via the NULL backfill the merge plans, and in UNTOUCHED
+    buckets via the manifest-pinned evolved schema over old files — so
+    the oracle is the full-refresh SCD2 derivation over the feed with
+    ``props`` NULLed before the split instant."""
+    prepare(spark)
+    return _bucketed_scd_table(spark, sf_dir, "evolution").read()
 
 
 def q_scd2_read_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3329,6 +3349,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_run_start_cutoff": q_incremental_run_start_cutoff,
         "streaming_scd2_merge": q_streaming_scd2_merge,
         "streaming_scd2_stateful": q_streaming_scd2_stateful,
+        "scd2_schema_evolution": q_scd2_schema_evolution,
         "scd2_read_at_gen": q_scd2_read_at_gen,
         "scd2_read_at_timestamp": q_scd2_read_at_timestamp,
         "scd2_rebucket": q_scd2_rebucket,
@@ -3486,6 +3507,16 @@ def oracle_sql() -> dict[str, str]:
         "streaming_scd2_bucketed": scd2_built,
         # Generation time travel: reading AT gen 0 (the initial load the
         # gen-1 merge displaced) must equal SCD2 over the pre-split feed.
+        # Add-column evolution ≡ full refresh over the NULL-backfilled feed
+        # (props exists only after the split instant).
+        "scd2_schema_evolution": scd2_initial_load_sql(
+            f"""select user_id, event_type, value,
+                       case when _updated_at > timestamp '{SPLIT}'
+                            then props end as props,
+                       deleted_at, _updated_at
+                from ({FEED_SQL})""",
+            SCD2_SPEC,
+        ),
         "scd2_read_at_gen": scd2_initial_load_sql(_b1_sql(FEED_SQL), SCD2_SPEC),
         # TIMESTAMP AS OF resolving between the two commit instants must
         # serve the same gen-0 snapshot the generation read serves.

@@ -225,6 +225,49 @@ class KeyWindows:
 DEFAULT_WINDOWS = KeyWindows()
 
 
+def align_evolved_schemas(
+    target: DataFrame, batch: DataFrame, cfg: ScdConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for the incremental merge — dbt snapshots' column
+    handling (and Delta ``mergeSchema``'s), re-expressed for this engine:
+
+    * **add-column**: a batch business column absent from the target is
+      NULL-backfilled onto the target (cast to the batch's type), so
+      pre-evolution versions carry NULL and the change-detection hashes
+      treat the old state as "column was NULL" — exactly the full-refresh
+      derivation over a NULL-backfilled historical feed;
+    * **drop-column**: a target business column absent from the batch
+      rides along as NULL in the batch (dbt's check strategy: a removed
+      source column makes NEW versions record NULL while history keeps
+      its values — the column is never silently destroyed).
+
+    Driver-side column-set comparison only: when the schemas already
+    agree (every merge outside an evolution event) both inputs return
+    UNCHANGED — no projection is added to the plan.  SCD2-only; the
+    SCD0/1 operators require matching schemas as before."""
+    batch_business = cfg.business_columns(batch.columns)
+    target_lower = {c.lower() for c in target.columns}
+    batch_lower = {c.lower() for c in batch.columns}
+    add = [
+        f for f in batch.schema.fields
+        if f.name in batch_business and f.name.lower() not in target_lower
+    ]
+    keep = [
+        f for f in target.schema.fields
+        if f.name in cfg.business_columns(target.columns)
+        and f.name.lower() not in batch_lower
+    ]
+    if add:
+        target = target.withColumns(
+            {f.name: F.lit(None).cast(f.dataType) for f in add}
+        )
+    if keep:
+        batch = batch.withColumns(
+            {f.name: F.lit(None).cast(f.dataType) for f in keep}
+        )
+    return target, batch
+
+
 def scd2_initial_load(
     df: DataFrame, cfg: ScdConfig, windows: KeyWindows = DEFAULT_WINDOWS
 ) -> DataFrame:
@@ -419,6 +462,9 @@ def scd2_incremental(
     count is free, it materializes the persisted source the downstream
     action needs anyway.  Pass True/False to force either shape.
     """
+    # Schema evolution (add/drop column) aligns the two sides FIRST; a
+    # no-op driver-side when schemas agree (see align_evolved_schemas).
+    target, batch = align_evolved_schemas(target, batch, cfg)
     source, prev, business_cols = build_scd2_merge_source(
         target, batch, cfg, windows=windows
     )

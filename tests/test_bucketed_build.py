@@ -1010,6 +1010,104 @@ def test_stale_stage_dirs_swept_live_ones_kept(spark, tmp_path):
     assert os.path.exists(fresh), "fresh stage must survive"
 
 
+def test_schema_evolution_add_column_merge(spark, tmp_path):
+    """Add-column evolution end-to-end through the bucketed generational
+    sink: gen 0 loads the base schema, the gen-1 merge carries a NEW
+    column.  The result must equal the same merge over pre-aligned inputs
+    (base history with the column explicitly NULL) — alignment is pure
+    plumbing, never a semantic fork — and rows served from UNTOUCHED
+    buckets (old files, no rewrite) must surface the new column as NULL
+    via the manifest-pinned evolved schema."""
+    from dbt_scd2_utils_spark.operators.scd2 import (
+        scd2_incremental,
+        scd2_initial_load,
+    )
+
+    evo_schema = CUSTOMERS_SCHEMA + ", tier string"
+    b1 = spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA)
+    b2_evo = spark.createDataFrame(
+        [r + ("gold",) for r in CUSTOMERS_RAW[2]], evo_schema
+    )
+
+    path = str(tmp_path / "evo")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(b1)                      # gen 0, base schema
+    out = t.build(b2_evo)            # gen 1, evolved batch
+    assert "tier" in out.columns, "new column must survive the merge"
+
+    # Oracle: the identical merge with the evolution PRE-applied by hand.
+    b1_aligned = b1.withColumn("tier", F.lit(None).cast("string"))
+    want = scd2_incremental(scd2_initial_load(b1_aligned, CFG), b2_evo, CFG)
+    _assert_same(out, want)
+
+    # The manifest records the evolved schema; untouched buckets' old
+    # files (no 'tier' in their footers) read back as NULL through it.
+    m = t._read_manifest()
+    assert "tier" in m["schema"]
+    touched = _touched(t, b2_evo)
+    untouched_rows = out.filter(
+        t._bucket_expr(out).cast("string").isin(*touched) == False  # noqa: E712
+    )
+    if untouched_rows.limit(1).count():
+        assert untouched_rows.filter(F.col("tier").isNotNull()).count() == 0
+
+    # And the table stays mergeable AFTER the evolution event.
+    b3_evo = spark.createDataFrame(
+        [r + ("silver",) for r in CUSTOMERS_RAW[3]], evo_schema
+    )
+    out3 = t.build(b3_evo)
+    want3 = scd2_incremental(want, b3_evo, CFG)
+    _assert_same(out3, want3)
+
+
+def test_schema_evolution_drop_column_merge(spark, tmp_path):
+    """Drop-column evolution: a batch missing a target business column
+    must NOT destroy it — history keeps its values and new versions
+    record NULL (dbt's check strategy for removed source columns).
+    Equivalent to merging the batch with the column explicitly NULL."""
+    from dbt_scd2_utils_spark.operators.scd2 import (
+        scd2_incremental,
+        scd2_initial_load,
+    )
+
+    dropped_schema = (
+        "customer_id int, customer_name string, status string, "
+        "deleted_at timestamp, _updated_at timestamp"
+    )
+    b1 = spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA)
+    b2_dropped = spark.createDataFrame(
+        [r[:2] + r[3:] for r in CUSTOMERS_RAW[2]], dropped_schema
+    )
+
+    path = str(tmp_path / "evo_drop")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(b1)
+    out = t.build(b2_dropped)
+    assert "email" in out.columns, "dropped column's history must survive"
+    assert out.filter(F.col("email").isNotNull()).count() > 0
+
+    b2_aligned = b2_dropped.withColumn("email", F.lit(None).cast("string"))
+    want = scd2_incremental(scd2_initial_load(b1, CFG), b2_aligned, CFG)
+    _assert_same(out, want)
+
+
+def test_schema_alignment_is_noop_when_schemas_match(spark):
+    """align_evolved_schemas must return BOTH inputs unchanged (identity,
+    not just equality — no projection enters the plan) whenever the
+    column sets already agree, i.e. on every merge outside an actual
+    evolution event."""
+    from dbt_scd2_utils_spark.operators.scd2 import (
+        align_evolved_schemas,
+        scd2_initial_load,
+    )
+
+    b1 = spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA)
+    target = scd2_initial_load(b1, CFG)
+    batch = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t2, b2 = align_evolved_schemas(target, batch, CFG)
+    assert t2 is target and b2 is batch
+
+
 def test_degraded_lock_skips_destructive_maintenance(
     spark, tmp_path, monkeypatch
 ):
