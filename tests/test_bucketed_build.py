@@ -1010,6 +1010,99 @@ def test_stale_stage_dirs_swept_live_ones_kept(spark, tmp_path):
     assert os.path.exists(fresh), "fresh stage must survive"
 
 
+def test_concurrent_processes_serialize_and_lose_across_the_boundary(
+    spark, tmp_path
+):
+    """CROSS-PROCESS OCC pin: the commit mutex is a ``flock`` on a lock
+    file (plans/build.py::_commit_lock), which the docstrings claim is a
+    cross-PROCESS mutex — the two-thread serialization test cannot prove
+    that (a threading.Lock would pass it).  Leg A: while the parent holds
+    the commit lock, a CHILD PROCESS's _commit_transaction must block —
+    no commit becomes visible until the parent releases (this leg FAILS
+    if flock is ever replaced with an in-process lock).  Leg B: a second
+    child that planned against the now-stale generation must raise
+    ConcurrentWriteError across the process boundary (exit code 42)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    path = str(tmp_path / "xproc")
+    t = ScdTable(spark, path, CFG, partition_buckets=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    assert t._read_manifest()["gen"] == 0
+
+    child_src = f"""
+import json, os, sys, time
+sys.path.insert(0, {repr(os.getcwd())})
+from dbt_scd2_utils_spark.plans.build import (
+    ConcurrentWriteError, ScdTable, _gen_dirname,
+)
+from dbt_scd2_utils_spark.plans.config import ScdConfig
+
+base_gen = int(sys.argv[1])
+t = ScdTable(None, {path!r}, ScdConfig(unique_key=("customer_id",),
+                                       deleted_at_column="deleted_at"),
+             partition_buckets=4)
+live = t._read_manifest()
+manifest = dict(live)
+manifest["gen"] = live["gen"] + 1 if base_gen == live["gen"] else base_gen + 1
+manifest["op"] = "xproc-test"
+manifest["committed_at"] = time.time()
+stage = t._new_stage_dir()
+os.makedirs(stage)
+open(os.path.join(stage, "_SUCCESS"), "w").close()
+gen_dir = os.path.join({path!r}, _gen_dirname(manifest["gen"]))
+open(sys.argv[2], "w").close()  # sentinel: about to enter the commit
+try:
+    t._commit_transaction(stage, gen_dir, base_gen, manifest)
+except ConcurrentWriteError:
+    sys.exit(42)
+sys.exit(0)
+"""
+    script = str(tmp_path / "xproc_child.py")
+    with open(script, "w") as f:
+        f.write(child_src)
+
+    # Leg A: parent HOLDS the flock; the child must block at it.
+    sentinel = str(tmp_path / "attempting")
+    with t._commit_lock() as locked:
+        assert locked, "this platform has fcntl; the lock must be real"
+        child = subprocess.Popen([sys.executable, script, "0", sentinel])
+        deadline = _time.time() + 30
+        while not os.path.exists(sentinel):
+            assert _time.time() < deadline, "child never reached the commit"
+            _time.sleep(0.05)
+        _time.sleep(1.5)  # child is now blocked on (or approaching) flock
+        assert child.poll() is None, "child finished while the lock was held"
+        assert t._read_manifest()["gen"] == 0, (
+            "a commit became visible while another process held the lock — "
+            "the mutex does not cross the process boundary"
+        )
+    assert child.wait(timeout=30) == 0, "child must commit after the release"
+    assert t._read_manifest()["gen"] == 1
+
+    # Leg B: a child that PLANNED against gen 0 (now superseded) must lose
+    # with ConcurrentWriteError in ITS process.
+    sentinel2 = str(tmp_path / "attempting2")
+    loser = subprocess.run(
+        [sys.executable, script, "0", sentinel2], timeout=60
+    )
+    assert loser.returncode == 42, (
+        "conflict detection must raise ConcurrentWriteError cross-process"
+    )
+    assert t._read_manifest()["gen"] == 1, "loser must publish nothing"
+    from dbt_scd2_utils_spark.plans.build import STAGE_PREFIX
+
+    assert not [n for n in os.listdir(path) if n.startswith(STAGE_PREFIX)], (
+        "loser's stage dir must be cleaned"
+    )
+    # The table is still fully readable after both legs.
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "xw"), [CUSTOMERS_RAW[1]]),
+    )
+
+
 def test_schema_evolution_add_column_merge(spark, tmp_path):
     """Add-column evolution end-to-end through the bucketed generational
     sink: gen 0 loads the base schema, the gen-1 merge carries a NEW
