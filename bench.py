@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "audio_frame_features",
     "image_tile_features",
     "scd2_bucketed_temporal_join",
+    "scd2_adaptive_merge",
     "scd2_schema_evolution",
     "scd2_read_at_gen",
     "scd2_read_at_timestamp",

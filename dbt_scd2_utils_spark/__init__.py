@@ -41,6 +41,11 @@ from .operators.text import (
 )
 from .operators.temporal_join import scd2_diff, scd2_join, snapshot_at
 from .functions.skew import salted_join
+from .operators.scd2_salted import (
+    scd2_incremental_adaptive,
+    scd2_incremental_salted,
+    scd2_initial_load_salted,
+)
 from .plans.build import ConcurrentWriteError, ScdTable, scd_build
 from .operators.clustering import connected_components, dedup_clusters
 from .operators.sampling import (
@@ -75,6 +80,9 @@ __all__ = [
     "scd2_diff",
     "asof_join",
     "salted_join",
+    "scd2_incremental_salted",
+    "scd2_initial_load_salted",
+    "scd2_incremental_adaptive",
     "profile_columns",
     "ConcurrentWriteError",
     "ScdTable",

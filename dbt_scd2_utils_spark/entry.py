@@ -500,6 +500,29 @@ def q_scd2_salted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_adaptive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-ADAPTIVE merge strategy
+    (operators/scd2_salted.py::scd2_incremental_adaptive — VERDICT r12
+    item 5) on the FULL staged pipeline: each merge counts versions per
+    batch key (target history + batch, one broadcast-semi agg) and
+    routes keys at/above the threshold through the salted window chain,
+    the rest through the plain chain.  The threshold (80) sits inside
+    the feed's own skew at every gate scale (~7-9% of keys route
+    salted, the rest plain), so the gate exercises BOTH routes and the
+    union seam in one row; the oracle is the same full-refresh
+    derivation as scd2_incremental_merge — routing must be value-
+    invisible.  Threshold boundary behavior and the accumulated-hotness
+    rule are pinned in tests/test_property_salted_scd2.py."""
+    prepare(spark)
+    from .operators.scd2_salted import scd2_incremental_adaptive
+
+    target = _staged_target(spark, sf_dir, SCD2_CFG, "collapse")
+    b2 = _split(change_feed(spark, sf_dir))[1]
+    return scd2_incremental_adaptive(
+        target, b2, SCD2_CFG, salts=4, hot_key_threshold=80
+    )
+
+
 def q_scd2_incremental_no_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-previous branch: persisted versions are never dropped; the
     oracle re-derives the staged pipeline CTE-for-CTE."""
@@ -3155,21 +3178,21 @@ SEMANTICS_CHANGED: dict[str, int] = {
     # committed green row at-or-after the change — re-gate every query
     # that routes through the chain.
     "scd2_initial_load": 10,
-    "scd2_incremental_merge": 10,
-    "scd2_incremental_no_collapse": 10,
-    "scd2_incremental_update_all_false": 10,
+    "scd2_incremental_merge": 13,  # folded: r13 alignment
+    "scd2_incremental_no_collapse": 13,  # folded: r13 alignment
+    "scd2_incremental_update_all_false": 13,  # folded: r13 alignment
     "scd2_composite_null_key": 10,
     "scd2_born_deleted": 10,
     "scd2_loaded_at_tiebreak": 10,
     "scd2_change_columns_exclude": 10,
     "scd2_change_columns_include": 10,
-    "scd2_incremental_predicates": 10,
+    "scd2_incremental_predicates": 13,  # folded: r13 alignment
     "scd2_diff_cdc": 10,
     "scd2_current_snapshot": 10,
     "scd2_snapshot_asof": 10,
-    "scd2_sequence_replay": 10,
+    "scd2_sequence_replay": 13,  # folded: r13 alignment
     # (also r11 _drain_stream, folded)
-    "streaming_scd2_merge": 11,
+    "streaming_scd2_merge": 13,  # folded: r13 alignment
     "streaming_scd2_stateful": 11,
     "invariant_one_current_per_key": 10,
     "invariant_no_validity_overlaps": 10,
@@ -3195,11 +3218,25 @@ SEMANTICS_CHANGED: dict[str, int] = {
     # r11: the salted chain gained a missing-column guard ahead of the
     # updated_at type gate (scd2_salted.py) — error-path only, but the
     # entry function the query calls changed.
-    "scd2_salted_merge": 11,
+    "scd2_salted_merge": 13,  # folded: r13 alignment
     # r12: artifact path now session-memoized (one /tmp dir per session
     # instead of one per invocation — r11 judge nit); scoring unchanged
     # but the query's code path changed.
     "dsir_score_loaded": 12,
+    # r13: scd2_incremental now runs align_evolved_schemas first (schema
+    # evolution — a driver-side no-op when schemas match, pinned identity
+    # in tests/test_bucketed_build.py) — re-gate every already-gated query
+    # that routes through the incremental merge.  The r10-tier chain
+    # queries (incremental_merge / no_collapse / update_all_false /
+    # predicates / sequence_replay) are in the r13 rotation window anyway;
+    # these FOLDED pins (one literal per key, latest round wins) cover the
+    # rest.  scd2_read_at_gen / scd2_rebucket / streaming_scd2_bucketed
+    # additionally sit on the r13 build.py diff (degraded-lock guards) and
+    # the streaming sink's conflict backoff; streaming_scd2_bucketed also
+    # changed its staging rig (memoized source dir).
+    "streaming_scd2_bucketed": 13,
+    "scd2_read_at_gen": 13,
+    "scd2_rebucket": 13,
 }
 
 
@@ -3327,6 +3364,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_initial_load": q_scd2_initial_load,
         "scd2_incremental_merge": q_scd2_incremental_merge,
         "scd2_salted_merge": q_scd2_salted_merge,
+        "scd2_adaptive_merge": q_scd2_adaptive_merge,
         "scd2_incremental_no_collapse": q_scd2_incremental_no_collapse,
         "scd2_incremental_update_all_false": q_scd2_incremental_update_all_false,
         "scd2_composite_null_key": q_scd2_composite_null_key,
@@ -3498,6 +3536,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_salted_merge": (
             f"select * from ({scd2_built}) where user_id % 50 = 0"
         ),
+        # Adaptive routing (plain below / salted at-or-above the measured
+        # threshold) is value-invisible: the full-refresh oracle again.
+        "scd2_adaptive_merge": scd2_built,
         # Same equivalence, exercised through the foreachBatch stream sink.
         "streaming_scd2_merge": scd2_built,
         # And through the state-store CDC operator (events reconstructed).

@@ -452,13 +452,20 @@ def scd2_incremental_salted(
     salts: int = 32,
     hot_key_threshold: int = 1_000_000,
     hot_keys: DataFrame | None = None,
+    route_log: list | None = None,
     **kwargs,
 ) -> DataFrame:
     """``scd2_incremental`` with hot keys routed through the salted
     strategy.  Hotness counts target versions OF BATCH KEYS plus batch
     rows (the merge's window chain only ever sees that union), so
     detection costs one broadcast-semi scan — comparable to the merge's
-    own previous-records pass."""
+    own previous-records pass.
+
+    ``route_log``, when given, receives one ``("plain"|"salted", n_hot)``
+    tuple per call — observability for the adaptive default
+    (:func:`scd2_incremental_adaptive`) and its routing pins; the hot
+    path is untouched when it is None (the salted branch pays one extra
+    count over the already-persisted, few-row hot-key set)."""
     cfg = cfg.validate()
     _require_orderable_updated_at(batch, cfg)
     # The target's column participates in the same windows after the
@@ -488,7 +495,11 @@ def scd2_incremental_salted(
     if not hot_keys.limit(1).count():
         if own_hot:
             hot_keys.unpersist()
+        if route_log is not None:
+            route_log.append(("plain", 0))
         return scd2_incremental(target, batch, cfg, **kwargs)
+    if route_log is not None:
+        route_log.append(("salted", hot_keys.count()))
     hot_t, norm_t = _split(target, cfg, hot_keys)
     hot_b, norm_b = _split(batch, cfg, hot_keys)
     strat = SaltedKeyWindows(salts)
@@ -502,3 +513,56 @@ def scd2_incremental_salted(
         + ([hot_keys] if own_hot else [])
     )
     return out
+
+
+# The measured local[32] crossover for the salted chain routed THROUGH the
+# bucketed generational sink sits between 1M and 4M hot versions/key
+# (BASELINE round-12g / round-13, scripts/salted_bucketed_compose.py: plain
+# still wins at 1M — the chain's checkpoint overhead exceeds the straggler
+# saving — and salted wins by 4M, well before the ~10M bytes-per-task
+# memory wall from round 11c).  The adaptive default routes at 2M: inside
+# the band, so neither side of the crossover is mis-routed by more than the
+# band's own measurement noise.
+ADAPTIVE_HOT_KEY_THRESHOLD = 2_000_000
+
+
+def scd2_incremental_adaptive(
+    target: DataFrame,
+    batch: DataFrame,
+    cfg: ScdConfig,
+    salts: int = 32,
+    hot_key_threshold: int = ADAPTIVE_HOT_KEY_THRESHOLD,
+    hot_keys: DataFrame | None = None,
+    route_log: list | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Skew-ADAPTIVE SCD2 merge strategy — the opt-in ``merge_fn`` that
+    removes the know-your-skew-in-advance requirement (VERDICT r12 item
+    5): pass ``ScdTable(..., merge_fn=scd2_incremental_adaptive)`` (or to
+    ``Scd2BucketedSink``/``scd_build``) and each merge measures the
+    batch's own skew and routes itself.
+
+    Per merge, one cheap aggregation (a broadcast-semi scan of the
+    affected target slice plus the batch — comparable to the merge's own
+    previous-records pass) counts versions per key for exactly the keys
+    this batch touches; keys at or above ``hot_key_threshold`` take the
+    salted window chain, everything else the plain chain, and the two
+    results union (SCD2 is per-key independent, so the split is exact —
+    the equivalence is pinned both sides of the threshold in
+    tests/test_property_salted_scd2.py).  Hotness counts TARGET versions
+    of batch keys plus batch rows, not batch rows alone: a key that grew
+    hot across ten thousand small batches must still route salted, which
+    a batch-only count would never notice.
+
+    The default threshold sits inside the measured plain/salted crossover
+    band for the composed (bucketed × salted) sink — see
+    ``ADAPTIVE_HOT_KEY_THRESHOLD`` above.  ``route_log`` exposes each
+    call's decision as ``("plain"|"salted", n_hot_keys)``."""
+    return scd2_incremental_salted(
+        target, batch, cfg,
+        salts=salts,
+        hot_key_threshold=hot_key_threshold,
+        hot_keys=hot_keys,
+        route_log=route_log,
+        **kwargs,
+    )

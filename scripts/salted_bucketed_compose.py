@@ -20,6 +20,12 @@ until the hot key's window partition approaches executor-memory scale
 crossover sits WHEN ROUTED THROUGH THE BUCKETED SINK so the composition
 has its own measured row, not an inference from the unbucketed runs.
 
+Round-13 extension: a third flavor, ``auto`` (scd2_incremental_adaptive
+at its shipped default threshold), merges the SAME provocation — the row
+records which route it picked and its wall clock, so the BASELINE table
+shows the adaptive default choosing the measured winner on each side of
+the crossover band (VERDICT r12 item 5).
+
 Usage: python scripts/salted_bucketed_compose.py [H ...]  (default 1M 4M)
 """
 
@@ -85,16 +91,27 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     spark = get_spark("salted-bucketed", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    from dbt_scd2_utils_spark.operators.scd2_salted import (  # noqa: E402
+        scd2_incremental_adaptive,
+    )
+
+    route_log: list = []
     flavors = {
         "plain": None,
         "salted": partial(
             scd2_incremental_salted, salts=16, hot_key_threshold=200_000
+        ),
+        # The shipped default: routes itself per merge (threshold 2M sits
+        # inside the measured 1M..4M crossover band).
+        "auto": partial(
+            scd2_incremental_adaptive, salts=16, route_log=route_log
         ),
     }
     for h in hs:
         batch = hot_batch(spark, h).persist()
         batch.count()  # materialize the provocation outside timing
         fps = {}
+        route_log.clear()
         row = {"metric": "salted_bucketed_compose", "hot_versions": h}
         for name, fn in flavors.items():
             base = tempfile.mkdtemp(prefix=f"sbc_{name}_")
@@ -112,7 +129,8 @@ def main() -> None:
             }
             shutil.rmtree(base, ignore_errors=True)
         batch.unpersist()
-        row["value_parity"] = fps["plain"] == fps["salted"]
+        row["auto_route"] = route_log[0][0] if route_log else None
+        row["value_parity"] = len(set(fps.values())) == 1
         print(json.dumps(row))
         assert row["value_parity"], f"flavors diverged at H={h}"
 

@@ -150,3 +150,99 @@ def test_salted_rejects_unorderable_updated_at(spark):
         scd2_initial_load_salted(df, cfg, hot_key_threshold=1)
     with _pytest.raises(ValueError, match="temporal or numeric"):
         scd2_incremental_salted(df, df, cfg, hot_key_threshold=1)
+
+
+def test_adaptive_merge_routes_by_measured_skew_and_is_exact(spark):
+    """scd2_incremental_adaptive (the opt-in merge_fn that removes the
+    know-your-skew-in-advance requirement): below the threshold every
+    merge routes PLAIN (zero salted machinery in the plan), above it the
+    hot key routes SALTED — and the output is exactly the unsalted
+    chain's on BOTH sides of the threshold.  Hotness must count target
+    versions of batch keys plus batch rows, not batch rows alone: the
+    accumulation leg feeds a tiny batch onto a key whose HISTORY crosses
+    the threshold and still expects the salted route."""
+    from dbt_scd2_utils_spark.operators.scd2_salted import (
+        scd2_incremental_adaptive,
+    )
+
+    rows = [
+        (0, f"v{i}", BASE + dt.timedelta(minutes=i)) for i in range(120)
+    ] + [(k, "x", BASE) for k in range(1, 20)]
+    feed = spark.createDataFrame(
+        rows, "k int, payload string, _updated_at timestamp"
+    )
+    cfg = ScdConfig(unique_key=("k",), default_valid_to="2200-01-01 00:00:00")
+    split = F.lit((BASE + dt.timedelta(minutes=60)).isoformat()).cast("timestamp")
+    target = scd2_initial_load(feed.filter(F.col("_updated_at") <= split), cfg)
+    b2 = feed.filter(F.col("_updated_at") > split)
+    want = scd2_incremental(target, b2, cfg)
+
+    # Above every key's volume: plain route, value-identical.
+    log: list = []
+    out = scd2_incremental_adaptive(
+        target, b2, cfg, salts=4, hot_key_threshold=10_000, route_log=log
+    )
+    assert log == [("plain", 0)]
+    assert _same(out, want) == 0
+
+    # Threshold inside the skew: key 0 (61 target versions + 60 batch
+    # rows) routes salted, the cold keys stay plain — still identical.
+    log = []
+    out = scd2_incremental_adaptive(
+        target, b2, cfg, salts=4, hot_key_threshold=100, route_log=log
+    )
+    assert log == [("salted", 1)]
+    assert _same(out, want) == 0
+
+    # Accumulated hotness: a 1-row batch for key 0 must still route
+    # salted once its HISTORY crosses the threshold (a batch-only count
+    # would never notice).
+    tiny = spark.createDataFrame(
+        [(0, "final", BASE + dt.timedelta(days=2))],
+        "k int, payload string, _updated_at timestamp",
+    )
+    log = []
+    out = scd2_incremental_adaptive(
+        want, tiny, cfg, salts=4, hot_key_threshold=100, route_log=log
+    )
+    assert log == [("salted", 1)]
+    assert _same(out, scd2_incremental(want, tiny, cfg)) == 0
+
+
+def test_adaptive_merge_composes_with_bucketed_sink(spark, tmp_path):
+    """merge_fn=scd2_incremental_adaptive through the bucketed
+    generational ScdTable: the staged table must equal the plain-merged
+    twin while the route log shows the adaptive decision actually ran
+    (the composition seam is the same merge_fn plumbing the salted chain
+    uses — BASELINE 12g)."""
+    from functools import partial
+
+    from dbt_scd2_utils_spark.operators.scd2_salted import (
+        scd2_incremental_adaptive,
+    )
+    from dbt_scd2_utils_spark.plans.build import ScdTable
+
+    rows1 = [(k, "a", BASE) for k in range(40)]
+    rows2 = [
+        (0, f"v{i}", BASE + dt.timedelta(minutes=1 + i)) for i in range(50)
+    ] + [(k, "b", BASE + dt.timedelta(hours=2)) for k in range(1, 40)]
+    cfg = ScdConfig(unique_key=("k",), default_valid_to="2200-01-01 00:00:00")
+    schema = "k int, payload string, _updated_at timestamp"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    log: list = []
+    adaptive = ScdTable(
+        spark, str(tmp_path / "adaptive"), cfg, partition_buckets=8,
+        merge_fn=partial(
+            scd2_incremental_adaptive, salts=4, hot_key_threshold=50,
+            route_log=log,
+        ),
+    )
+    plain = ScdTable(spark, str(tmp_path / "plain"), cfg, partition_buckets=8)
+    for t in (adaptive, plain):
+        t.build(b1)
+        t.build(b2)
+    assert log == [("salted", 1)], "key 0 (51 versions) must route salted"
+    got, want = adaptive.read(), plain.read()
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
