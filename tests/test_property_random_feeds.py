@@ -118,3 +118,49 @@ def test_non_chronological_split_keeps_invariants(spark, seed):
         state = spark.createDataFrame(state.collect(), state.schema)
         state = scd2_incremental(state, df, CFG)
         assert_invariants(state, CFG)
+
+
+@pytest.mark.parametrize("seed", [11, 99])
+def test_random_feed_schema_evolution_equivalence(spark, seed):
+    """Schema evolution under the messy random feed: batch 1 predates the
+    'amount' column (add-column at batch 2) and batch 3 stops sending
+    'payload' (drop-column).  Every step must equal the same merge over
+    PRE-ALIGNED inputs (the missing column supplied as an explicit NULL
+    frame) — align_evolved_schemas is plumbing, never a semantic fork —
+    and all SCD2 invariants must hold throughout."""
+    rows = gen_feed(seed)
+    b1, b2, b3 = chronological_batches(rows, seed)
+    base_schema = (
+        "k1 int, k2 string, payload string, "
+        "deleted_at timestamp, _updated_at timestamp"
+    )
+    dropped_schema = (
+        "k1 int, k2 string, amount double, "
+        "deleted_at timestamp, _updated_at timestamp"
+    )
+    amount_null = F.lit(None).cast("double")
+    payload_null = F.lit(None).cast("string")
+
+    # Engine path: evolution handled by the merge itself.
+    df1 = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[4], r[5]) for r in b1], base_schema
+    )
+    df2 = spark.createDataFrame(b2, SCHEMA)
+    df3 = spark.createDataFrame(
+        [(r[0], r[1], r[3], r[4], r[5]) for r in b3], dropped_schema
+    )
+    state = scd2_initial_load(df1, CFG)
+    state = scd2_incremental(state, df2, CFG)
+    assert_invariants(state, CFG)
+    state = scd2_incremental(state, df3, CFG)
+    assert_invariants(state, CFG)
+
+    # Oracle path: the identical merges with the evolution pre-applied.
+    want = scd2_initial_load(df1.withColumn("amount", amount_null), CFG)
+    want = scd2_incremental(want, df2, CFG)
+    want = scd2_incremental(
+        want, df3.withColumn("payload", payload_null), CFG
+    )
+    assert (
+        state.exceptAll(want).count() + want.exceptAll(state).count() == 0
+    )
