@@ -303,10 +303,12 @@ def prewarm_merge_targets(spark: SparkSession, sf_dir: str) -> None:
         "no_collapse",
     )
     # Stage the bucketed generational tables too, so scd2_read_at_gen /
-    # scd2_rebucket time the recurring read (snapshot-manifest resolve +
-    # pruned scan), not the one-time staging builds.
+    # scd2_read_at_timestamp / scd2_rebucket / scd2_schema_evolution time
+    # the recurring read (snapshot-manifest resolve + pruned scan), not
+    # the one-time staging builds.
     _bucketed_scd_table(spark, sf_dir, "timetravel")
     _bucketed_scd_table(spark, sf_dir, "rebucket")
+    _bucketed_scd_table(spark, sf_dir, "evolution")
 
 
 # Build-once-probe-many indexes (same deployment semantics the IVF path
@@ -1042,8 +1044,18 @@ def q_scd2_read_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention) are pinned in tests/test_bucketed_build.py."""
     prepare(spark)
     t = _bucketed_scd_table(spark, sf_dir, "timetravel")
-    commits = {r["gen"]: r["committed_at"] for r in t.history().collect()}
-    midpoint = commits[0] + (commits[1] - commits[0]) / 2
+    # unix_micros: exact epoch micros straight off the internal value —
+    # collect()ing the TimestampType itself would yield a NAIVE datetime
+    # in the driver OS timezone (TimestampType.fromInternal uses
+    # datetime.fromtimestamp), which read_at_timestamp would then read as
+    # UTC; correct on this UTC host, wrong anywhere else (r13 self-review).
+    commits = {
+        r["gen"]: r["us"]
+        for r in t.history()
+        .select("gen", F.unix_micros("committed_at").alias("us"))
+        .collect()
+    }
+    midpoint = (commits[0] + commits[1]) / 2 / 1_000_000  # epoch seconds
     return t.read_at_timestamp(midpoint)
 
 

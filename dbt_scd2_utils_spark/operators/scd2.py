@@ -462,7 +462,16 @@ def scd2_incremental(
     count is free, it materializes the persisted source the downstream
     action needs anyway.  Pass True/False to force either shape.
     """
-    # Schema evolution (add/drop column) aligns the two sides FIRST; a
+    # Validate the RAW batch BEFORE alignment: a batch missing a
+    # config-critical column (updated_at, a unique_key component,
+    # deleted_at/created_at, an explicit check column) is a malformed
+    # input that must keep raising the reference's loud ScdConfigError —
+    # NULL-riding it as "drop-column evolution" would silently merge
+    # garbage (r13 self-review).  Only columns that SURVIVE this check
+    # can legitimately differ between the two sides.
+    cfg = cfg.validate()
+    cfg.validate_against_schema(batch.schema)
+    # Schema evolution (add/drop column) aligns the two sides next; a
     # no-op driver-side when schemas agree (see align_evolved_schemas).
     target, batch = align_evolved_schemas(target, batch, cfg)
     source, prev, business_cols = build_scd2_merge_source(

@@ -275,6 +275,39 @@ class ScdTable:
                 except OSError:
                     pass
 
+    def _retained_manifests(self) -> dict[int, dict]:
+        """gen -> manifest for every RETAINED generation: the per-gen
+        snapshot files plus the current manifest (which always serves its
+        own generation even if its snapshot copy is missing).  Driver-local
+        JSON reads, O(retained); unreadable/malformed files are skipped.
+        The single source of truth for which generations time travel can
+        serve — ``history()`` and ``read_at_timestamp()`` both resolve
+        through it."""
+        out: dict[int, dict] = {}
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            names = []
+        for name in names:
+            if not (
+                name.startswith("_scd_manifest.") and name.endswith(".json")
+            ):
+                continue
+            stem = name[len("_scd_manifest."):-len(".json")]
+            if not stem.isdigit():
+                continue
+            try:
+                with open(os.path.join(self.path, name)) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if isinstance(m.get("gen"), int) and m["gen"] not in out:
+                out[m["gen"]] = m
+        current = self._read_manifest()
+        if current is not None and isinstance(current.get("gen"), int):
+            out.setdefault(current["gen"], current)
+        return out
+
     def history(self) -> DataFrame:
         """Commit history over the RETAINED generations (Delta's
         ``DESCRIBE HISTORY`` in miniature), newest first — one row per
@@ -309,33 +342,7 @@ class ScdTable:
             StructField("readable", BooleanType()),
         ])
         rows = []
-        seen: set[int] = set()
-        manifests: list[dict] = []
-        try:
-            names = os.listdir(self.path)
-        except OSError:
-            names = []
-        for name in names:
-            if not (
-                name.startswith("_scd_manifest.") and name.endswith(".json")
-            ):
-                continue
-            stem = name[len("_scd_manifest."):-len(".json")]
-            if not stem.isdigit():
-                continue
-            try:
-                with open(os.path.join(self.path, name)) as f:
-                    manifests.append(json.load(f))
-            except (OSError, ValueError):
-                continue
-        current = self._read_manifest()
-        if current is not None and "gen" in current:
-            manifests.append(current)
-        for m in manifests:
-            g = m.get("gen")
-            if not isinstance(g, int) or g in seen:
-                continue
-            seen.add(g)
+        for g, m in self._retained_manifests().items():
             buckets = m.get("buckets") or {}
             entry_rows = [e.get("rows", -1) for e in buckets.values()]
             ts = m.get("committed_at")
@@ -424,34 +431,12 @@ class ScdTable:
                 f"or epoch seconds (got {type(ts).__name__})"
             )
         # Resolve over the retained snapshot manifests + the current one —
-        # the exact set read_at_gen can serve (driver-local JSON reads,
-        # O(retained), never a data scan).
-        candidates: dict[int, float] = {}
-        try:
-            names = os.listdir(self.path)
-        except OSError:
-            names = []
-        for name in names:
-            if not (
-                name.startswith("_scd_manifest.") and name.endswith(".json")
-            ):
-                continue
-            stem = name[len("_scd_manifest."):-len(".json")]
-            if not stem.isdigit():
-                continue
-            try:
-                with open(os.path.join(self.path, name)) as f:
-                    m = json.load(f)
-            except (OSError, ValueError):
-                continue
-            g, c = m.get("gen"), m.get("committed_at")
-            if isinstance(g, int) and isinstance(c, (int, float)):
-                candidates[g] = float(c)
-        current = self._read_manifest()
-        if current is not None:
-            g, c = current.get("gen"), current.get("committed_at")
-            if isinstance(g, int) and isinstance(c, (int, float)):
-                candidates.setdefault(g, float(c))
+        # the exact set read_at_gen can serve (see _retained_manifests).
+        candidates: dict[int, float] = {
+            g: float(m["committed_at"])
+            for g, m in self._retained_manifests().items()
+            if isinstance(m.get("committed_at"), (int, float))
+        }
         # Compare at whole-microsecond precision: ``committed_at`` is a
         # ``time.time()`` float with sub-microsecond bits, but the public
         # surface (``history()``'s TimestampType) truncates to micros — an
@@ -460,6 +445,7 @@ class ScdTable:
         us = round(epoch * 1_000_000)
         hits = [g for g, c in candidates.items() if round(c * 1_000_000) <= us]
         if not hits:
+            current = self._read_manifest()
             cur = (current or {}).get("gen")
             earliest = (
                 min(candidates.values()) if candidates else None

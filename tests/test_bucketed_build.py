@@ -451,9 +451,16 @@ def test_read_at_timestamp_boundaries(spark, tmp_path):
     t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
     t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 2
 
+    # unix_micros, not collect()ed timestamps: TimestampType.fromInternal
+    # returns naive datetimes in the DRIVER OS timezone, which would only
+    # be UTC-correct on a UTC host (r13 self-review).
     commits = {
-        r["gen"]: r["committed_at"].replace(tzinfo=datetime.timezone.utc)
-        for r in t.history().collect()
+        r["gen"]: datetime.datetime.fromtimestamp(
+            r["us"] / 1_000_000, datetime.timezone.utc
+        )
+        for r in t.history()
+        .select("gen", F.unix_micros("committed_at").alias("us"))
+        .collect()
     }
     g0, g1, g2 = commits[0], commits[1], commits[2]
     assert g0 < g1 < g2  # builds are seconds apart; ties impossible here
@@ -1182,6 +1189,33 @@ def test_schema_evolution_drop_column_merge(spark, tmp_path):
     b2_aligned = b2_dropped.withColumn("email", F.lit(None).cast("string"))
     want = scd2_incremental(scd2_initial_load(b1, CFG), b2_aligned, CFG)
     _assert_same(out, want)
+
+
+def test_schema_evolution_never_masks_config_critical_columns(spark):
+    """A batch missing a CONFIG-CRITICAL column (updated_at, a unique_key
+    component, the configured deleted_at) is a malformed input, not a
+    drop-column evolution: the raw batch is validated BEFORE alignment,
+    so the reference's loud ScdConfigError still fires instead of the
+    column silently riding along as NULL (r13 self-review)."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.operators.scd2 import (
+        scd2_incremental,
+        scd2_initial_load,
+    )
+    from dbt_scd2_utils_spark.plans.config import ScdConfigError
+
+    target = scd2_initial_load(
+        spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA), CFG
+    )
+    full = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    for col, msg in (
+        ("_updated_at", "updated_at_column"),
+        ("customer_id", "unique_key column"),
+        ("deleted_at", "deleted_at_column"),
+    ):
+        with _pytest.raises(ScdConfigError, match=msg):
+            scd2_incremental(target, full.drop(col), CFG)
 
 
 def test_schema_alignment_is_noop_when_schemas_match(spark):
