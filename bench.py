@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "scd2_schema_evolution",
     "scd2_read_at_gen",
     "scd2_read_at_timestamp",
+    "scd2_key_lookup",
     "scd2_rebucket",
     "streaming_scd2_bucketed",
     "streaming_daily_rollup",

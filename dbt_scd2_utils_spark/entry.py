@@ -1059,6 +1059,27 @@ def q_scd2_read_at_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_at_timestamp(midpoint)
 
 
+def q_scd2_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned key lookup on the generational sink
+    (plans/build.py::ScdTable.read_keys): fetch every retained version
+    of a 2%-of-keys set while scanning ONLY the bucket partitions those
+    keys hash into (manifest-resolved leaf files + one broadcast
+    left-semi join — the big side never shuffles).  The read-side twin
+    of the merge path's O(affected buckets) claim, for consumers: at
+    100 TB a point-lookup service reads k/bucket_count of the dimension,
+    not all of it.  The oracle is the full-refresh derivation filtered
+    to the same keys; the strict-subset file-pruning proof is pinned in
+    tests/test_bucketed_build.py."""
+    prepare(spark)
+    t = _bucketed_scd_table(spark, sf_dir, "timetravel")
+    keys = (
+        change_feed(spark, sf_dir)
+        .filter(F.col("user_id") % 50 == 0)
+        .select("user_id")
+    )
+    return t.read_keys(keys)
+
+
 def q_scd2_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rebucket()`` value identity: the staged 8-bucket table is
     re-laid-out to 16 buckets through one generational commit
@@ -3402,6 +3423,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_schema_evolution": q_scd2_schema_evolution,
         "scd2_read_at_gen": q_scd2_read_at_gen,
         "scd2_read_at_timestamp": q_scd2_read_at_timestamp,
+        "scd2_key_lookup": q_scd2_key_lookup,
         "scd2_rebucket": q_scd2_rebucket,
         "streaming_scd2_bucketed": q_streaming_scd2_bucketed,
         "events_sessionize": q_events_sessionize,
@@ -3575,6 +3597,12 @@ def oracle_sql() -> dict[str, str]:
         # serve the same gen-0 snapshot the generation read serves.
         "scd2_read_at_timestamp": scd2_initial_load_sql(
             _b1_sql(FEED_SQL), SCD2_SPEC
+        ),
+        # Bucket-pruned lookup of a 2%-of-keys set: every retained version
+        # of those keys, scanning only their buckets — the full-refresh
+        # derivation filtered to the same keys is the exact oracle.
+        "scd2_key_lookup": (
+            f"select * from ({scd2_built}) where user_id % 50 = 0"
         ),
         # rebucket() is a pure layout change: post-rebucket read must
         # still equal the full-refresh derivation over the whole feed.

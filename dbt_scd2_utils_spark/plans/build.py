@@ -401,6 +401,62 @@ class ScdTable:
             return self.spark.read.option("mergeSchema", "true").parquet(*files)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def read_keys(self, keys: DataFrame) -> DataFrame:
+        """Bucket-pruned key lookup: return every retained version of the
+        requested keys while SCANNING only the bucket partitions those
+        keys hash into — the read-side twin of the merge path's pruning.
+        At 100 TB a consumer fetching k keys from the dimension reads
+        O(k/bucket_count) of it (manifest-resolved leaf files, no
+        partition discovery), not the whole table; the final filter is a
+        broadcast left-semi join on the null-safe business key, so the
+        big side never shuffles.
+
+        ``keys`` is a DataFrame carrying (at least) the table's
+        ``unique_key`` columns — typically small (a service's point
+        lookups, a downstream join's key set); it is deduplicated and
+        broadcast.  The driver-side collect is of distinct BUCKET IDS
+        only (bounded by ``bucket_count``, never by key count).
+        Unbucketed tables fall back to the same semi-join over the full
+        read — correct, just unpruned."""
+        key_cols = list(self.cfg.unique_key)
+        cand = keys.select(*key_cols).distinct()
+        manifest = self._read_manifest()
+        self._adopt_bucket_count(manifest)
+
+        def _semi(df: DataFrame) -> DataFrame:
+            cond = None
+            for k in key_cols:
+                c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+                cond = c if cond is None else cond & c
+            return (
+                df.alias("l")
+                .join(F.broadcast(cand).alias("r"), cond, "left_semi")
+            )
+
+        if (
+            not self.partition_buckets
+            or manifest is None
+            or not manifest.get("schema")
+        ):
+            return _semi(self.read())
+        affected = [
+            r[0]
+            for r in cand.select(self._bucket_expr(cand).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        files, stale = self._affected_files(manifest, affected)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        if stale:
+            slice_df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        else:
+            slice_df = self.spark.read.schema(schema).parquet(*files)
+        return _semi(slice_df)
+
     def read_at_timestamp(self, ts) -> DataFrame:
         """Time-travel read by COMMIT INSTANT (Delta's ``TIMESTAMP AS OF``
         in miniature): serve the latest generation whose ``committed_at``

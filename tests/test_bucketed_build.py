@@ -434,6 +434,48 @@ def test_read_at_gen_time_travel(spark, tmp_path):
     )
 
 
+def test_read_keys_prunes_to_affected_buckets(spark, tmp_path):
+    """read_keys returns exactly the full read's rows for the requested
+    keys while SCANNING only the buckets those keys hash into: the
+    planned input files must be a strict subset of the table's files,
+    confined to the affected buckets' manifest entries.  NULL-safe on
+    key equality, and correct (just unpruned) on an unbucketed table."""
+    path = str(tmp_path / "lookup")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+
+    keys = spark.createDataFrame([(1,), (2,)], "customer_id int")
+    got = t.read_keys(keys)
+    want = t.read().filter(F.col("customer_id").isin(1, 2))
+    _assert_same(got, want)
+    assert got.count() > 0
+
+    # Pruning: planned leaf files ⊆ the affected buckets' manifest paths,
+    # and strictly fewer than the whole table's.
+    m = t._read_manifest()
+    affected = {
+        str(r[0])
+        for r in keys.select(t._bucket_expr(keys).alias("b")).distinct().collect()
+    }
+    allowed = {
+        os.path.join(path, rel)
+        for b in affected
+        for rel in t._entry_paths(b, m["buckets"][b])
+    }
+    total = sum(len(e["paths"]) for e in m["buckets"].values())
+    scanned = {f.removeprefix("file://") for f in got.inputFiles()}
+    assert scanned and scanned <= allowed, "lookup scanned an unaffected bucket"
+    assert len(allowed) < total, "fixture must spread keys over >1 bucket"
+
+    # Unbucketed fallback: same rows, no manifest machinery.
+    plain = ScdTable(spark, str(tmp_path / "plain"), CFG)
+    plain.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    plain.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    got_plain = plain.read_keys(keys)
+    _assert_same(got_plain, want)
+
+
 def test_read_at_timestamp_boundaries(spark, tmp_path):
     """TIMESTAMP AS OF twin of read_at_gen: resolves the latest retained
     generation with committed_at <= ts.  Boundaries: the exact commit
