@@ -3270,6 +3270,11 @@ SEMANTICS_CHANGED: dict[str, int] = {
     "streaming_scd2_bucketed": 13,
     "scd2_read_at_gen": 13,
     "scd2_rebucket": 13,
+    # r13 late additions: the type-0/1 merges gained the same
+    # align_evolved_schemas step (after their raw-batch validation) —
+    # re-gate both merge gates under the changed path.
+    "scd1_incremental_merge": 13,
+    "scd0_incremental_merge": 13,
 }
 
 

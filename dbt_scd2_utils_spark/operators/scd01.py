@@ -96,9 +96,17 @@ def scd1_incremental(
     broadcast_source: bool = True,
 ) -> DataFrame:
     """SCD1 merge: matched → overwrite business (non-key) columns, keep audit
-    columns untouched (first-seen _valid_from survives); not matched → insert."""
+    columns untouched (first-seen _valid_from survives); not matched → insert.
+
+    Schema evolution matches the SCD2 merge (``align_evolved_schemas``,
+    applied AFTER the loud config validation of the raw batch): an added
+    column is NULL on rows the batch doesn't overwrite, a dropped column
+    overwrites to NULL on matched keys and survives on unmatched ones."""
+    from .scd2 import align_evolved_schemas
+
     cfg = cfg.with_overrides(scd_type=1)
     cfg.validate().validate_against_schema(batch.schema)
+    target, batch = align_evolved_schemas(target, batch, cfg)
     business_cols = cfg.business_columns(batch.columns)
     source = _scd01_audit(
         _dedup_latest_or_earliest(
@@ -117,9 +125,16 @@ def scd0_incremental(
     target: DataFrame, batch: DataFrame, cfg: ScdConfig,
     broadcast_source: bool = True,
 ) -> DataFrame:
-    """SCD0 merge: insert-only — existing keys retained untouched."""
+    """SCD0 merge: insert-only — existing keys retained untouched.
+
+    Schema evolution as in SCD1/SCD2: insert-only semantics mean an added
+    column is NULL on every pre-evolution row (type 0 never rewrites) and
+    a dropped column is NULL only on post-evolution inserts."""
+    from .scd2 import align_evolved_schemas
+
     cfg = cfg.with_overrides(scd_type=0)
     cfg.validate().validate_against_schema(batch.schema)
+    target, batch = align_evolved_schemas(target, batch, cfg)
     business_cols = cfg.business_columns(batch.columns)
     source = _scd01_audit(
         _dedup_latest_or_earliest(

@@ -193,3 +193,59 @@ def test_scd0_staged_equals_full_refresh(spark):
     )
     assert null_rows == expected_null
     final.unpersist(), union_all.unpersist()
+
+
+def test_scd01_schema_evolution_equals_prealigned_merge(spark):
+    """Schema evolution on the type-0/1 merges (align_evolved_schemas,
+    shared with SCD2): an add-column batch must merge exactly as if the
+    target carried the column as NULL, a drop-column batch exactly as if
+    the batch carried NULL — and a batch missing a CONFIG-critical
+    column must still raise the loud ScdConfigError (validation runs on
+    the raw batch, before alignment)."""
+    import pytest as _pytest
+
+    from dbt_scd2_utils_spark.plans.config import ScdConfigError
+
+    cfg = ScdConfig(unique_key=("k",), default_valid_to="2200-01-01 00:00:00")
+    base = datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [(k, f"p{k}", base) for k in range(6)],
+        "k int, payload string, _updated_at timestamp",
+    )
+    b2_evo = spark.createDataFrame(
+        [(k, f"q{k}", "gold", base + timedelta(days=1)) for k in range(3)],
+        "k int, payload string, tier string, _updated_at timestamp",
+    )
+    null_tier = F.lit(None).cast("string")
+
+    for inc, init in (
+        (scd1_incremental, scd1_initial_load),
+        (scd0_incremental, scd0_initial_load),
+    ):
+        target = init(b1, cfg)
+        got = inc(target, b2_evo, cfg)
+        assert "tier" in got.columns
+        want = inc(target.withColumn("tier", null_tier), b2_evo, cfg)
+        assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+        # SCD0 never rewrites → tier NULL everywhere; SCD1 overwrites the
+        # matched keys with the batch's value.
+        gold = got.filter(F.col("tier") == "gold").count()
+        assert gold == (3 if inc is scd1_incremental else 0)
+
+        # drop-column: batch without payload rides NULL, history survives.
+        b3 = spark.createDataFrame(
+            [(1, base + timedelta(days=2))], "k int, _updated_at timestamp"
+        )
+        got3 = inc(got, b3, cfg)
+        assert "payload" in got3.columns
+        want3 = inc(
+            got, b3.withColumn("payload", null_tier).withColumn("tier", null_tier),
+            cfg,
+        )
+        assert got3.exceptAll(want3).count() + want3.exceptAll(got3).count() == 0
+
+        # config-critical columns still fail loudly.
+        with _pytest.raises(ScdConfigError, match="updated_at_column"):
+            inc(got, b2_evo.drop("_updated_at"), cfg)
+        with _pytest.raises(ScdConfigError, match="unique_key column"):
+            inc(got, b2_evo.drop("k"), cfg)
