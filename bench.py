@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "scd2_read_at_timestamp",
     "scd2_key_lookup",
     "scd2_rebucket",
+    "scd2_restore",
+    "scd2_delete_keys",
     "streaming_scd2_bucketed",
     "streaming_daily_rollup",
     "streaming_sessionize",

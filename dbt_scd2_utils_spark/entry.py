@@ -309,6 +309,8 @@ def prewarm_merge_targets(spark: SparkSession, sf_dir: str) -> None:
     _bucketed_scd_table(spark, sf_dir, "timetravel")
     _bucketed_scd_table(spark, sf_dir, "rebucket")
     _bucketed_scd_table(spark, sf_dir, "evolution")
+    _bucketed_scd_table(spark, sf_dir, "restore")
+    _bucketed_scd_table(spark, sf_dir, "delete")
 
 
 # Build-once-probe-many indexes (same deployment semantics the IVF path
@@ -989,7 +991,14 @@ def _bucketed_scd_table(spark: SparkSession, sf_dir: str, variant: str):
     t = _INDEX_CACHE.get(key)
     if t is None:
         base = tempfile.mkdtemp(prefix=f"scd_gate_{variant}_")
-        t = ScdTable(spark, f"{base}/tbl", SCD2_CFG, partition_buckets=8)
+        # The restore gate re-restores generation 0 on EVERY invocation
+        # (each one a new commit), so its table needs gen 0 retained far
+        # past the default window for repeated gate/bench runs.
+        retain = 1000 if variant == "restore" else None
+        t = ScdTable(
+            spark, f"{base}/tbl", SCD2_CFG, partition_buckets=8,
+            retain_generations=retain,
+        )
         b1, b2 = _split(change_feed(spark, sf_dir))
         if variant == "evolution":
             # gen 0 on the BASE schema (no props); the gen-1 merge carries
@@ -1094,6 +1103,45 @@ def q_scd2_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     t = _bucketed_scd_table(spark, sf_dir, "rebucket")
     return t.rebucket(16)
+
+
+def q_scd2_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollback (plans/build.py::ScdTable.restore — Delta's
+    ``RESTORE TABLE ... TO VERSION AS OF`` in miniature): the staged table
+    committed gen 0 (initial load over the pre-split feed) then gen 1 (one
+    incremental merge); restoring to gen 0 commits a NEW generation that
+    REPOINTS every bucket entry at gen 0's files — zero data movement at
+    any table size — and the post-restore read must reproduce the
+    pre-merge SCD2 state exactly (the scd2_read_at_gen oracle, reached
+    through the rollback path).  The restore runs on EVERY invocation
+    (each one a real audited commit, op='restore'); superseded-ledger
+    exactness through later vacuums, layout rollback across a rebucket,
+    and the out-of-retention error are pinned in
+    tests/test_bucketed_build.py."""
+    prepare(spark)
+    return _bucketed_scd_table(spark, sf_dir, "restore").restore(0)
+
+
+def q_scd2_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned hard delete (plans/build.py::ScdTable.delete_keys —
+    the GDPR / right-to-be-forgotten path): remove EVERY retained version
+    of a 2%-of-keys set by rewriting ONLY the bucket partitions those keys
+    hash into (anti-join against the broadcast key set, committed through
+    the generational OCC transaction, op='delete').  O(affected buckets)
+    of the table at 100 TB, not a full rewrite.  The delete runs on EVERY
+    invocation (idempotent — re-deleting absent keys rewrites their
+    buckets to identical content, so the bench times a real delete
+    commit); the oracle is the full-refresh derivation minus those keys
+    (per-key independence).  Physical-erasure-after-retention and the
+    unbucketed fallback are pinned in tests/test_bucketed_build.py."""
+    prepare(spark)
+    t = _bucketed_scd_table(spark, sf_dir, "delete")
+    keys = (
+        change_feed(spark, sf_dir)
+        .filter(F.col("user_id") % 50 == 17)
+        .select("user_id")
+    )
+    return t.delete_keys(keys)
 
 
 def q_streaming_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3430,6 +3478,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_read_at_timestamp": q_scd2_read_at_timestamp,
         "scd2_key_lookup": q_scd2_key_lookup,
         "scd2_rebucket": q_scd2_rebucket,
+        "scd2_restore": q_scd2_restore,
+        "scd2_delete_keys": q_scd2_delete_keys,
         "streaming_scd2_bucketed": q_streaming_scd2_bucketed,
         "events_sessionize": q_events_sessionize,
     }
@@ -3612,6 +3662,15 @@ def oracle_sql() -> dict[str, str]:
         # rebucket() is a pure layout change: post-rebucket read must
         # still equal the full-refresh derivation over the whole feed.
         "scd2_rebucket": scd2_built,
+        # restore(0) repoints at the gen-0 state: the metadata-only
+        # rollback must serve exactly what read_at_gen(0) serves.
+        "scd2_restore": scd2_initial_load_sql(_b1_sql(FEED_SQL), SCD2_SPEC),
+        # Hard-deleting a 2%-of-keys set: per-key independence makes the
+        # full-refresh derivation MINUS those keys the exact oracle.
+        "scd2_delete_keys": (
+            f"select * from ({scd2_built}) "
+            "where user_id is null or user_id % 50 <> 17"
+        ),
         "scd2_incremental_no_collapse": scd2_incremental_no_collapse_sql(
             _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC
         ),

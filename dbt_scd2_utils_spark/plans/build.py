@@ -1227,6 +1227,8 @@ class ScdTable:
         txn_epoch: int | None = None,
         txn_app: str = "default",
         manifest: dict | None = None,
+        merge_fn=None,
+        op: str = "merge",
     ) -> None:
         """Merge only the buckets the batch touches, rewrite only those
         buckets — into a NEW immutable generation directory, committed by
@@ -1339,7 +1341,7 @@ class ScdTable:
             target_slice = scd2_initial_load(batch.limit(0), self.cfg)
         self.last_phase_times = {"list_affected": time.perf_counter() - t0}
         t0 = time.perf_counter()
-        merged = self.merge_fn(target_slice, batch, self.cfg)
+        merged = (merge_fn or self.merge_fn)(target_slice, batch, self.cfg)
         # base_gen: the committed generation this merge planned against —
         # None only when no committed new-style manifest existed (fresh
         # migration), where the rename below is the sole (sufficient) gate.
@@ -1401,7 +1403,7 @@ class ScdTable:
             # table under a longer window.
             manifest["retain"] = self._retain(manifest)
             manifest["bucket_count"] = self.partition_buckets
-            manifest["op"] = "merge"
+            manifest["op"] = op
             manifest["committed_at"] = time.time()
             if txn_epoch is not None:
                 # Recorded atomically WITH the data pointer, SCOPED per writer
@@ -1524,6 +1526,173 @@ class ScdTable:
         self.partition_buckets = new_count
         self._explicit_buckets = True
         self.spark.catalog.refreshByPath(self.path)
+        return self.read()
+
+    def restore(self, gen: int) -> DataFrame:
+        """Roll the table BACK to retained generation ``gen`` as a NEW
+        commit (Delta's ``RESTORE TABLE ... TO VERSION AS OF`` in
+        miniature).  METADATA-ONLY at any scale: every file the target
+        generation referenced is still on disk by the retention guarantee,
+        so the commit REPOINTS each bucket entry at those files — zero
+        data movement on a 100 TB table — while history keeps advancing:
+        the rollback is itself an audited commit (``op='restore'``), the
+        rolled-back-over states stay time-travel-readable for the usual
+        retention window, and a subsequent merge builds on the restored
+        state.  Restoring also restores the LAYOUT (``bucket_count`` as of
+        that generation — a rebucket in between is rolled back too).
+
+        Ledger bookkeeping keeps vacuum exact: paths this restore makes
+        live again come OFF the superseded ledger (they are referenced by
+        the new current manifest — vacuuming them would corrupt the
+        table), and the files the restore displaces (current state not in
+        the restored set) go ON it under the new generation, aging out on
+        the normal schedule.  Files shared between both states (buckets
+        untouched by the intervening commits) appear in neither list.
+
+        Same resolution rules and error shape as ``read_at_gen``: only
+        generations whose snapshot manifest is still inside the retention
+        window are restorable.  Concurrency: the commit goes through the
+        same optimistic transaction as a merge — a rival committing in
+        between raises ``ConcurrentWriteError`` with nothing visible.
+
+        Caveat (documented, deliberate): a metadata-only restore commits
+        an EMPTY generation directory, so the best-effort manifest-LOSS
+        reconstruction (newest physical generation wins per bucket) would
+        rebuild the pre-restore state; the retained per-gen snapshot
+        manifests remain the authoritative history for that (out-of-band
+        tampering) scenario — the same class of caveat as deleting a
+        Delta table's ``_delta_log``."""
+        manifest = self._read_manifest()
+        if manifest is None or "gen" not in manifest:
+            raise ValueError(
+                f"restore() needs a bucketed generational table with a "
+                f"manifest at {self.path}; rebuild unbucketed/legacy "
+                "tables with build(full_refresh=True) instead"
+            )
+        manifest.setdefault("superseded", {})
+        snap = self._retained_manifests().get(gen)
+        if snap is None or not snap.get("schema"):
+            raise ValueError(
+                f"no retained snapshot for generation {gen} "
+                f"(current gen: {manifest.get('gen')}, retention: "
+                f"{self._retain(manifest)} generations — older "
+                "snapshots are vacuumed)"
+            )
+        t0 = time.perf_counter()
+        self._sweep_orphan_generations()
+        self._sweep_stale_stages()
+        restored_buckets: dict[str, dict] = {}
+        restored_rel: set[str] = set()
+        for b, e in (snap.get("buckets") or {}).items():
+            rels = self._entry_paths(b, e)
+            restored_buckets[str(b)] = {"paths": rels, "rows": e.get("rows", -1)}
+            restored_rel.update(rels)
+        missing = sorted(
+            r for r in restored_rel
+            if not os.path.exists(os.path.join(self.path, r))
+        )
+        if missing:
+            raise ValueError(
+                f"cannot restore {self.path} to generation {gen}: "
+                f"{len(missing)} referenced file(s) are gone (vacuumed "
+                f"out-of-band?), e.g. {missing[0]}"
+            )
+        current_files, _ = self._affected_files(
+            manifest, sorted(manifest.get("buckets", {}))
+        )
+        current_rel = {os.path.relpath(p, self.path) for p in current_files}
+        displaced = sorted(current_rel - restored_rel)
+        # Re-referenced paths come OFF the ledger: they are live again, and
+        # a later commit that displaces them re-ledgers them under ITS gen.
+        for k in list(manifest["superseded"]):
+            kept = [p for p in manifest["superseded"][k] if p not in restored_rel]
+            if kept:
+                manifest["superseded"][k] = kept
+            else:
+                del manifest["superseded"][k]
+        base_gen = manifest["gen"]
+        new_gen = base_gen + 1
+        if displaced:
+            manifest["superseded"][str(new_gen)] = displaced
+        manifest["buckets"] = restored_buckets
+        manifest["gen"] = new_gen
+        manifest["schema"] = snap["schema"]
+        manifest["retain"] = self._retain(manifest)
+        new_bucket_count = snap.get("bucket_count") or self.partition_buckets
+        manifest["bucket_count"] = new_bucket_count
+        manifest["op"] = "restore"
+        manifest["committed_at"] = time.time()
+        self.last_phase_times = {"plan_restore": time.perf_counter() - t0}
+        stage_dir = self._new_stage_dir()
+        os.makedirs(stage_dir)
+        self._commit_and_vacuum(
+            stage_dir,
+            os.path.join(self.path, _gen_dirname(new_gen)),
+            base_gen,
+            manifest,
+            new_gen,
+        )
+        # Handle state flips only AFTER the commit (mirrors rebucket): an
+        # aborted transaction must leave this handle on the old mapping.
+        if new_bucket_count:
+            self.partition_buckets = new_bucket_count
+            self._explicit_buckets = True
+        self.spark.catalog.refreshByPath(self.path)
+        return self.read()
+
+    def delete_keys(self, keys: DataFrame) -> DataFrame:
+        """Hard-delete EVERY retained version of the given business keys —
+        the GDPR / right-to-be-forgotten path a training-data dimension
+        needs.  BUCKET-PRUNED: only the bucket partitions the keys hash
+        into are rewritten (an anti-join of each affected bucket's slice
+        against the broadcast key set), committed through the same
+        generational optimistic transaction as a merge (``op='delete'`` in
+        ``history()``) — O(affected buckets) of the table at 100 TB, not a
+        full rewrite, and concurrent writers conflict safely instead of
+        losing updates.
+
+        ``keys`` carries (at least) the table's ``unique_key`` columns; it
+        is deduplicated and broadcast (the big side never shuffles).  An
+        empty key set is a no-op.  Deleting keys the table does not hold
+        rewrites their buckets to identical content (idempotent).
+
+        Retention note (same story as Delta DELETE): the deleted rows
+        remain physically present in OLDER generations' files until those
+        fall out of the retention window and vacuum removes them — full
+        physical erasure = this delete + ``retain_generations`` further
+        commits (or a table created with ``retain_generations=1`` for the
+        tightest window).  Unbucketed / legacy tables fall back to a
+        full-table rewrite (no bucket map to prune by) via the atomic
+        swap path — correct, just unpruned."""
+        key_cols = list(self.cfg.unique_key)
+        cand = keys.select(*key_cols).distinct()
+
+        def _anti(target: DataFrame, batch: DataFrame, cfg) -> DataFrame:
+            cond = None
+            for k in key_cols:
+                c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+                cond = c if cond is None else cond & c
+            return (
+                target.alias("l")
+                .join(F.broadcast(batch).alias("r"), cond, "left_anti")
+            )
+
+        manifest = self._read_manifest()
+        self._adopt_bucket_count(manifest)
+        if (
+            self.partition_buckets
+            and manifest is not None
+            and manifest.get("schema")
+            and "gen" in manifest
+        ):
+            self._build_bucketed_incremental(
+                cand, manifest=manifest, merge_fn=_anti, op="delete"
+            )
+            return self.read()
+        if not self.exists():
+            raise ValueError(f"delete_keys() on a table that does not exist: {self.path}")
+        result = _anti(self.read(), cand, self.cfg)
+        self._atomic_write(result, prior_manifest=manifest)
         return self.read()
 
     def _atomic_write(

@@ -1448,3 +1448,209 @@ def test_bucketed_sink_composes_with_salted_merge(spark, tmp_path):
                                  CUSTOMERS_RAW[3]]))
     # Default-handle read of the salted-merged table is unaffected.
     _assert_same(ScdTable(spark, path, CFG).read(), out)
+
+
+# ---- restore (RESTORE TABLE ... VERSION AS OF in miniature) ---------------
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """restore(G) repoints the table at generation G's exact state via a
+    NEW commit: history advances (op='restore'), the read equals the
+    historical state, and a subsequent merge builds on the restored state
+    exactly as if the rolled-back-over commits never happened."""
+    path = str(tmp_path / "rst")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+
+    out = t.restore(0)  # gen 2 == gen 0 state
+    m = t._read_manifest()
+    assert m["gen"] == 2 and m["op"] == "restore"
+    _assert_same(out, _expected(spark, str(tmp_path / "e0"), [CUSTOMERS_RAW[1]]))
+    hist = {r["gen"]: r["op"] for r in t.history().collect()}
+    assert hist[2] == "restore" and hist[1] == "merge"
+    # The rolled-back-over state stays time-travel-readable.
+    _assert_same(
+        t.read_at_gen(1),
+        _expected(spark, str(tmp_path / "e1"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+    # A merge AFTER the restore builds on the restored state.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 3
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "e13"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[3]]),
+    )
+
+
+def test_restore_is_metadata_only(spark, tmp_path):
+    """The restore commit moves ZERO data: its generation dir is empty and
+    every bucket entry points at the restored generation's original files
+    (the 100-TB claim — a rollback costs one manifest write)."""
+    path = str(tmp_path / "rmeta")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    gen0_paths = _manifest_paths(t)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    t.restore(0)  # gen 2
+    assert _manifest_paths(t) == gen0_paths, (
+        "restore must REPOINT at gen 0's files, not copy them"
+    )
+    gen_dir = os.path.join(path, "_gen-00000002")
+    assert os.path.isdir(gen_dir) and os.listdir(gen_dir) == []
+
+
+def test_restore_ledger_exactness_through_vacuum(spark, tmp_path):
+    """Vacuum stays exact across a restore: files the restore makes live
+    again come OFF the superseded ledger (so later vacuums cannot delete
+    the current state), files it displaces go ON it and age out on the
+    normal schedule."""
+    path = str(tmp_path / "rvac")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    gen0 = _manifest_paths(t)
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t.build(b2)  # gen 1: displaces gen-0 files of touched buckets (S=1)
+    t.restore(0)  # gen 2: those files are LIVE again
+
+    m = t._read_manifest()
+    live = {r for paths in _manifest_paths(t).values() for r in paths}
+    ledgered = {r for rels in m["superseded"].values() for r in rels}
+    assert not (live & ledgered), "live files must never sit on the ledger"
+    # Two more commits: S=2 (gen-1 files the restore displaced) falls out
+    # of retention — the restored gen-0 files must SURVIVE every vacuum.
+    t.build(b2)  # gen 3
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 4
+    for rel in {r for paths in gen0.values() for r in paths} - {
+        r for b in _touched(t, b2) for r in gen0.get(b, [])
+    }:
+        assert os.path.exists(os.path.join(path, rel))
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "ev"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2], CUSTOMERS_RAW[3]]),
+    )
+
+
+def test_restore_out_of_retention_and_legacy_raise(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "rerr")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    for i in (1, 2, 3, 4):
+        t.build(spark.createDataFrame(CUSTOMERS_RAW[i], CUSTOMERS_SCHEMA))
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.restore(0)
+    plain = ScdTable(spark, str(tmp_path / "plainr"), CFG)
+    plain.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    with _pytest.raises(ValueError, match="generational table"):
+        plain.restore(0)
+
+
+def test_restore_rolls_back_a_rebucket_layout(spark, tmp_path):
+    """restore() restores the LAYOUT too: rolling back over a rebucket
+    reinstates the original bucket_count (the manifest is the one source
+    of truth), and later merges route under the restored mapping."""
+    path = str(tmp_path / "rlay")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.rebucket(16)  # gen 1
+    assert t._read_manifest()["bucket_count"] == 16
+    t.restore(0)  # gen 2: back to the 8-bucket layout
+    assert t._read_manifest()["bucket_count"] == 8
+    assert t.partition_buckets == 8
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 3
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "el"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+
+
+# ---- delete_keys (GDPR hard delete, bucket-pruned) ------------------------
+
+
+def test_delete_keys_bucket_pruned_and_idempotent(spark, tmp_path):
+    """delete_keys removes EVERY retained version of the requested keys by
+    rewriting only their buckets (untouched buckets keep their exact
+    manifest entries), commits op='delete', and is idempotent."""
+    path = str(tmp_path / "del")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    before = _manifest_paths(t)
+    keys = spark.createDataFrame([(1,)], "customer_id int")
+
+    out = t.delete_keys(keys)
+    assert out.filter(F.col("customer_id") == 1).count() == 0
+    want = _expected(
+        spark, str(tmp_path / "ed"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]
+    ).filter(F.col("customer_id") != 1)
+    _assert_same(out, want)
+    assert t._read_manifest()["op"] == "delete"
+
+    after = _manifest_paths(t)
+    touched = _touched(t, keys)
+    for b in set(before) - touched:
+        assert after[b] == before[b], "unaffected bucket entry must not change"
+    # Idempotent: a second delete of the same keys leaves the same state.
+    _assert_same(t.delete_keys(keys), want)
+    # And a later merge works on the deleted table (key 1 can come back).
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    assert t.read().filter(F.col("customer_id") == 1).count() > 0
+
+
+def test_delete_keys_empty_set_is_noop(spark, tmp_path):
+    path = str(tmp_path / "del0")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    gen_before = t._read_manifest()["gen"]
+    t.delete_keys(spark.createDataFrame([], "customer_id int"))
+    assert t._read_manifest()["gen"] == gen_before
+
+
+def test_delete_keys_unbucketed_falls_back_to_full_rewrite(spark, tmp_path):
+    path = str(tmp_path / "delp")
+    t = ScdTable(spark, path, CFG)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    out = t.delete_keys(spark.createDataFrame([(2,)], "customer_id int"))
+    want = _expected(
+        spark, str(tmp_path / "edp"), [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]
+    ).filter(F.col("customer_id") != 2)
+    _assert_same(out, want)
+
+
+def test_delete_keys_physical_erasure_after_retention(spark, tmp_path):
+    """The Delta-DELETE retention story, proven physically: deleted rows
+    survive in OLDER generations' files until vacuum, then every parquet
+    byte of them is gone — scanned off disk, not through the manifest."""
+    path = str(tmp_path / "delg")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    keys = spark.createDataFrame([(2,)], "customer_id int")
+    t.delete_keys(keys)
+
+    def on_disk_has_key2() -> bool:
+        files = [
+            os.path.join(dp, n)
+            for dp, _, names in os.walk(path)
+            for n in names
+            if n.endswith(".parquet")
+        ]
+        if not files:
+            return False
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        return df.filter(F.col("customer_id") == 2).count() > 0
+
+    assert on_disk_has_key2(), "inside retention the old versions remain"
+    # Later feed batches must not RE-INGEST the erased key (deleting a key
+    # does not block future ingestion — GDPR flows stop the source first).
+    for i in (3, 4):
+        t.build(spark.createDataFrame(
+            [r for r in CUSTOMERS_RAW[i] if r[0] != 2], CUSTOMERS_SCHEMA
+        ))
+    assert not on_disk_has_key2(), (
+        "after retention elapses, vacuum must have physically erased the key"
+    )
