@@ -774,6 +774,121 @@ def run_rebucket_curve(spark) -> None:
     }))
 
 
+def run_lifecycle_curve(spark) -> None:
+    """--lifecycle-curve: the two r13 lifecycle ops measured across a data
+    decade (s1 → s10).  The claims under measurement:
+
+    * ``restore(gen)`` is METADATA-ONLY — its cost scales with the
+      table's FILE COUNT (driver-side existence stats + manifest JSON +
+      the returned read's plan over 10× more leaf files), never with
+      data BYTES: no row is moved, so the decade ratio reflects ~10×
+      more files at sub-second absolute cost, ~2 orders of magnitude
+      under any rewrite-based rollback (contrast the rebucket row).
+      The restored read must fingerprint-equal the time-travel read of
+      the target generation.
+    * ``delete_keys`` of a FIXED-SIZE key set is O(affected buckets) —
+      buckets are sized ~50k rows at creation (bucket COUNT grows with
+      the table, bucket SIZE stays constant), so deleting 16 keys
+      rewrites ≤16 constant-sized buckets and the wall cost must stay
+      ~flat across the decade while the table grows 10×."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from dbt_scd2_utils_spark import ScdConfig
+    from dbt_scd2_utils_spark.plans.build import ScdTable
+
+    cfg = ScdConfig(
+        unique_key=("user_id",), deleted_at_column="deleted_at",
+        default_valid_to="2200-01-01 00:00:00",
+    )
+    paths = ensure_data(("s1", "s10"))
+    results: dict[str, dict] = {}
+    for scale in ("s1", "s10"):
+        work = os.path.dirname(paths[scale]["events"])
+        events = spark.read.parquet(paths[scale]["events"])
+        feed = events.select(
+            "user_id", "event_type", "value", "props",
+            F.when(F.col("event_type") == "error", F.col("ts")).alias(
+                "deleted_at"
+            ),
+            F.col("ts").alias("_updated_at"),
+        )
+        n = events.count()
+        buckets = max(16, n // 50_000)
+        tpath = os.path.join(work, "scd_tbl_lifecycle")
+        _sh.rmtree(tpath, ignore_errors=True)
+        tbl = ScdTable(spark, tpath, cfg, partition_buckets=buckets)
+        tbl.build(feed)  # gen 0 — untimed staging
+        keys = [
+            r[0] for r in feed.select("user_id").distinct().limit(16).collect()
+        ]
+        delta = (
+            feed.filter(F.col("user_id").isin(keys))
+            .withColumn(
+                "_updated_at",
+                F.col("_updated_at") + F.expr("interval 400 days"),
+            )
+        )
+        tbl.build(delta)  # gen 1 — the state restore rolls back over
+
+        def fingerprint(df) -> tuple:
+            r = df.select(
+                F.count(F.lit(1)).alias("c"),
+                F.sum(
+                    F.crc32(F.to_json(F.struct(*sorted(df.columns))))
+                ).alias("h"),
+            ).first()
+            return (r["c"], r["h"])
+
+        t0 = time.perf_counter()
+        restored = tbl.restore(0)  # gen 2
+        restore_wall = time.perf_counter() - t0
+        restore_phases = dict(tbl.last_phase_times)
+        restore_parity = fingerprint(restored) == fingerprint(
+            tbl.read_at_gen(0)
+        )
+
+        key_df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+        t0 = time.perf_counter()
+        tbl.delete_keys(key_df)  # gen 3
+        delete_wall = time.perf_counter() - t0
+        delete_phases = dict(tbl.last_phase_times)
+        leftovers = tbl.read_keys(key_df).count()
+
+        row = {
+            "scale": scale,
+            "rows": n,
+            "buckets": buckets,
+            "restore_s": round(restore_wall, 3),
+            "restore_phases": {
+                k: round(v, 3) for k, v in restore_phases.items()
+            },
+            "restore_parity": restore_parity,
+            "delete_s": round(delete_wall, 2),
+            "delete_phases": {
+                k: round(v, 3) for k, v in delete_phases.items()
+            },
+            "deleted_rows_left": leftovers,
+        }
+        results[scale] = row
+        print(json.dumps({"metric": "lifecycle", **row}))
+        assert restore_parity, f"restore diverged from read_at_gen at {scale}"
+        assert leftovers == 0, f"delete left rows at {scale}"
+        _sh.rmtree(tpath, ignore_errors=True)
+    print(json.dumps({
+        "metric": "lifecycle_ratio_10x",
+        "restore": round(
+            results["s10"]["restore_s"]
+            / max(results["s1"]["restore_s"], 1e-9), 2
+        ),
+        "delete": round(
+            results["s10"]["delete_s"]
+            / max(results["s1"]["delete_s"], 1e-9), 2
+        ),
+    }))
+
+
 def run_merge_churn(spark, n_merges: int = 50) -> None:
     """--merge-churn: the bucketed sink under REAL commit churn — 50
     consecutive small merges into the same s10 table (rolling ≤16-key
@@ -1280,6 +1395,12 @@ def main() -> None:
         spark = get_spark("scale-proof", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
         run_rebucket_curve(spark)
+        return
+    if "--lifecycle-curve" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+        spark = get_spark("scale-proof", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        run_lifecycle_curve(spark)
         return
     if flagship:
         scales = ["s0.1", "s1", "s10"]
