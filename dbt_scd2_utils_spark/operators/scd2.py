@@ -243,8 +243,10 @@ def align_evolved_schemas(
 
     Driver-side column-set comparison only: when the schemas already
     agree (every merge outside an evolution event) both inputs return
-    UNCHANGED — no projection is added to the plan.  SCD2-only; the
-    SCD0/1 operators require matching schemas as before."""
+    UNCHANGED — no projection is added to the plan.  Runs ahead of ALL
+    THREE incremental merge types (scd2_incremental, scd1_incremental,
+    scd0_incremental), always AFTER the raw-batch validation so a batch
+    missing a config-critical column still fails loudly."""
     batch_business = cfg.business_columns(batch.columns)
     target_lower = {c.lower() for c in target.columns}
     batch_lower = {c.lower() for c in batch.columns}

@@ -314,7 +314,8 @@ class ScdTable:
         generation whose manifest snapshot is still inside the vacuum
         retention window, from the per-gen snapshot files (driver-local
         JSON reads, O(retained), never a data scan).  Columns: ``gen``,
-        ``op`` (create / merge / rebucket; null for pre-r12 commits),
+        ``op`` (create / merge / rebucket / restore / delete; null for
+        pre-r12 commits),
         ``committed_at`` (UTC; null for pre-r12 commits), ``n_buckets``,
         ``n_files``, ``rows`` (null if any footer count was unknown),
         ``bucket_count``, ``readable`` (whether ``read_at_gen`` can still
@@ -389,12 +390,30 @@ class ScdTable:
                     f"{self._retain(current_manifest)} generations — older "
                     "snapshots are vacuumed)"
                 ) from None
-        from pyspark.sql.types import StructType
-
         files, stale = self._affected_files(
             manifest, sorted(manifest.get("buckets", {}))
         )
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        return self._leaf_read(files, stale, manifest["schema"])
+
+    def _key_match_cond(self, left_alias: str, right_alias: str):
+        """Null-safe business-key equality between two aliased relations —
+        the ONE condition builder for every key-addressed read/write path
+        (read_keys' semi-join, delete_keys' anti-join)."""
+        cond = None
+        for k in self.cfg.unique_key:
+            c = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+            cond = c if cond is None else cond & c
+        return cond
+
+    def _leaf_read(self, files: list[str], stale: bool, schema_json: str) -> DataFrame:
+        """Plan a read over manifest-resolved leaf files: pin the recorded
+        schema on a clean manifest, merge footers when the manifest is
+        behind disk (crash recovery — see _affected_files), empty relation
+        of the recorded schema when no files remain.  Shared by read(),
+        read_at_gen() and read_keys()."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
         if stale:
@@ -418,19 +437,24 @@ class ScdTable:
         only (bounded by ``bucket_count``, never by key count).
         Unbucketed tables fall back to the same semi-join over the full
         read — correct, just unpruned."""
+        from ..functions.caching import barrier
+
         key_cols = list(self.cfg.unique_key)
-        cand = keys.select(*key_cols).distinct()
+        # S5 barrier: the plan evaluates the key set twice (the bucket-id
+        # collect below + the broadcast join in the returned plan) — an
+        # expensive upstream derivation must not run twice.  The returned
+        # DataFrame is lazy, so the session's release_caches() owns the
+        # lifetime (recompute-after-release is safe), same as every other
+        # operator-internal persist.
+        cand = barrier(keys.select(*key_cols).distinct())
         manifest = self._read_manifest()
         self._adopt_bucket_count(manifest)
 
         def _semi(df: DataFrame) -> DataFrame:
-            cond = None
-            for k in key_cols:
-                c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
-                cond = c if cond is None else cond & c
-            return (
-                df.alias("l")
-                .join(F.broadcast(cand).alias("r"), cond, "left_semi")
+            return df.alias("l").join(
+                F.broadcast(cand).alias("r"),
+                self._key_match_cond("l", "r"),
+                "left_semi",
             )
 
         if (
@@ -446,16 +470,7 @@ class ScdTable:
             .collect()
         ]
         files, stale = self._affected_files(manifest, affected)
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        if stale:
-            slice_df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        else:
-            slice_df = self.spark.read.schema(schema).parquet(*files)
-        return _semi(slice_df)
+        return _semi(self._leaf_read(files, stale, manifest["schema"]))
 
     def read_at_timestamp(self, ts) -> DataFrame:
         """Time-travel read by COMMIT INSTANT (Delta's ``TIMESTAMP AS OF``
@@ -929,6 +944,26 @@ class ScdTable:
                     d = os.path.dirname(d)
             if failed:
                 ledger[key] = failed
+        # Prune aged-out FILE-LESS generation dirs: a metadata-only commit
+        # (restore) claims its number with an empty `_gen-<G>` dir that no
+        # ledger entry will ever visit — without this sweep each restore
+        # leaves one empty directory forever (the unbounded-metadata
+        # garbage _prune_dir exists to prevent).  _prune_dir refuses any
+        # dir holding real files or subdirs, so generations whose files
+        # are still live are untouched; one driver-local listdir.
+        try:
+            names = os.listdir(self.path)
+        except OSError:
+            names = []
+        for name in names:
+            if not name.startswith(GEN_PREFIX):
+                continue
+            try:
+                g = int(name[len(GEN_PREFIX):])
+            except ValueError:
+                continue
+            if g <= gen - self._retain(manifest):
+                self._prune_dir(os.path.join(self.path, name))
         return removed
 
     @staticmethod
@@ -1088,8 +1123,6 @@ class ScdTable:
         # every partition — the read-side twin of the merge path's listing
         # fix.  Data files never contain BUCKET_COL (a partition-dir
         # column), so reading leaf files directly needs no drop().
-        from pyspark.sql.types import StructType
-
         # Bucket membership: a NEW-STYLE manifest is authoritative — it is
         # the committed snapshot (migration adopts any root dirs a legacy
         # crash left unknown, and a popped entry's root dir holds only
@@ -1105,14 +1138,7 @@ class ScdTable:
                 if n.startswith(f"{BUCKET_COL}=")
             }
         files, stale = self._affected_files(manifest, sorted(bucket_ids))
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        if stale:
-            # Crash-recovery path: don't pin the (possibly older) recorded
-            # schema over just-swapped files — merge it from footers.
-            return self.spark.read.option("mergeSchema", "true").parquet(*files)
-        return self.spark.read.schema(schema).parquet(*files)
+        return self._leaf_read(files, stale, manifest["schema"])
 
     def _bucket_expr(self, df: DataFrame, buckets: int | None = None):
         # Stable across runs and engines enough for partitioning: md5 of the
@@ -1581,6 +1607,15 @@ class ScdTable:
         t0 = time.perf_counter()
         self._sweep_orphan_generations()
         self._sweep_stale_stages()
+        # Backfill the CURRENT generation's snapshot if it is missing
+        # (crash between a commit's manifest replace and its snapshot
+        # write): the state this restore displaces must stay
+        # time-travel-readable for the full retention window — the same
+        # guarantee the merge path makes before displacing a state.
+        if manifest.get("schema") and not os.path.exists(
+            self._snapshot_manifest_path(manifest["gen"])
+        ):
+            self._write_snapshot_manifest(manifest)
         restored_buckets: dict[str, dict] = {}
         restored_rel: set[str] = set()
         for b, e in (snap.get("buckets") or {}).items():
@@ -1665,35 +1700,44 @@ class ScdTable:
         full-table rewrite (no bucket map to prune by) via the atomic
         swap path — correct, just unpruned."""
         key_cols = list(self.cfg.unique_key)
-        cand = keys.select(*key_cols).distinct()
+        # Local S5 barrier: the key set is evaluated twice (the bucket-id
+        # collect + the anti-join) but is fully consumed before this
+        # method returns, so the cache's lifetime is contained here.
+        cand = keys.select(*key_cols).distinct().cache()
 
         def _anti(target: DataFrame, batch: DataFrame, cfg) -> DataFrame:
-            cond = None
-            for k in key_cols:
-                c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
-                cond = c if cond is None else cond & c
-            return (
-                target.alias("l")
-                .join(F.broadcast(batch).alias("r"), cond, "left_anti")
+            return target.alias("l").join(
+                F.broadcast(batch).alias("r"),
+                self._key_match_cond("l", "r"),
+                "left_anti",
             )
 
-        manifest = self._read_manifest()
-        self._adopt_bucket_count(manifest)
-        if (
-            self.partition_buckets
-            and manifest is not None
-            and manifest.get("schema")
-            and "gen" in manifest
-        ):
-            self._build_bucketed_incremental(
-                cand, manifest=manifest, merge_fn=_anti, op="delete"
-            )
+        try:
+            manifest = self._read_manifest()
+            self._adopt_bucket_count(manifest)
+            if (
+                self.partition_buckets
+                and manifest is not None
+                and manifest.get("schema")
+                and "gen" in manifest
+            ):
+                self._build_bucketed_incremental(
+                    cand, manifest=manifest, merge_fn=_anti, op="delete"
+                )
+                return self.read()
+            if not self.exists():
+                raise ValueError(
+                    f"delete_keys() on a table that does not exist: {self.path}"
+                )
+            if cand.limit(1).count() == 0:
+                # Same no-op the bucketed path gets from its empty
+                # affected-bucket set — never a full rewrite for nothing.
+                return self.read()
+            result = _anti(self.read(), cand, self.cfg)
+            self._atomic_write(result, prior_manifest=manifest)
             return self.read()
-        if not self.exists():
-            raise ValueError(f"delete_keys() on a table that does not exist: {self.path}")
-        result = _anti(self.read(), cand, self.cfg)
-        self._atomic_write(result, prior_manifest=manifest)
-        return self.read()
+        finally:
+            cand.unpersist()
 
     def _atomic_write(
         self,

@@ -1654,3 +1654,60 @@ def test_delete_keys_physical_erasure_after_retention(spark, tmp_path):
     assert not on_disk_has_key2(), (
         "after retention elapses, vacuum must have physically erased the key"
     )
+
+
+def test_restore_backfills_missing_displaced_snapshot(spark, tmp_path):
+    """A crash between a commit's manifest replace and its snapshot write
+    leaves the CURRENT generation snapshot-less; a restore that displaces
+    it must backfill the snapshot first (same guarantee as the merge
+    path), so the displaced state stays time-travel-readable."""
+    path = str(tmp_path / "rbf")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=4)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    os.remove(t._snapshot_manifest_path(1))  # simulate the crash window
+    t.restore(0)  # gen 2
+    _assert_same(
+        t.read_at_gen(1),
+        _expected(spark, str(tmp_path / "ebf"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+
+
+def test_restore_empty_gen_dir_pruned_after_retention(spark, tmp_path):
+    """The metadata-only restore claims its number with an empty
+    `_gen-<G>` dir; once that generation ages out of retention the vacuum
+    sweep removes the empty dir (no unbounded metadata garbage)."""
+    path = str(tmp_path / "rprune")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=1)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+    t.restore(0)  # gen 2: empty dir
+    gen2_dir = os.path.join(path, "_gen-00000002")
+    assert os.path.isdir(gen2_dir)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 3
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))  # gen 4
+    assert not os.path.exists(gen2_dir), (
+        "aged-out empty restore generation dir must be vacuumed"
+    )
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "eprune"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2], CUSTOMERS_RAW[3]]),
+    )
+
+
+def test_delete_keys_empty_set_noop_unbucketed(spark, tmp_path):
+    """The unbucketed fallback must ALSO no-op on an empty key set (never
+    a full-table rewrite for nothing) — parity with the bucketed path."""
+    path = str(tmp_path / "delpe")
+    t = ScdTable(spark, path, CFG)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    files_before = sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    t.delete_keys(spark.createDataFrame([], "customer_id int"))
+    files_after = sorted(
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    )
+    assert files_after == files_before, "empty delete must not rewrite"
