@@ -503,23 +503,31 @@ class ScdTable:
             )
         # Resolve over the retained snapshot manifests + the current one —
         # the exact set read_at_gen can serve (see _retained_manifests).
-        candidates: dict[int, float] = {
-            g: float(m["committed_at"])
+        # Compare as MICROSECOND-precision datetimes derived exactly the
+        # way ``history()`` surfaces the instant (fromtimestamp of the
+        # raw ``time.time()`` float): ``committed_at`` carries
+        # sub-microsecond bits the public TimestampType surface cannot,
+        # and integer-rounding the ~1.8e15-µs float directly is itself
+        # lossy (ulp 0.25 µs — a half-µs fraction can round UP while the
+        # round-tripped input truncated DOWN, making an exact-instant
+        # read miss by one microsecond).  Deriving both sides through the
+        # same fromtimestamp makes the history() round-trip equal by
+        # construction; datetime comparison is then exact integer math.
+        candidates: dict[int, datetime.datetime] = {
+            g: datetime.datetime.fromtimestamp(
+                float(m["committed_at"]), datetime.timezone.utc
+            )
             for g, m in self._retained_manifests().items()
             if isinstance(m.get("committed_at"), (int, float))
+            and not isinstance(m.get("committed_at"), bool)
         }
-        # Compare at whole-microsecond precision: ``committed_at`` is a
-        # ``time.time()`` float with sub-microsecond bits, but the public
-        # surface (``history()``'s TimestampType) truncates to micros — an
-        # exact-instant read of a value round-tripped through it would
-        # otherwise land a hair BEFORE the commit and miss inclusively.
-        us = round(epoch * 1_000_000)
-        hits = [g for g, c in candidates.items() if round(c * 1_000_000) <= us]
+        ts_dt = datetime.datetime.fromtimestamp(epoch, datetime.timezone.utc)
+        hits = [g for g, c in candidates.items() if c <= ts_dt]
         if not hits:
             current = self._read_manifest()
             cur = (current or {}).get("gen")
             earliest = (
-                min(candidates.values()) if candidates else None
+                min(candidates.values()).isoformat() if candidates else None
             )
             raise ValueError(
                 f"no retained snapshot committed at or before {ts!r} "

@@ -1711,3 +1711,46 @@ def test_delete_keys_empty_set_noop_unbucketed(spark, tmp_path):
         n for n in os.listdir(path) if n.endswith(".parquet")
     )
     assert files_after == files_before, "empty delete must not rewrite"
+
+
+def test_read_at_timestamp_half_microsecond_commit_instant(spark, tmp_path):
+    """Regression (caught live on 2026-08-17): a raw ``time.time()``
+    commit instant whose sub-microsecond bits sit just past the .5 µs
+    boundary (e.g. ...898.7639394) used to make the EXACT-INSTANT read
+    miss by one microsecond — integer-rounding the ~1.8e15 µs product is
+    lossy (double ulp 0.25 µs), so the candidate rounded UP to ...940
+    while the history()-round-tripped input truncated to ...939.  The
+    resolver now compares micro-precision datetimes derived through the
+    same ``fromtimestamp`` as ``history()``, making the public
+    round-trip equal by construction."""
+    import datetime
+
+    path = str(tmp_path / "halfus")
+    t = ScdTable(spark, path, CFG, partition_buckets=8, retain_generations=2)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))  # gen 1
+
+    crafted = 1786924898.7639394  # round(c*1e6) == ...940, micros == ...939
+    for p in (t._manifest_path(), t._snapshot_manifest_path(0)):
+        with open(p) as f:
+            m = json.load(f)
+        if m.get("gen") == 0 or p == t._snapshot_manifest_path(0):
+            m["committed_at"] = crafted
+            with open(p, "w") as f:
+                json.dump(m, f)
+
+    # The exact instant as the public surface serves it (history() row).
+    row = [
+        r for r in t.history()
+        .select("gen", F.unix_micros("committed_at").alias("us"))
+        .collect()
+        if r["gen"] == 0
+    ][0]
+    ts = datetime.datetime.fromtimestamp(
+        row["us"] / 1_000_000, datetime.timezone.utc
+    )
+    assert ts.microsecond == 763939
+    _assert_same(
+        t.read_at_timestamp(ts),
+        _expected(spark, str(tmp_path / "whalf"), [CUSTOMERS_RAW[1]]),
+    )
