@@ -374,3 +374,56 @@ def test_repeated_lines_partials_no_cartesian(spark, docs):
     assert "partial_count" in plan
     for bad in BAD_NODES:
         assert bad not in plan
+
+
+def test_read_keys_plan_broadcast_semi_no_exchange_on_table_side(spark, tmp_path):
+    """read_keys: the big (table) side must reach the semi-join without an
+    Exchange — the key set broadcasts — and the scan must read ONLY the
+    probe keys' bucket files (plan input paths ⊂ table files, checked by
+    the pruning test; here the JOIN SHAPE is frozen)."""
+    from tests.fixtures.seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
+
+    from dbt_scd2_utils_spark.plans.build import ScdTable
+
+    cfg = ScdConfig(unique_key=("customer_id",), deleted_at_column="deleted_at")
+    t = ScdTable(spark, str(tmp_path / "rkplan"), cfg, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    out = t.read_keys(spark.createDataFrame([(1,), (2,)], "customer_id int"))
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
+    # The TABLE side never shuffles: the streamed branch (printed before
+    # the BroadcastExchange subtree) is the parquet scan feeding the join
+    # directly — any hash Exchange in the plan belongs to the tiny key
+    # set's own distinct, below the broadcast.
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "FileScan parquet" in streamed
+    assert "Exchange hashpartitioning" not in streamed
+
+
+def test_delete_keys_merge_plan_broadcast_anti_no_nested_loop(spark, tmp_path):
+    """delete_keys' bucketed rewrite: the affected-bucket slice anti-joins
+    a BROADCAST key set — never a shuffled or nested-loop join of the
+    table side (the 100-TB shape: O(affected buckets) scan, zero table
+    shuffle before the bucket-partitioned write)."""
+    from tests.fixtures.seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
+
+    from dbt_scd2_utils_spark.plans.build import ScdTable
+
+    cfg = ScdConfig(unique_key=("customer_id",), deleted_at_column="deleted_at")
+    t = ScdTable(spark, str(tmp_path / "dkplan"), cfg, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    files, stale = t._affected_files(t._read_manifest(), list(range(8)))
+    slice_df = spark.read.parquet(*files)
+    keys = spark.createDataFrame([(1,), (2,)], "customer_id int")
+    anti = slice_df.alias("l").join(
+        F.broadcast(keys).alias("r"),
+        t._key_match_cond("l", "r"),
+        "left_anti",
+    )
+    plan = plan_of(anti)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    for bad in BAD_NODES:
+        assert bad not in plan
+    assert "Exchange hashpartitioning" not in plan
