@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "scd2_rebucket",
     "scd2_restore",
     "scd2_delete_keys",
+    "scd2_vacuum",
     "streaming_scd2_bucketed",
     "streaming_daily_rollup",
     "streaming_sessionize",

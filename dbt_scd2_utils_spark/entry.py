@@ -311,6 +311,7 @@ def prewarm_merge_targets(spark: SparkSession, sf_dir: str) -> None:
     _bucketed_scd_table(spark, sf_dir, "evolution")
     _bucketed_scd_table(spark, sf_dir, "restore")
     _bucketed_scd_table(spark, sf_dir, "delete")
+    _bucketed_scd_table(spark, sf_dir, "vacuum")
 
 
 # Build-once-probe-many indexes (same deployment semantics the IVF path
@@ -1142,6 +1143,26 @@ def q_scd2_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     return t.delete_keys(keys)
+
+
+def q_scd2_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit maintenance vacuum (plans/build.py::ScdTable.vacuum —
+    Delta's ``VACUUM`` in miniature): every invocation commits one REAL
+    generational merge (a redundant re-merge of the post-split batch —
+    affected buckets rewrite regardless, displacing their files onto the
+    superseded ledger) and then sweeps the FULL horizon (``vacuum(0)``:
+    every superseded file deleted now, snapshot manifests past the
+    override expired), so the bench times a real sweep each run.  Vacuum
+    is value-invisible by construction — the post-sweep read must still
+    equal the full-refresh derivation over the whole feed.  Degraded-lock
+    skip, default-retention no-op, and the delete_keys+vacuum(0) GDPR
+    completion are pinned in tests/test_bucketed_build.py."""
+    prepare(spark)
+    t = _bucketed_scd_table(spark, sf_dir, "vacuum")
+    _, b2 = _split(change_feed(spark, sf_dir))
+    t.build(b2)
+    t.vacuum(0)
+    return t.read()
 
 
 def q_streaming_scd2_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3480,6 +3501,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_rebucket": q_scd2_rebucket,
         "scd2_restore": q_scd2_restore,
         "scd2_delete_keys": q_scd2_delete_keys,
+        "scd2_vacuum": q_scd2_vacuum,
         "streaming_scd2_bucketed": q_streaming_scd2_bucketed,
         "events_sessionize": q_events_sessionize,
     }
@@ -3671,6 +3693,9 @@ def oracle_sql() -> dict[str, str]:
             f"select * from ({scd2_built}) "
             "where user_id is null or user_id % 50 <> 17"
         ),
+        # vacuum is value-invisible: after a real merge commit + a
+        # full-horizon sweep the read still equals the full refresh.
+        "scd2_vacuum": scd2_built,
         "scd2_incremental_no_collapse": scd2_incremental_no_collapse_sql(
             _b1_sql(FEED_SQL), _b2_sql(FEED_SQL), SCD2_SPEC
         ),

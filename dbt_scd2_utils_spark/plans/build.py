@@ -920,7 +920,9 @@ class ScdTable:
                         os.path.join(self.path, name), ignore_errors=True
                     )
 
-    def _vacuum(self, manifest: dict, gen: int) -> int:
+    def _vacuum(
+        self, manifest: dict, gen: int, retain_override: int | None = None
+    ) -> int:
         """Delete superseded files whose displacing commit has fallen out
         of the retention window (S <= gen - retain_generations): they are
         unreferenced by every manifest a live reader could still hold.
@@ -933,9 +935,14 @@ class ScdTable:
         not-deleted file would otherwise leak permanently.  Returns the
         number of files removed."""
         ledger = manifest.setdefault("superseded", {})
+        eff = (
+            retain_override
+            if retain_override is not None
+            else self._retain(manifest)
+        )
         removed = 0
         root = os.path.abspath(self.path)
-        for key in [k for k in ledger if int(k) <= gen - self._retain(manifest)]:
+        for key in [k for k in ledger if int(k) <= gen - eff]:
             failed: list[str] = []
             for rel in ledger.pop(key):
                 p = os.path.join(self.path, rel)
@@ -970,7 +977,7 @@ class ScdTable:
                 g = int(name[len(GEN_PREFIX):])
             except ValueError:
                 continue
-            if g <= gen - self._retain(manifest):
+            if g <= gen - eff:
                 self._prune_dir(os.path.join(self.path, name))
         return removed
 
@@ -1746,6 +1753,61 @@ class ScdTable:
             return self.read()
         finally:
             cand.unpersist()
+
+    def vacuum(self, retain_generations: int | None = None) -> int:
+        """Explicit maintenance sweep — Delta's ``VACUUM`` in miniature:
+        immediately delete every superseded file whose displacing commit
+        is at or before ``gen - retain``, optionally OVERRIDING the
+        table's recorded retention for this one sweep (the recorded
+        property itself is untouched).  ``retain_generations=0`` erases
+        everything not referenced by the CURRENT manifest — the
+        physical-erasure completion of :meth:`delete_keys` without
+        waiting for further commits (Delta's ``VACUUM ... RETAIN 0
+        HOURS``, with the same warning: readers planned against older
+        manifests lose their snapshot guarantee, and time travel to the
+        swept generations stops resolving — their snapshot manifests are
+        expired with their files).  With no argument the sweep honors the
+        recorded retention, so it only collects what the next commit
+        would have collected anyway (safe on a live table).
+
+        Runs under the commit lock so it cannot race a writer's commit
+        choreography; in degraded (no-flock) mode the sweep is SKIPPED
+        entirely and 0 is returned — without the lock the ledger rewrite
+        could clobber a rival's commit, and skipping is the loss-free
+        option (the same policy as every destructive maintenance path).
+        O(superseded files), never O(table).  Returns the number of
+        files removed."""
+        if retain_generations is not None and retain_generations < 0:
+            raise ValueError("retain_generations must be >= 0")
+        removed = 0
+        with self._commit_lock() as locked:
+            if not locked:
+                return 0
+            manifest = self._read_manifest()
+            if manifest is None or "gen" not in manifest:
+                return 0
+            manifest.setdefault("superseded", {})
+            gen = manifest["gen"]
+            before = json.dumps(manifest["superseded"], sort_keys=True)
+            removed = self._vacuum(
+                manifest, gen, retain_override=retain_generations
+            )
+            if json.dumps(manifest["superseded"], sort_keys=True) != before:
+                # Lock held since the manifest read: the shrunk ledger
+                # cannot clobber a rival's newer commit.
+                self._write_manifest(manifest)
+            if retain_generations is not None:
+                # Expire snapshot manifests past the override window: the
+                # files they reference are gone — serving them would lie.
+                for g in list(self._retained_manifests()):
+                    if g < gen - retain_generations:
+                        try:
+                            os.remove(self._snapshot_manifest_path(g))
+                        except OSError:
+                            pass
+        if removed:
+            self.spark.catalog.refreshByPath(self.path)
+        return removed
 
     def _atomic_write(
         self,

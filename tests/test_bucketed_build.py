@@ -1754,3 +1754,105 @@ def test_read_at_timestamp_half_microsecond_commit_instant(spark, tmp_path):
         t.read_at_timestamp(ts),
         _expected(spark, str(tmp_path / "whalf"), [CUSTOMERS_RAW[1]]),
     )
+
+
+# ---- explicit vacuum (Delta VACUUM in miniature) --------------------------
+
+
+def test_explicit_vacuum_retain_zero_erases_immediately(spark, tmp_path):
+    """vacuum(0) deletes every superseded file NOW — no further commits
+    needed — leaving the current state intact and time travel to the
+    swept generations refusing with the retention error shape."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "vacx")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)  # default retain
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))  # gen 0
+    gen0 = _manifest_paths(t)
+    b2 = spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA)
+    t.build(b2)  # gen 1
+    displaced = [rel for b in _touched(t, b2) for rel in gen0.get(b, [])]
+    assert displaced and all(
+        os.path.exists(os.path.join(path, r)) for r in displaced
+    )
+
+    removed = t.vacuum(0)
+    assert removed == len(displaced)
+    assert not any(os.path.exists(os.path.join(path, r)) for r in displaced)
+    m = t._read_manifest()
+    assert m["superseded"] == {}
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "evx"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2]]),
+    )
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.read_at_gen(0)
+    _assert_same(t.read_at_gen(1), t.read())  # current gen still serves
+    # Nothing aged and nothing ledgered: a second sweep is a no-op.
+    assert t.vacuum(0) == 0
+    # A later merge works normally on the swept table.
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[3], CUSTOMERS_SCHEMA))
+    _assert_same(
+        t.read(),
+        _expected(spark, str(tmp_path / "evx2"),
+                  [CUSTOMERS_RAW[1], CUSTOMERS_RAW[2], CUSTOMERS_RAW[3]]),
+    )
+
+
+def test_delete_keys_then_vacuum_zero_is_full_physical_erasure(spark, tmp_path):
+    """The GDPR completion: delete_keys + vacuum(0) leaves no parquet
+    byte of the key on disk immediately — no waiting for retention."""
+    path = str(tmp_path / "gdpr")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.delete_keys(spark.createDataFrame([(2,)], "customer_id int"))
+    t.vacuum(0)
+    files = [
+        os.path.join(dp, n)
+        for dp, _, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    ]
+    assert files
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    assert df.filter(F.col("customer_id") == 2).count() == 0
+
+
+def test_explicit_vacuum_default_honors_recorded_retention(spark, tmp_path):
+    """vacuum() with no override only collects what the next commit's
+    deferred sweep would have collected — inside the window, nothing."""
+    path = str(tmp_path / "vacd")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)  # retain default 2
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    ledgered = {
+        r for rels in t._read_manifest()["superseded"].values() for r in rels
+    }
+    assert ledgered  # inside the retention window
+    assert t.vacuum() == 0
+    assert all(os.path.exists(os.path.join(path, r)) for r in ledgered)
+
+
+def test_explicit_vacuum_degraded_lock_skips(spark, tmp_path, monkeypatch):
+    """Without flock the explicit sweep must skip (loss-free option) —
+    the ledger rewrite is only race-free under the lock."""
+    import contextlib
+
+    path = str(tmp_path / "vacdeg")
+    t = ScdTable(spark, path, CFG, partition_buckets=8)
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[1], CUSTOMERS_SCHEMA))
+    t.build(spark.createDataFrame(CUSTOMERS_RAW[2], CUSTOMERS_SCHEMA))
+    ledgered = {
+        r for rels in t._read_manifest()["superseded"].values() for r in rels
+    }
+
+    @contextlib.contextmanager
+    def no_flock(self):
+        yield False
+
+    monkeypatch.setattr(ScdTable, "_commit_lock", no_flock)
+    assert t.vacuum(0) == 0
+    assert all(os.path.exists(os.path.join(path, r)) for r in ledgered)
+    monkeypatch.undo()
+    assert t.vacuum(0) == len(ledgered)  # locked sweep still works
