@@ -419,16 +419,18 @@ def scd2_initial_load_salted(
     _require_orderable_updated_at(df, cfg)
     own_hot = hot_keys is None
     if own_hot:
-        # Registered persist (functions/caching.barrier, so a session-wide
-        # release_caches() can sweep it): the key set feeds four joins
-        # below (two semi, two anti, each broadcasting it) — without the
-        # barrier every broadcast exchange re-executes the detection
-        # aggregation.
-        from ..functions.caching import barrier as _cache_barrier
-
-        hot_keys = _cache_barrier(
-            detect_hot_keys(df.select(*cfg.unique_key), cfg, hot_key_threshold)
-        )
+        # Eager localCheckpoint (not a persist barrier): the key set feeds
+        # four joins below (two semi, two anti, each broadcasting it), and
+        # under a persist the full detection lineage re-ANALYZES at every
+        # reference — multiplied again by each downstream re-reference of
+        # the split sides, the dominant cost of the salted chain at bench
+        # scale was driver plan analysis, not execution.  A leaf plan cuts
+        # that multiplicatively; the materialization job replaces the
+        # emptiness probe the persist path paid anyway (same trade as
+        # SaltedKeyWindows._barrier above).
+        hot_keys = detect_hot_keys(
+            df.select(*cfg.unique_key), cfg, hot_key_threshold
+        ).localCheckpoint()
     if not hot_keys.limit(1).count():
         if own_hot:
             hot_keys.unpersist()
@@ -480,18 +482,19 @@ def scd2_incremental_salted(
         affected = target.alias("l").join(
             F.broadcast(cand).alias("h"), cond, "left_semi"
         ).select(*keys)
-        # Registered persist (functions/caching.barrier, so a session-wide
-        # release_caches() can sweep it): the key set feeds four joins
-        # below (two semi, two anti, each broadcasting it) — without the
-        # barrier every broadcast exchange re-executes the detection
-        # aggregation AND its target semi-join.
-        from ..functions.caching import barrier as _cache_barrier
-
-        hot_keys = _cache_barrier(
-            detect_hot_keys(
-                affected.unionByName(batch.select(*keys)), cfg, hot_key_threshold
-            )
-        )
+        # Eager localCheckpoint (not a persist barrier): the key set feeds
+        # four joins below (two semi, two anti, each broadcasting it), and
+        # each split side is itself re-referenced several times inside
+        # scd2_incremental — under a persist the detection lineage (target
+        # semi-join + aggregation) re-ANALYZES at every one of those
+        # references, and driver plan analysis, not execution, dominated
+        # the salted/adaptive merges at bench scale.  A leaf plan cuts the
+        # re-analysis multiplicatively; the materialization job replaces
+        # the emptiness probe the persist path paid anyway (same trade as
+        # SaltedKeyWindows._barrier).
+        hot_keys = detect_hot_keys(
+            affected.unionByName(batch.select(*keys)), cfg, hot_key_threshold
+        ).localCheckpoint()
     if not hot_keys.limit(1).count():
         if own_hot:
             hot_keys.unpersist()
