@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dbt_scd2_utils_spark import ScdConfig
 from dbt_scd2_utils_spark.plans.build import BUCKET_COL, GEN_PREFIX, ScdTable
 from tests.fixtures.seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
+import pytest
 
 CFG = ScdConfig(unique_key=("customer_id",), deleted_at_column="deleted_at")
 
@@ -867,6 +868,7 @@ def test_recovery_gen_precedence_is_numeric_not_lexical(spark, tmp_path):
     assert recon["superseded"] == {"100000000": [f"{old_rel}/old.parquet"]}
 
 
+@pytest.mark.slow
 def test_rebucket_mid_churn_time_travel_and_retention(spark, tmp_path):
     """The read_at_gen × rebucket × vacuum COMPOSITION (each piece is
     pinned separately): merges, then a rebucket, then more merges — the
@@ -937,6 +939,7 @@ def test_history_lists_retained_generations(spark, tmp_path):
     assert gens == [4, 3, 2], gens
 
 
+@pytest.mark.slow
 def test_concurrent_merge_conflict_raises_not_lost_update(spark, tmp_path):
     """Optimistic concurrency: a merge that planned against generation G
     must ABORT (ConcurrentWriteError, nothing visible, stage cleaned)
@@ -1362,6 +1365,7 @@ def test_aborted_rebucket_leaves_handle_usable(spark, tmp_path, monkeypatch):
     assert t._read_manifest()["bucket_count"] == 4
 
 
+@pytest.mark.slow
 def test_concurrent_threads_serialize_without_lost_updates(spark, tmp_path):
     """TRUE concurrency integration pin: two threads merge interleaved
     batches into one table, retrying on ConcurrentWriteError — every
@@ -1421,6 +1425,7 @@ def test_concurrent_threads_serialize_without_lost_updates(spark, tmp_path):
     ] == 4
 
 
+@pytest.mark.slow
 def test_bucketed_sink_composes_with_salted_merge(spark, tmp_path):
     """merge_fn: the bucketed sink and the salted hot-key chain COMPOSE —
     bucketing shards tables, salting shards keys, and the recommended

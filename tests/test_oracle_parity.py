@@ -52,7 +52,20 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-QUERY_NAMES = sorted(entry_mod.queries().keys())
+# The handful of multi-minute parity cases run only under `-m slow`
+# (pytest.ini excludes them from the driver-window default run); the
+# driver's own correctness gate still covers them cold every round.
+SLOW_QUERIES = {
+    "cluster_balanced_sample",
+    "semantic_dedup_pq",
+    "semantic_dedup",
+    "bpe_learn_merges_100",
+}
+
+QUERY_NAMES = [
+    pytest.param(n, marks=pytest.mark.slow) if n in SLOW_QUERIES else n
+    for n in sorted(entry_mod.queries().keys())
+]
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

@@ -13,6 +13,12 @@ from datetime import datetime, timedelta
 import duckdb
 
 from dbt_scd2_utils_spark.operators.asof import asof_join
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 BASE = datetime(2024, 1, 1)
 

@@ -11,6 +11,12 @@ import random
 from collections import Counter
 
 from dbt_scd2_utils_spark.operators.bpe import bpe_token_counts, learn_bpe_merges
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 
 def _py_bpe(texts, n_merges):

@@ -12,6 +12,12 @@ from collections import Counter, defaultdict
 from dbt_scd2_utils_spark.operators.clustering import dedup_survivors
 from dbt_scd2_utils_spark.operators.dedup import containment_decontaminate
 from dbt_scd2_utils_spark.operators.search import rrf_fuse
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 VOCAB = "red blue green gold iron wood salt rain moss fern".split()
 

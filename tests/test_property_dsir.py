@@ -32,6 +32,13 @@ BUCKETS = 64  # small so collisions actually happen
 ALPHA = 0.5
 
 
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _bucket(gram: str) -> int:
     h = hashlib.md5(f"dsir|{gram}".encode()).hexdigest()
     return int(h[:8], 16) % BUCKETS

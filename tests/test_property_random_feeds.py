@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 from dbt_scd2_utils_spark import ScdConfig, scd2_incremental, scd2_initial_load
 from dbt_scd2_utils_spark.operators.invariants import assert_invariants
 
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 SCHEMA = (
     "k1 int, k2 string, payload string, amount double, "
     "deleted_at timestamp, _updated_at timestamp"

@@ -26,6 +26,13 @@ from dbt_scd2_utils_spark.operators.scd2_salted import (
 BASE = dt.datetime(2024, 1, 1)
 
 
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def _rand_feed(spark, rng, composite):
     rows = []
     n_keys = rng.randint(2, 5)

@@ -48,6 +48,13 @@ CFG = ScdConfig(
 )
 
 
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 def gen_feed(seed: int, n: int = 60) -> list[tuple]:
     """Messy but contract-respecting: content is a deterministic function of
     (key, ts) — same-(key, ts) duplicates always carry identical content

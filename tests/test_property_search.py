@@ -12,6 +12,12 @@ from collections import Counter
 from pyspark.sql import functions as F
 
 from dbt_scd2_utils_spark.operators.search import bm25_topk, ngram_lm_score
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 VOCAB = "alpha beta gamma delta zeta eta theta iota kappa lam".split()
 

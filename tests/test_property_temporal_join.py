@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 from dbt_scd2_utils_spark import ScdConfig, scd2_initial_load
 from dbt_scd2_utils_spark.operators.temporal_join import scd2_join
+import pytest
+
+# Randomized property / stress suite: excluded from the default run
+# (pytest.ini addopts -m "not slow") so the driver-window selection
+# stays fast; run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
 
 # Within pandas' ns-timestamp range (the DuckDB oracle round-trips
 # relations through pandas); equality-with-default still exercised below.

@@ -53,6 +53,7 @@ def final_state(spark):
     return run_sequence(spark, 6).cache()
 
 
+@pytest.mark.slow
 def test_invariants_after_every_iteration(spark):
     state = scd2_initial_load(model(spark, CUSTOMERS_RAW[1], 1), CFG)
     assert_invariants(state, CFG)
@@ -248,6 +249,7 @@ def test_incremental_predicates_mirror_merge_on_semantics(spark):
     assert len(eleven) == 1 and eleven[0]["_is_current"] is True
 
 
+@pytest.mark.slow
 def test_hot_key_window_skew_completes(spark):
     """Skew provocation for the key-partitioned window chain: ONE business
     key with 100k versions among 10k single-version keys.  The audit-column
