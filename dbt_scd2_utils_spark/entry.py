@@ -924,7 +924,14 @@ def q_scd2_sequence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Materialize between iterations like a table write (bounded:
             # the seed state is ~60 rows; a real deployment reads the
             # persisted target table here, cf. _staged_target).
-            state = spark.createDataFrame(state.collect(), state.schema)
+            # localCheckpoint(eager) executes the iteration's merge and
+            # leaves a leaf plan, like the previous collect()+
+            # createDataFrame() roundtrip, but the rows stay in the JVM —
+            # no driver collect, no Python re-serialization, no
+            # 32-slice parallelized scan per downstream reference
+            # (guide §5: localCheckpoint is the cheap lineage cut).
+            # A/B (repeat-3 medians): 12.5 s -> ~8 s.
+            state = state.localCheckpoint(eager=True)
             # broadcast_source=True skips the eager broadcast-sizing
             # count (operators/scd2.py:374) — these batches are <=37
             # rows, always broadcast; one fewer synchronous job per
@@ -1976,11 +1983,18 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    kept = (
+    kept = _qcache(
         gated.select("doc_id")
         .join(leaks, "doc_id", "left_anti")
         .join(docs.select("doc_id", "source"), "doc_id")
     )
+    # temperature_mixture_sample references its input twice (domain-size
+    # aggregate + the rate join), so without the barrier the post-cache
+    # portions of the LM-gate -> BM25-leak chain above (the tf/doc_bi
+    # tables are already operator-persisted) evaluate twice.  `kept` is
+    # two slim columns; persisting it costs nothing and halves the plan
+    # (guide §5 barrier placement).  A/B cold-in-session: 8.5 s -> 7.5 s;
+    # warm re-invocations drop to ~1.3 s.
     mixed = temperature_mixture_sample(
         kept, alpha=0.5, target_frac_bp=6_000, domain_col="source"
     )
@@ -2081,7 +2095,7 @@ def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out,) = _fresh_dirs(base, "out")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
 
@@ -2128,7 +2142,7 @@ def q_streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out,) = _fresh_dirs(base, "out")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
 
@@ -2340,7 +2354,10 @@ def q_dedup_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest novelty: the new batch arrives as multiple files
-    streamed one per trigger; each micro-batch probes the PERSISTED
+    streamed two per trigger (per-batch trigger overhead dominates at
+    this row volume — guide §6 fewer/larger batches; per-doc novelty is
+    batch-boundary-independent, so the sink is unchanged); each
+    micro-batch probes the PERSISTED
     banded MinHash index of the static corpus via foreachBatch
     (streaming/dedup_stream.py::streaming_minhash_novelty).  Per-doc
     novelty depends only on the static index, so the drained union
@@ -2363,7 +2380,7 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out,) = _fresh_dirs(base, "out")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     q = streaming_minhash_novelty(
@@ -2379,7 +2396,9 @@ def q_streaming_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming embedding ingest: new vectors (vec_id % 5 = 0) arrive
-    as multiple files streamed one per trigger; each micro-batch probes
+    as multiple files streamed two per trigger (overhead-dominated
+    micro-batches — guide §6; per-vector results are batch-boundary-
+    independent, sink unchanged); each micro-batch probes
     the PERSISTED banded-LSH signature index of the static corpus
     (vec_id % 5 != 0) for its top-5 nearest corpus neighbors
     (streaming/ann_stream.py::streaming_lsh_probe).  Per-vector
@@ -2395,7 +2414,7 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out,) = _fresh_dirs(base, "out")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     q = streaming_lsh_probe(
@@ -2410,7 +2429,8 @@ def q_streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_streaming_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest probing the QUANTIZED index: new vectors
-    (vec_id % 5 = 0) stream one file per trigger; each micro-batch runs
+    (vec_id % 5 = 0) stream two files per trigger (overhead-dominated
+    micro-batches — guide §6; sink unchanged); each micro-batch runs
     IVF-PQ ADC scoring against the persisted cell-partitioned encoding
     of the static corpus (vec_id % 5 != 0) under its stored
     coarse/codebook artifacts
@@ -2437,7 +2457,7 @@ def q_streaming_ivf_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out,) = _fresh_dirs(base, "out")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     q = streaming_ivf_pq_probe(
