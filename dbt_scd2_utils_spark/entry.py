@@ -15,6 +15,7 @@ The canonical SCD change feed is derived from the ``events`` table:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,6 +120,34 @@ from .functions.caching import barrier as _qcache
 from .session import prepare
 from .sources.incremental import high_water_mark
 from .sources.tables import load_table, write_bucketed_table
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` around a STATEFUL streaming
+    drive.  The state-store partition count is frozen by the first
+    micro-batch, and every partition pays a fixed per-trigger cost
+    (HDFSBackedStateStore commit + snapshot + maintenance — measured
+    ~45 s of summed commitTimeMs per batch at 32 partitions for a 40k-row
+    join state, i.e. the commit path, not the data, dominated the gate).
+    So the count is sized to the gate's STATE VOLUME, not to the
+    session's compute parallelism: these gates hold 10k-160k state rows,
+    for which 8 partitions is generous.  A deployment with larger state
+    sets SPARK_GRAFT_STATE_PARTITIONS (rows/partition in the millions
+    before a partition is "large" for a state store).  Batch (non-stream)
+    exchanges inside the gate are unaffected at scale-relevant volume:
+    AQE re-coalesces them from data size.
+    """
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    n = n or int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
 
 def _drain_stream(q, timeout: int = 600) -> None:
     """Drain an ``availableNow`` streaming query, failing loudly on a hang.
@@ -959,16 +988,17 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{base}/src"
     out, ckpt = _fresh_dirs(base, "rollup_out", "rollup_ckpt")
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    q = (
-        windowed_rollup(stream, window_duration="1 day", watermark_delay="1 hour")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _state_partitions(spark):
+        q = (
+            windowed_rollup(stream, window_duration="1 day", watermark_delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -987,16 +1017,17 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{base}/src"
     out, ckpt = _fresh_dirs(base, "sess_out", "sess_ckpt")
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    q = (
-        session_window_rollup(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _state_partitions(spark):
+        q = (
+            session_window_rollup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -1068,15 +1099,16 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
         "inner",
     ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_value")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.read.parquet(out)
 
 
@@ -2254,15 +2286,16 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     name = "stream_dedup_result"
-    q = (
-        streaming_exact_dedup(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain_stream(q)
+    with _state_partitions(spark):
+        q = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
     return spark.table(name)
 
 
