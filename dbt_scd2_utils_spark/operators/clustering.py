@@ -98,19 +98,24 @@ def connected_components(
         lmin = nbrs.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
-        edges = (
+        ls = (
             nbrs.filter(F.col("b") > F.col("a"))
             .join(lmin, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .distinct()
-            .localCheckpoint()
         )
         # ---- small-star: edges are canonical (a > b) so groupBy(a)
         # sees exactly the smaller neighborhood; rewire its non-min
         # members to the min and keep (a, m).  Output stays canonical.
-        smin = edges.groupBy("a").agg(F.min("b").alias("m"))
+        # The large-star result is NOT checkpointed separately: its two
+        # consumers below (the rewire join and the smin aggregate) end at
+        # the identical distinct-exchange, which ReuseExchange computes
+        # once — so one fused round materializes the edge set ONCE
+        # instead of twice (per round: 2 checkpoint writes + 1 sig action
+        # -> 1 + 1; at scale, half the per-round edge-set I/O).
+        smin = ls.groupBy("a").agg(F.min("b").alias("m"))
         edges = (
-            edges.join(smin, "a")
+            ls.join(smin, "a")
             .filter(F.col("b") != F.col("m"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .unionByName(smin.select("a", F.col("m").alias("b")))
