@@ -934,8 +934,16 @@ def q_scd2_sequence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.reference_seeds import CUSTOMERS_RAW, CUSTOMERS_SCHEMA
 
     def batch(i: int) -> DataFrame:
+        # One-partition parallelize: the plain createDataFrame slices
+        # <=37 rows across defaultParallelism (32) partitions, and every
+        # downstream merge stage then launches one near-empty task per
+        # slice per reference.  A single slice mirrors what reading a
+        # 37-row persisted batch would give.  (.coalesce(1) on a 32-slice
+        # frame was measured PATHOLOGICAL here — ~4x slower — so the
+        # partition count is set at creation.)
         return spark.createDataFrame(
-            CUSTOMERS_RAW[i], CUSTOMERS_SCHEMA
+            spark.sparkContext.parallelize(CUSTOMERS_RAW[i], 1),
+            CUSTOMERS_SCHEMA,
         ).withColumn("_created_at", F.col("_updated_at"))
 
     # Scope canChangeCachedPlanOutputPartitioning=true to this query: the
